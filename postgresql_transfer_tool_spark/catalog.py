@@ -1,0 +1,186 @@
+"""Catalog / reflection layer.
+
+The reference discovers its universe of tables by *reflecting* a live
+PostgreSQL schema at startup and treating the result as fixed for the run
+(``transfer_data_script.py:30-35``,
+``transfer_data_with_constraints_script.py:38-39`` — SURVEY.md §1.2, S1).
+Spark's JDBC reader infers column types but not constraints, so this layer
+keeps its own constraint metadata (PK / unique / check / FK with
+ON DELETE/ON UPDATE actions, mirroring
+``transfer_data_with_constraints_script.py:80-91,146-151``).
+
+For the driver's parquet fixtures the "reflection" source is the parquet
+footer (schema) plus the documented FK graph (FIXTURES.md); for a real
+PostgreSQL source the same dataclasses are populated from
+``information_schema`` / ``pg_catalog`` queries (see ``sources/jdbc.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every table in the driver's fixture universe (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """One FK edge, with referential actions preserved for DDL round-trip
+    fidelity (reference: ``transfer_data_with_constraints_script.py:146-151``)."""
+
+    table: str
+    columns: tuple[str, ...]
+    ref_table: str
+    ref_columns: tuple[str, ...]
+    on_delete: str | None = None
+    on_update: str | None = None
+
+
+@dataclass
+class TableInfo:
+    """Reflected table metadata — the engine's analog of a SQLAlchemy
+    ``Table`` object (reference: ``transfer_data_script.py:62``)."""
+
+    name: str
+    schema: str = "public"
+    primary_key: tuple[str, ...] = ()
+    unique: tuple[tuple[str, ...], ...] = ()
+    checks: tuple[str, ...] = ()  # ANSI boolean expressions
+    foreign_keys: tuple[ForeignKey, ...] = ()
+    serial_columns: tuple[str, ...] = field(default=())  # sequence-backed cols
+
+
+#: FK graph of the fixture star schema (FIXTURES.md; exercised by the
+#: constraint validators C1-C4 and the transfer pipeline's load ordering).
+FIXTURE_FOREIGN_KEYS: tuple[ForeignKey, ...] = (
+    ForeignKey("nation", ("n_regionkey",), "region", ("r_regionkey",)),
+    ForeignKey("customer", ("c_nationkey",), "nation", ("n_nationkey",)),
+    ForeignKey("supplier", ("s_nationkey",), "nation", ("n_nationkey",)),
+    ForeignKey("orders", ("o_custkey",), "customer", ("c_custkey",)),
+    ForeignKey("lineitem", ("l_orderkey",), "orders", ("o_orderkey",)),
+    ForeignKey("lineitem", ("l_partkey",), "part", ("p_partkey",)),
+    ForeignKey("lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)),
+)
+
+FIXTURE_PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def fixture_catalog() -> dict[str, TableInfo]:
+    """The reflected fixture universe, constraints included."""
+    fks: dict[str, list[ForeignKey]] = {t: [] for t in TABLES}
+    for fk in FIXTURE_FOREIGN_KEYS:
+        fks[fk.table].append(fk)
+    return {
+        t: TableInfo(
+            name=t,
+            primary_key=FIXTURE_PRIMARY_KEYS.get(t, ()),
+            foreign_keys=tuple(fks[t]),
+            serial_columns=FIXTURE_PRIMARY_KEYS.get(t, ())[:1]
+            if t in ("events", "orders", "documents", "embeddings")
+            else (),
+        )
+        for t in TABLES
+    }
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table.
+
+    This is the engine's S2 "full-table scan" (reference
+    ``transfer_data_script.py:109-110``) — except nothing is materialized:
+    Catalyst prunes columns and pushes predicates into the parquet reader,
+    so a downstream 2-column projection reads 2 columns off disk.
+
+    ``events.parquet`` carries a TIMESTAMP(NANOS) column, which Spark's
+    parquet reader rejects by default. We read it as raw nanos
+    (``nanosAsLong``) and convert to a microsecond timestamp JVM-side with
+    integer arithmetic (``DIV 1000`` — float division would lose precision
+    above 2^53 ns and disagree with DuckDB's truncating ns→µs read).
+    This stays a distributed columnar scan; no driver materialization.
+    """
+    if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def list_tables(sf_dir: str) -> list[str]:
+    """Which fixture tables exist in a directory — the engine's analog of
+    the reference's ``pg_tables`` catalog scan (S4,
+    ``after-running-script.sql:7-10``)."""
+    return [t for t in TABLES if os.path.exists(table_path(sf_dir, t))]
+
+
+def table_exists(sf_dir: str, name: str) -> bool:
+    """Existence predicate P4 (reference ``transfer_data_script.py:52-56``)."""
+    return os.path.exists(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for t in tables:
+        if table_exists(sf_dir, t):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def topo_sort_tables(catalog: dict[str, TableInfo]) -> list[str]:
+    """FK-dependency load order (parents before children).
+
+    The reference sidesteps ordering by deferring FK DDL to a third phase
+    (``transfer_data_with_constraints_script.py:235-253``); the engine keeps
+    that design for the *copy* (any parallel order) but still exposes a
+    topological order for targets that enforce FKs during load.
+    Deterministic: ties broken alphabetically. Raises on cycles.
+    """
+    deps: dict[str, set[str]] = {
+        t: {fk.ref_table for fk in info.foreign_keys if fk.ref_table != t}
+        for t, info in catalog.items()
+    }
+    order: list[str] = []
+    done: set[str] = set()
+    while deps:
+        ready = sorted(t for t, d in deps.items() if d <= done)
+        if not ready:
+            raise ValueError(f"FK cycle among: {sorted(deps)}")
+        order.extend(ready)
+        done.update(ready)
+        for t in ready:
+            del deps[t]
+    return order

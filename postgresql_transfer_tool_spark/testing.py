@@ -1,0 +1,78 @@
+"""Shared test/verification helpers: DuckDB-oracle differential checking.
+
+Mechanizes the driver's correctness gate (SURVEY.md §5): run the Spark
+query and the ANSI-SQL oracle on the same parquet fixtures, compare row
+count, column names, and an order-insensitive canonical row multiset with
+exact (bit-level) equality.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+
+from .catalog import TABLES, table_path
+
+
+def canon_value(v) -> str:
+    """Canonical engine-independent form of one cell."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest round-trip repr — exact for doubles
+    return str(v)
+
+
+def canon_rows(rows, colnames: list[str]) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical multiset: columns sorted by name, then rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """A DuckDB connection with every fixture table registered as a view
+    (matching the driver's pre-registered views)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+@dataclass
+class DiffResult:
+    name: str
+    problems: list[str] = field(default_factory=list)
+    n_rows: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return not self.problems
+
+
+def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str) -> DiffResult:
+    """Run one Spark query vs its oracle and diff the results."""
+    res = DiffResult(name)
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res.n_rows = len(srows)
+    if oracle is None:
+        return res  # rows-only query: success == it ran
+    cur = con.execute(oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    if sorted(scols) != sorted(dcols):
+        res.problems.append(f"columns: spark={sorted(scols)} duck={sorted(dcols)}")
+        return res
+    if len(srows) != len(drows):
+        res.problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+        return res
+    sk, dk = canon_rows(srows, scols), canon_rows(drows, dcols)
+    if sk != dk:
+        diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+        res.problems.append(f"values differ; first diffs: {diffs}")
+    return res
