@@ -1,1 +1,153 @@
-"""(filled in incrementally)"""
+"""Constraint validators — schema-level query semantics (SURVEY.md §2.5).
+
+The reference *reconstructs* PK / UNIQUE / CHECK / FK constraints on the
+target and lets PostgreSQL enforce them
+(``transfer_data_with_constraints_script.py:80-91,138-164``). Spark
+enforces none, so each constraint becomes a validation query the engine
+must answer; the transfer pipeline (transfer.py) fails a table whose
+validators return violations rather than silently writing them.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import FIXTURE_PRIMARY_KEYS, load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# C1 — PRIMARY KEY: uniqueness + non-null. One summary row per table so
+# the whole audit is a single DataFrame. At scale each check is one
+# hash-aggregate on the PK columns (map-side partials; no row data moves).
+# ---------------------------------------------------------------------------
+
+_PK_TABLES = ("orders", "customer", "lineitem", "events")
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for t in _PK_TABLES:
+        pk = FIXTURE_PRIMARY_KEYS[t]
+        keys = ", ".join(pk)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in pk)
+        parts.append(f"""
+        SELECT '{t}' AS table_name,
+               (SELECT COUNT(*) FROM (
+                   SELECT 1 FROM {t} WHERE {notnull}
+                   GROUP BY {keys} HAVING COUNT(*) > 1) d) AS duplicate_keys,
+               (SELECT COUNT(*) FROM {t} WHERE NOT ({notnull})) AS null_keys
+        """)
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("pk_violation_audit", oracle=_pk_oracle())
+def pk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = []
+    for t in _PK_TABLES:
+        pk = list(FIXTURE_PRIMARY_KEYS[t])
+        df = load_table(spark, sf_dir, t)
+        notnull = reduce(
+            Column.__and__, [F.col(c).isNotNull() for c in pk]
+        )
+        dups = (
+            df.filter(notnull)
+            .groupBy(*pk)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count("*").alias("duplicate_keys"))
+        )
+        nulls = df.filter(~notnull).agg(F.count("*").alias("null_keys"))
+        out.append(
+            dups.crossJoin(nulls).select(
+                F.lit(t).alias("table_name"), "duplicate_keys", "null_keys"
+            )
+        )
+    return reduce(DataFrame.unionByName, out)
+
+
+# ---------------------------------------------------------------------------
+# C2 — UNIQUE constraint check (reference rebuilds UniqueConstraint,
+# transfer_data_with_constraints_script.py:84-87). Returns the violating
+# key values — empty result == constraint holds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unique_violations_nation_name",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n
+    FROM nation GROUP BY n_name HAVING COUNT(*) > 1
+    """,
+)
+def unique_violations_nation_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — CHECK constraint: the reference carries the raw SQL text
+# (transfer_data_with_constraints_script.py:88-90); the engine evaluates
+# it with F.expr (PG check expressions are largely ANSI). Two checks: one
+# that holds (0 violations) and one seeded to fail, so both outcomes are
+# exercised.
+# ---------------------------------------------------------------------------
+
+_CHECK_HOLDS = "l_quantity > 0 AND l_discount >= 0 AND l_discount <= 1 AND l_tax >= 0"
+_CHECK_FAILS = "l_quantity <= 25"
+
+
+@query(
+    "check_constraint_audit",
+    oracle=f"""
+    SELECT 'lineitem_valid_ranges' AS check_name,
+           COUNT(*) FILTER (WHERE NOT ({_CHECK_HOLDS})) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_le_25' AS check_name,
+           COUNT(*) FILTER (WHERE NOT ({_CHECK_FAILS})) AS violations
+    FROM lineitem
+    """,
+)
+def check_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def audit(name: str, check_sql: str) -> DataFrame:
+        return li.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(~F.expr(check_sql)).alias("violations"),
+        )
+
+    return audit("lineitem_valid_ranges", _CHECK_HOLDS).unionByName(
+        audit("lineitem_qty_le_25", _CHECK_FAILS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-count validation (A1 as a post-transfer check): source vs target
+# counts per table — the check the reference only does by log-reading
+# (transfer_data_script.py:115-133). Exercised end-to-end in
+# tests/test_transfer.py; here as a self-comparison query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rowcount_validation_self",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           (SELECT COUNT(*) FROM orders) AS source_rows,
+           (SELECT COUNT(*) FROM orders) AS target_rows,
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM orders) AS diff
+    """,
+)
+def rowcount_validation_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "orders").count()
+    return spark.createDataFrame(
+        [("orders", n, n, 0)], "table_name string, source_rows long, target_rows long, diff long"
+    )

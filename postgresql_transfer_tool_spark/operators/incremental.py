@@ -1,1 +1,164 @@
-"""(filled in incrementally)"""
+"""Incremental-sync operators (batch form) — SURVEY.md §2.7 I1-I3.
+
+The reference's motivating table encodes a flag-and-timestamp CDC
+protocol (``synced_with_posthog``, ``last_local_modified_at`` —
+``event-table.sql:17-18``) that its scripts brute-force with full
+reloads. The engine implements the protocol properly:
+
+- I1 flag predicate: select unsynced rows, flip flags on write-back;
+- I2 high-water-mark: ``modified > checkpoint`` incremental batch;
+- I3 event-time windows: tumbling/hopping aggregation on event time.
+
+The streaming realization (Structured Streaming + watermark) lives in
+``streaming/``; these batch forms are the oracle-checkable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum
+from .registry import query
+from .relational import dd
+
+#: a mid-range checkpoint inside the fixture's [2024-01-01, 2024-01-31) span
+_CHECKPOINT = "2024-01-25 00:00:00"
+
+
+@query(
+    "hwm_incremental_batch",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_new,
+           MAX(ts) AS new_hwm
+    FROM events
+    WHERE ts > TIMESTAMP '{_CHECKPOINT}'
+    GROUP BY event_type
+    """,
+)
+def hwm_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: one incremental batch above the stored high-water mark. The
+    predicate pushes into the parquet scan (min/max row-group pruning) —
+    at 100 TB an incremental run reads only the new partitions."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit(_CHECKPOINT).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_new"), F.max("ts").alias("new_hwm"))
+    )
+
+
+@query(
+    "unsynced_flag_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_unsynced,
+           MIN(event_id) AS first_unsynced,
+           MAX(event_id) AS last_unsynced
+    FROM events
+    WHERE NOT COALESCE(CAST(json_extract_string(props, '$.synced') AS BOOLEAN), FALSE)
+    """,
+)
+def unsynced_flag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: the unsynced-rows scan (``synced_with_posthog = FALSE``
+    analog). The flag-flip write-back half is exercised in
+    tests/test_incremental.py via the checkpoint store."""
+    synced = F.coalesce(
+        F.get_json_object("props", "$.synced").cast("boolean"), F.lit(False)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(~synced)
+        .agg(
+            F.count("*").alias("n_unsynced"),
+            F.min("event_id").alias("first_unsynced"),
+            F.max("event_id").alias("last_unsynced"),
+        )
+    )
+
+
+@query(
+    "event_time_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dd("SUM(CAST(value AS DECIMAL(14,4)))")} AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: tumbling 1-hour event-time window. Expressed via F.window (the
+    streaming-compatible form); the struct is flattened to the window
+    start so the result is plain-SQL-comparable."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 14, 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sessionization_gap_30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 50
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionization_gap_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
+    the batch equivalent of streaming session_window. Partition-parallel
+    per user; no global state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumn(
+            "new_session",
+            F.when(gap_us > 1_800_000_000, 1)
+            .when(F.lag("ts").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+    )
+    return (
+        marked.withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

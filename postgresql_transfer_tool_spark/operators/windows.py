@@ -1,1 +1,157 @@
-"""(filled in incrementally)"""
+"""Window-function operators.
+
+Not in the reference (SURVEY.md §2.6) but a derived requirement: serial
+id generation without sequences is ``row_number()`` (SURVEY.md §7.4
+hard-part 3), deterministic pagination needs total ordering, and top-k /
+running aggregates are table-stakes analytics the reference delegates to
+PostgreSQL.
+
+Scale note: every window here partitions by a real key (never a global
+``Window.orderBy`` without partitioning, which would serialize 100 TB
+through one task) — except where a total order is semantically required,
+in which case the input is pre-aggregated to a small set first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec
+from .registry import query
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) t WHERE rk <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class. Deterministic: price
+    ties break on the key. At scale: shuffle on o_orderpriority, then a
+    per-partition sort — no global sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS running_spend
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer (exact decimal cumsum → double)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice", 12, 2)).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "serial_id_generation",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS new_id, doc_id
+    FROM documents
+    """,
+)
+def serial_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGSERIAL-equivalent id assignment (SURVEY.md §1.3): a dense,
+    deterministic 1-based id over a stable ordering.
+
+    Scale note: a single unpartitioned ROW_NUMBER serializes — fine for
+    dimension-sized tables; for fact-scale id assignment the engine uses
+    zipWithIndex-free arithmetic: partition offsets + per-partition
+    row_number (see transfer.py assign_serial_ids).
+    """
+    w = Window.orderBy("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.row_number().over(w).cast("bigint").alias("new_id"), "doc_id")
+    )
+
+
+@query(
+    "event_gaps_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS gap_us
+    FROM events WHERE user_id < 20
+    """,
+)
+def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user in microseconds (LAG + event-time order).
+    Integer µs arithmetic — engine-exact, no float time math."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "rank_dense_rank_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal_cents,
+           RANK() OVER (ORDER BY c_acctbal_cents DESC, c_custkey) AS rnk,
+           DENSE_RANK() OVER (ORDER BY c_acctbal_cents DESC, c_custkey) AS drnk,
+           NTILE(4) OVER (ORDER BY c_acctbal_cents DESC, c_custkey) AS quartile
+    FROM (SELECT c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c_acctbal_cents
+          FROM customer WHERE c_custkey <= 200) t
+    """,
+)
+def rank_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over integer cents (exact ordering key).
+    Input pre-filtered to a bounded set since the window is global."""
+    cents = (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("c_acctbal_cents")
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", cents)
+    )
+    w = Window.orderBy(F.col("c_acctbal_cents").desc(), F.col("c_custkey"))
+    return base.select(
+        "c_custkey",
+        "c_acctbal_cents",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
