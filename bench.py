@@ -21,8 +21,15 @@ sys.path.insert(0, REPO)
 #: headline set: flagship + the heaviest representative per operator family
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "fk_orphan_check",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "sessionization_gap_30m",
     "count_per_table",
-    "events_by_type",
 ]
 
 

@@ -84,7 +84,11 @@ FIXTURE_PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
     "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
+    # NB: the fixture's lineitem does NOT satisfy the classic TPC-H
+    # (l_orderkey, l_linenumber) key — linenumbers repeat per order — so
+    # the reflected catalog declares no PK for it (the constraint audit
+    # still exercises it as a violated candidate key, operators/constraints.py).
+    "lineitem": (),
     "events": ("event_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),

@@ -1,1 +1,132 @@
-"""(filled in incrementally)"""
+"""Approximate analytics — X5 (SURVEY.md §2.8).
+
+Sketch-based aggregates (HyperLogLog NDV, quantile sketches, stratified
+sampling). Sketches are engine-specific by construction, so these
+queries come in pairs: an exact form with a full DuckDB oracle, and the
+approximate form as a rows-only check (the driver records the weaker
+check; the accompanying pytest asserts the approximation error bound
+against the exact value instead — tests/test_approx.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec
+from .registry import query
+
+
+@query(
+    "ndv_exact",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS ndv_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS ndv_days
+    FROM events GROUP BY event_type
+    """,
+)
+def ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ndv_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("ndv_days"),
+    )
+
+
+@query("ndv_approx")  # rows-only: HLL sketch values are engine-specific
+def ndv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). At 100 TB this replaces the
+    exact distinct's full shuffle with a constant-size sketch merge —
+    the error bound (default 5%) is asserted against ndv_exact in tests."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("ndv_users_approx"),
+        F.approx_count_distinct(F.col("ts").cast("date")).alias("ndv_days_approx"),
+    )
+
+
+@query(
+    "median_exact",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM cents
+    )
+    SELECT event_type,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / 10000 AS median_value
+    FROM ranked
+    WHERE rk IN ((n + 1) / 2, (n + 2) / 2)
+    GROUP BY event_type
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via rank arithmetic over integer ten-thousandths —
+    engine-portable (built-in percentile functions interpolate with
+    different FP sequences across engines, so the engine computes the
+    median from first principles: the mean of the middle one-or-two
+    quantized values)."""
+    cents = (dec("value", 14, 4) * 10000).cast("bigint").alias("v")
+    e = load_table(spark, sf_dir, "events").select("event_type", cents)
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = e.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rk") == (F.col("n") + 1) / 2) | (F.col("rk") == (F.col("n") + 2) / 2)
+    )
+    return mid.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count("*") / 10000).alias("median_value")
+    )
+
+
+@query("quantiles_approx")  # rows-only: sketch quantiles are engine-specific
+def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): p50/p95/p99 per event
+    type. Accuracy asserted against exact ranks in tests/test_approx.py."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("p50"),
+        F.percentile_approx("value", 0.95).alias("p95"),
+        F.percentile_approx("value", 0.99).alias("p99"),
+    )
+
+
+@query("stratified_sample")  # rows-only: sampling is seed/engine-specific
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): 10% of clicks, 50% of errors —
+    the training-data curation primitive. Seeded for run-to-run
+    determinism within Spark; proportions asserted in tests."""
+    e = load_table(spark, sf_dir, "events")
+    sample = e.sampleBy("event_type", {"click": 0.1, "error": 0.5}, seed=42)
+    return sample.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the exact, shuffle-light distribution
+    summary (one partial-aggregable groupBy; no sort, no sketch)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )

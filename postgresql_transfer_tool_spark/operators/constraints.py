@@ -15,7 +15,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import FIXTURE_PRIMARY_KEYS, load_table
+from ..catalog import load_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -24,13 +24,21 @@ from .registry import query
 # hash-aggregate on the PK columns (map-side partials; no row data moves).
 # ---------------------------------------------------------------------------
 
-_PK_TABLES = ("orders", "customer", "lineitem", "events")
+#: audited key per table. lineitem's classic TPC-H compound key is
+#: *intentionally violated* by the fixture (duplicate linenumbers), so
+#: the audit demonstrates both outcomes: clean keys report 0, and the
+#: violated candidate key reports its duplicate count.
+_PK_AUDIT: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+}
 
 
 def _pk_oracle() -> str:
     parts = []
-    for t in _PK_TABLES:
-        pk = FIXTURE_PRIMARY_KEYS[t]
+    for t, pk in _PK_AUDIT.items():
         keys = ", ".join(pk)
         notnull = " AND ".join(f"{c} IS NOT NULL" for c in pk)
         parts.append(f"""
@@ -46,8 +54,8 @@ def _pk_oracle() -> str:
 @query("pk_violation_audit", oracle=_pk_oracle())
 def pk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
-    for t in _PK_TABLES:
-        pk = list(FIXTURE_PRIMARY_KEYS[t])
+    for t, pk_cols in _PK_AUDIT.items():
+        pk = list(pk_cols)
         df = load_table(spark, sf_dir, t)
         notnull = reduce(
             Column.__and__, [F.col(c).isNotNull() for c in pk]

@@ -1,1 +1,446 @@
-"""(filled in incrementally)"""
+"""Deduplication operators — X1/X2 (SURVEY.md §2.8) + driver north-star.
+
+Five dedup families over the ``documents`` table, all engine-portable
+(every hash is md5-derived so the DuckDB oracle computes bit-identical
+values):
+
+- exact dedup (hash groupBy, keep-min-id)
+- n-gram Jaccard near-dup (shingle self-join — the exact baseline)
+- MinHash + LSH near-dup (16 permutations, 8 bands × 2 rows — the scale
+  path: candidates come from band buckets, not an all-pairs join)
+- SimHash near-dup (32-bit signatures, Hamming-distance candidates)
+- survivor selection (greedy keep-lowest-id over the near-dup pair set)
+
+Scale notes: the Jaccard self-join is quadratic in documents sharing a
+shingle — at 100 TB it exists only as the verification stage *behind*
+LSH candidate generation (that is exactly how `dedup_minhash_lsh` is
+structured). Super-frequent shingles (boilerplate) would make hot keys;
+production would cap document frequency before the join — noted, not
+needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared shingling + hashing (identical formulas on both engines).
+# ---------------------------------------------------------------------------
+
+#: MinHash permutation constants: h_j(x) = (A[j]*x + B[j]) mod P.
+#: P is the smallest prime > 2^32; A/B are arbitrary fixed odd constants
+#: < 2^20 so A*x stays well inside int64.
+P_MINHASH = 4294967311
+A_CONST = [541, 1223, 1987, 2741, 3571, 4409, 5279, 6133,
+           7001, 7919, 8831, 9733, 10657, 11587, 12487, 13441]
+B_CONST = [9973, 21701, 31259, 40493, 50021, 60257, 70423, 80777,
+           90989, 101117, 111323, 121453, 131707, 141917, 152003, 162263]
+N_PERM = 16
+N_BANDS = 8  # × 2 rows per band
+
+JACCARD_THRESHOLD = 0.8
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — distinct word-3-gram shingles per document.
+
+    The fixture lands as one small parquet file → one input task; the
+    CPU-heavy shingling/hashing pipeline is repartitioned first so it
+    parallelizes (on a 100 TB corpus the input split count makes this a
+    no-op, but a skewed/few-files layout gets the same fix).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        docs.withColumn("toks", F.split(F.trim("text"), r"\s+"))
+        .filter(F.size("toks") >= 3)
+        .withColumn(
+            "shingles",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            ),
+        )
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+
+
+def _spark_shingles_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle relation, computed once and lineage-cut (localCheckpoint).
+
+    The dedup pipelines consume the shingle set from 2-3 plan branches
+    (signatures, candidate join sides, per-doc counts); without a
+    checkpoint Spark re-runs the split/md5/explode pipeline per branch.
+    The materialized relation is ~|docs|·|shingles| rows of (long,
+    short-string) — small relative to the corpus, and the per-partition
+    checkpoint keeps it distributed (no driver collect)."""
+    return _spark_shingles(spark, sf_dir).localCheckpoint(eager=False)
+
+
+def _spark_hashed_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, s, h) with h = 32-bit md5-prefix hash of the shingle."""
+    return sh.withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+#: DuckDB CTEs producing the same (doc_id, s) / (doc_id, s, h) relations.
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t)-2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+    FROM toks WHERE len(t) >= 3) q
+),
+hashed AS (
+  SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h FROM sh
+)
+"""
+
+#: Jaccard verification over a candidate pair set `cand(da, db)`:
+#: exact |A∩B| / |A∪B| from the shingle sets, integer-exact division.
+_SQL_VERIFY = """
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+  GROUP BY c.da, c.db
+),
+verified AS (
+  SELECT i.da AS doc_a, i.db AS doc_b,
+         CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.da
+  JOIN counts cb ON cb.doc_id = i.db
+)
+"""
+
+
+def _spark_verify(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (da, db) against a
+    (materialized) shingle relation."""
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db_r"), F.col("s").alias("s_r"))
+    inter = (
+        cand.join(a, "da")
+        .join(b, (F.col("db") == F.col("db_r")) & (F.col("s") == F.col("s_r")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup: hash-groupBy on content, keep lowest id.
+# At 100 TB: one shuffle on a 128-bit content hash (not the full text) —
+# group on md5(text), not text, so shuffle rows are ~40 bytes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_removed
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a — exact n-gram Jaccard near-dup (all-pairs baseline; the oracle for
+# everything LSH approximates).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.da
+    JOIN counts cb ON cb.doc_id = i.db
+    WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact Jaccard in ONE shingle self-join: the pair's
+    intersection count falls directly out of groupBy(da, db) on the
+    join — no separate candidate pass. (Still quadratic in co-shingled
+    docs by nature; the scale path is dedup_minhash_lsh.)"""
+    sh = _spark_shingles_materialized(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db_r"), F.col("s").alias("s_r"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_r")) & (F.col("da") < F.col("db_r")))
+        .groupBy("da", "db_r")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db_r"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db_r")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db_r").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b — MinHash + LSH near-dup: the 100 TB path. Signature = 16 minimums
+# of affine permutations of the shingle hash; candidates = pairs sharing
+# any of 8 two-row bands; candidates are then exact-verified. Fully
+# deterministic (fixed A/B/P) and oracle-checked — the DuckDB SQL below
+# computes the identical signatures.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN((h * {A_CONST[j]} + {B_CONST[j]}) % {P_MINHASH}) AS mh{j}"
+        for j in range(N_PERM)
+    )
+    bands = ",\n      ".join(
+        f"(SELECT '{b}_' || CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR))"
+        f" AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM sigs" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs2 AS (
+      SELECT doc_id,
+      {bands}
+      FROM sigs
+    ),
+    bands AS ({band_rows.replace("sigs", "sigs2")}),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    {_SQL_VERIFY}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingles_materialized(spark, sf_dir)
+    hashed = _spark_hashed_from(sh)
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * A_CONST[j] + B_CONST[j]) % P_MINHASH).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+        ).alias("band_key")
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    a = bands.select(F.col("doc_id").alias("da"), "band_key")
+    b = bands.select(F.col("doc_id").alias("db"), F.col("band_key").alias("bk2"))
+    cand = (
+        a.join(b, (F.col("band_key") == F.col("bk2")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    return _spark_verify(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# X2c — SimHash: 32-bit signature; bit b is the majority vote of shingle-
+# hash bit b. Near-dups = pairs within Hamming distance 3. Candidate
+# generation is pigeonhole-EXACT: the signature splits into 4 8-bit
+# chunks; ≤3 differing bits can dirty at most 3 chunks, so every
+# qualifying pair shares ≥1 identical (chunk_pos, chunk_value) — the
+# same band-join shape as MinHash-LSH, with zero recall loss. This
+# replaces the O(n²) signature cross-join.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+_N_CHUNKS = 4  # 4 chunks × 8 bits; HAMMING_MAX must stay < _N_CHUNKS
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * SUM((h >> {b}) & 1) > COUNT(*) THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sim, {c} AS cpos, (sim >> {8 * c}) & 255 AS cval FROM sigs"
+        for c in range(_N_CHUNKS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sim
+      FROM hashed GROUP BY doc_id
+    ),
+    chunks AS ({chunk_rows}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.cpos = b.cpos AND a.cval = b.cval AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _spark_hashed_from(_spark_shingles_materialized(spark, sf_dir))
+    bit_terms = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            2 * F.sum(F.shiftright(F.col("h"), b) % 2) > F.count("*"), 1 << b
+        ).otherwise(0)
+        bit_terms = term if bit_terms is None else bit_terms + term
+    sigs = hashed.groupBy("doc_id").agg(bit_terms.cast("bigint").alias("sim"))
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cpos"),
+                F.shiftright(F.col("sim"), 8 * c).bitwiseAND(F.lit(255)).alias("cval"),
+            )
+            for c in range(_N_CHUNKS)
+        ]
+    )
+    chunks = sigs.select(
+        "doc_id", "sim", F.explode(chunk_structs).alias("ch")
+    ).select("doc_id", "sim", F.col("ch.cpos").alias("cpos"), F.col("ch.cval").alias("cval"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "cpos", "cval"
+    )
+    b2 = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim").alias("sim_b"),
+        F.col("cpos").alias("cpos_r"),
+        F.col("cval").alias("cval_r"),
+    )
+    cand = (
+        a.join(
+            b2,
+            (F.col("cpos") == F.col("cpos_r"))
+            & (F.col("cval") == F.col("cval_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= HAMMING_MAX).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection: greedy keep-lowest-id over the near-dup pair set
+# (a document is dropped iff it near-matches a lower-id document).
+# ---------------------------------------------------------------------------
+
+
+def _survivors_sql() -> str:
+    # the LSH pipeline's verified pairs (same CTE chain as dedup_minhash_lsh)
+    lsh = _minhash_sql()
+    body = lsh[: lsh.rindex("SELECT doc_a")]  # keep WITH ... verified AS (...)
+    return f"""{body}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM verified v
+      WHERE v.jaccard >= {JACCARD_THRESHOLD} AND v.doc_b = d.doc_id
+    )
+    """
+
+
+@query("dedup_survivors", oracle=_survivors_sql())
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-lowest-id survivor set over the MinHash-LSH verified
+    pairs (the scale path: candidates from band buckets, not all-pairs —
+    and the oracle consumes the *same* LSH pipeline, so both engines see
+    identical pair sets by construction at any scale)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -54,6 +54,7 @@ def load_all() -> None:
         scalarfuncs,
         constraints,
         incremental,
+        analytic,
         dedup,
         similarity,
         text,

@@ -289,3 +289,131 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("distinct_mktsegment", oracle="SELECT DISTINCT c_mktsegment FROM customer")
 def distinct_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# S4 — catalog listing as a query (the reference's pg_tables scan,
+# after-running-script.sql:7-10; here the reflected fixture universe).
+# ---------------------------------------------------------------------------
+
+
+def _catalog_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, 'public' AS table_schema" for t in TABLES
+    )
+
+
+@query("catalog_list_tables", oracle=_catalog_oracle())
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, "public") for t in list_tables(sf_dir)],
+        "table_name string, table_schema string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: the pure scan-filter-aggregate shape (predicate selectivity
+# fully pushed; no shuffle beyond one partial/final agg).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_change",
+    oracle=f"""
+    SELECT {dd("SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))")}
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 6, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4-style: correlated EXISTS subquery (decorrelated by Catalyst into a
+# semi-join — the SQL-API surface for subquery workloads).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: correlated scalar subquery (per-group average threshold).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery_below_avg",
+    oracle=f"""
+    SELECT COUNT(*) AS n_small,
+           {dd("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))")} AS total_price
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+)
+def scalar_subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines under half their part's average quantity — Catalyst
+    decorrelates the scalar subquery into an aggregate + join (one
+    shuffle on l_partkey), the plan a hand-written window would produce.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM lineitem_q17 l1
+        WHERE l_quantity < (
+          SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+          FROM lineitem_q17 l2 WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )

@@ -1,1 +1,238 @@
-"""(filled in incrementally)"""
+"""Text-analysis operators — X4 (SURVEY.md §2.8) + driver north-star.
+
+Language ID (stopword heuristic), quality scoring, token counting, and
+rolling-hash document fingerprinting over the ``documents`` table. All
+JVM-side (regex/array built-ins) — no Python in the row path; every
+formula is written with the identical operation sequence in the oracle
+so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+from .relational import dd
+
+# word lists for the stopword-ratio / language-ID heuristics
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+FR_STOP = ("le", "la", "et", "les", "des", "un", "une")
+ES_STOP = ("el", "de", "y", "los", "las", "en", "que")
+DE_STOP = ("der", "die", "und", "das", "ein", "mit", "von")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks, n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           MIN(len(toks)) AS min_tokens,
+           MAX(len(toks)) AS max_tokens,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           {dd("SUM(CAST(CAST(n_chars AS DOUBLE) / len(toks) AS DECIMAL(14,6)))")}
+             / COUNT(*) AS avg_chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) with per-language stats.
+    The per-doc ratio is decimal-quantized before averaging so the
+    aggregate is order-independent."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+    n_toks = F.size("toks")
+    ratio = (F.col("n_chars").cast("double") / n_toks).cast("decimal(14,6)")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("total_tokens"),
+        F.min(n_toks).alias("min_tokens"),
+        F.max(n_toks).alias("max_tokens"),
+        (F.sum(n_toks).cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum(ratio).cast("double") / F.count("*")).alias("avg_chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS nc
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(
+               CAST(len(list_filter(toks, w -> list_contains([{_sql_list(EN_STOP)}], w)))
+                    AS DOUBLE) / len(toks)
+               + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               + CAST(CASE WHEN len(toks) >= 20 AND len(toks) <= 200 THEN 1 ELSE 0 END
+                      AS DOUBLE)
+             AS DECIMAL(14,6)) AS quality
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           {dd("SUM(quality)")} / COUNT(*) AS avg_quality,
+           {dd("MIN(quality)")} AS min_quality,
+           {dd("MAX(quality)")} AS max_quality
+    FROM scored GROUP BY source
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + lexical diversity +
+    length-band bonus (the Gopher-rules shape), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+    n = F.size("toks")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(F.filter("toks", lambda w: F.array_contains(stop_arr, w)))
+    diversity = F.size(F.array_distinct("toks")).cast("double") / n
+    length_bonus = F.when((n >= 20) & (n <= 200), 1).otherwise(0).cast("double")
+    quality = (
+        (n_stop.cast("double") / n) + diversity + length_bonus
+    ).cast("decimal(14,6)")
+    return (
+        docs.filter(n > 0)
+        .withColumn("quality", quality)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("quality").cast("double") / F.count("*")).alias("avg_quality"),
+            F.min("quality").cast("double").alias("min_quality"),
+            F.max("quality").cast("double").alias("max_quality"),
+        )
+    )
+
+
+def _lang_case_sql() -> str:
+    def cnt(words: tuple[str, ...]) -> str:
+        return f"len(list_filter(toks, w -> list_contains([{_sql_list(words)}], w)))"
+
+    return f"""
+      CASE
+        WHEN {cnt(FR_STOP)} > {cnt(EN_STOP)}
+             AND {cnt(FR_STOP)} > {cnt(ES_STOP)}
+             AND {cnt(FR_STOP)} > {cnt(DE_STOP)} THEN 'fr'
+        WHEN {cnt(ES_STOP)} > {cnt(EN_STOP)}
+             AND {cnt(ES_STOP)} > {cnt(DE_STOP)} THEN 'es'
+        WHEN {cnt(DE_STOP)} > {cnt(EN_STOP)} THEN 'de'
+        WHEN {cnt(EN_STOP)} > 0 THEN 'en'
+        ELSE 'unknown'
+      END
+    """
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT lang AS actual_lang, {_lang_case_sql()} AS predicted_lang, COUNT(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; output is the confusion matrix against
+    the labeled ``lang`` column. (The fixture corpus is synthetic
+    tech-word soup, so most rows classify 'en'/'unknown' — the operator
+    contract is determinism, not fixture accuracy.)"""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+
+    def cnt(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("toks", lambda w: F.array_contains(arr, w)))
+
+    en, fr, es, de = cnt(EN_STOP), cnt(FR_STOP), cnt(ES_STOP), cnt(DE_STOP)
+    predicted = (
+        F.when((fr > en) & (fr > es) & (fr > de), "fr")
+        .when((es > en) & (es > de), "es")
+        .when(de > en, "de")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+    )
+    return docs.groupBy(
+        F.col("lang").alias("actual_lang"), predicted.alias("predicted_lang")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_transform(string_split(substr(text, 1, 64), ''),
+                              c -> CAST(unicode(c) AS BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_distinct_fp,
+           MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp
+    FROM fp GROUP BY lang
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) of each
+    document's 64-char prefix — the cheap first-pass signature for
+    near-dup candidate pruning. Identical hash on both engines."""
+    fp = F.aggregate(
+        F.transform(F.split(F.substring("text", 1, 64), ""), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("fingerprint", fp)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+        )
+    )
+
+
+@query(
+    "text_char_classes",
+    oracle="""
+    SELECT source,
+           SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+             AS n_vowels,
+           SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+             AS n_whitespace,
+           SUM(length(text)) AS n_chars_total
+    FROM documents GROUP BY source
+    """,
+)
+def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class counting via regex strip-and-diff (punctuation /
+    whitespace / vowel ratios are the building blocks of quality rules).
+    Spark regexp_replace is global by default; DuckDB needs the 'g' flag
+    — an engine-portability trap encoded here once."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    n_ws = F.length("text") - F.length(F.regexp_replace("text", r"\s", ""))
+    return docs.groupBy("source").agg(
+        F.sum(n_vowels).alias("n_vowels"),
+        F.sum(n_ws).alias("n_whitespace"),
+        F.sum(F.length("text")).alias("n_chars_total"),
+    )

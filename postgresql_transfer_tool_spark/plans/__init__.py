@@ -1,0 +1,73 @@
+"""Physical-plan inspection helpers.
+
+"Would this plan survive a 100× scale-up?" is checked mechanically:
+tests assert that filters reach the parquet scan (PushedFilters), that
+projections prune the read schema (ReadSchema), and that dimension joins
+broadcast instead of shuffling. A plan regression fails the suite even
+while results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """Assert a predicate reached the parquet scan's PushedFilters."""
+    plan = physical_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"no PushedFilters section in plan:\n{plan}"
+    assert any(fragment in ln for ln in pushed), (
+        f"filter fragment {fragment!r} not pushed; PushedFilters lines: {pushed}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, table_fragment: str, columns: set[str]) -> None:
+    """Assert the scan of ``table_fragment`` reads exactly ``columns``."""
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Location:" in ln and table_fragment in ln:
+            schema_lines = [l for l in lines[i - 3 : i + 4] if "ReadSchema" in l]
+            assert schema_lines, f"no ReadSchema near {table_fragment} scan:\n{plan}"
+            schema = schema_lines[0]
+            read_cols = {
+                c.split(":")[0].strip()
+                for c in schema.split("struct<", 1)[1].rstrip(">").split(",")
+                if c.strip()
+            }
+            assert read_cols == columns, (
+                f"scan of {table_fragment} reads {sorted(read_cols)}, "
+                f"expected {sorted(columns)}"
+            )
+            return
+    raise AssertionError(f"no scan of {table_fragment} found in plan:\n{plan}")
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    plan = physical_plan(df)
+    return sum(1 for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def has_wholestage_codegen(df: DataFrame) -> bool:
+    """True if the executed plan contains whole-stage-codegen stages.
+
+    Under AQE the plan is adaptive and codegen subtrees only exist in the
+    *final* plan, so this executes the query (test-scale inputs only) and
+    inspects the post-execution simple plan for codegen markers (``*(n)``).
+    """
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "*(" in plan or "WholeStageCodegen" in plan

@@ -1,0 +1,175 @@
+"""JDBC source/sink layer — the PostgreSQL-facing half of the engine.
+
+The reference reads with unordered OFFSET/LIMIT pagination
+(``transfer_data_script.py:107-114`` — O(N²) server work and
+non-deterministic, SURVEY.md §4 O1-O2) and writes one INSERT per row
+(``transfer_data_script.py:126``). The engine replaces both:
+
+- reads: ``spark.read.jdbc`` partitioned on a numeric column — N
+  parallel range scans, each a single server-side cursor (O(N) total);
+- writes: batched inserts (``batchsize``), per-partition connections.
+
+No PostgreSQL is available in the test container, so everything here is
+pure option/SQL construction (unit-tested) plus thin ``spark.read``
+calls that activate when a URL is supplied. Constraint reflection (S1,
+which Spark's JDBC reader does not surface) is implemented as
+``information_schema``/``pg_catalog`` queries shipped through the JDBC
+``query`` option.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_FETCH_SIZE = 10_000  # rows per round-trip on read
+DEFAULT_BATCH_SIZE = 10_000  # rows per INSERT batch on write
+DEFAULT_NUM_PARTITIONS = 32
+
+
+@dataclass(frozen=True)
+class JdbcTarget:
+    url: str  # jdbc:postgresql://host:port/db
+    user: str
+    password: str
+    schema: str = "public"
+
+    def properties(self) -> dict[str, str]:
+        return {
+            "user": self.user,
+            "password": self.password,
+            "driver": "org.postgresql.Driver",
+        }
+
+
+def partitioned_read_options(
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    fetch_size: int = DEFAULT_FETCH_SIZE,
+) -> dict[str, str]:
+    """Options for a deterministic partitioned scan: Spark issues
+    ``num_partitions`` WHERE-range queries on ``partition_column`` —
+    the scale-correct replacement for the reference's chunk loop
+    (chunk_size=1000, ``transfer_data_script.py:85``)."""
+    if upper_bound <= lower_bound:
+        num_partitions = 1
+    return {
+        "dbtable": table,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetch_size),
+        "pushDownPredicate": "true",
+    }
+
+
+def read_table(
+    spark: SparkSession,
+    target: JdbcTarget,
+    table: str,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> DataFrame:
+    """Full-table scan (S2) — partitioned when a numeric column + bounds
+    are known (bounds come from one cheap MIN/MAX agg, replacing the
+    reference's COUNT-before-scan, O7)."""
+    reader = spark.read.format("jdbc").option("url", target.url)
+    for k, v in target.properties().items():
+        reader = reader.option(k, v)
+    if partition_column and bounds:
+        for k, v in partitioned_read_options(
+            table, partition_column, bounds[0], bounds[1], num_partitions
+        ).items():
+            reader = reader.option(k, v)
+    else:
+        reader = reader.option("dbtable", table).option(
+            "fetchsize", str(DEFAULT_FETCH_SIZE)
+        )
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    target: JdbcTarget,
+    table: str,
+    mode: str = "append",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    """Batched JDBC sink (K1 done right: ``batchsize`` rows per INSERT,
+    one connection per partition, vs the reference's one statement per
+    row)."""
+    (
+        df.write.format("jdbc")
+        .option("url", target.url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .options(**target.properties())
+        .mode(mode)
+        .save()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog / constraint reflection SQL (S1/S4/S5): what
+# MetaData.reflect() gathers via SQLAlchemy, expressed as pg_catalog
+# queries shipped through the JDBC `query` option.
+# ---------------------------------------------------------------------------
+
+
+def tables_in_schema_sql(schema: str) -> str:
+    """S4 — ``pg_tables`` scan (after-running-script.sql:7-10)."""
+    return (
+        "SELECT tablename FROM pg_tables "
+        f"WHERE schemaname = '{schema}' ORDER BY tablename"
+    )
+
+
+def primary_key_sql(schema: str, table: str) -> str:
+    return f"""
+    SELECT a.attname AS column_name
+    FROM pg_index i
+    JOIN pg_class c ON c.oid = i.indrelid
+    JOIN pg_namespace n ON n.oid = c.relnamespace
+    JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey)
+    WHERE i.indisprimary AND n.nspname = '{schema}' AND c.relname = '{table}'
+    ORDER BY a.attnum
+    """
+
+
+def foreign_keys_sql(schema: str) -> str:
+    """FK edges with referential actions — the metadata the reference
+    walks via SQLAlchemy constraint objects
+    (``transfer_data_with_constraints_script.py:104-171``)."""
+    return f"""
+    SELECT tc.table_name, kcu.column_name,
+           ccu.table_name AS ref_table, ccu.column_name AS ref_column,
+           rc.delete_rule, rc.update_rule
+    FROM information_schema.table_constraints tc
+    JOIN information_schema.key_column_usage kcu
+      ON tc.constraint_name = kcu.constraint_name
+     AND tc.table_schema = kcu.table_schema
+    JOIN information_schema.constraint_column_usage ccu
+      ON ccu.constraint_name = tc.constraint_name
+     AND ccu.table_schema = tc.table_schema
+    JOIN information_schema.referential_constraints rc
+      ON rc.constraint_name = tc.constraint_name
+     AND rc.constraint_schema = tc.table_schema
+    WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '{schema}'
+    """
+
+
+def serial_sequence_sql(schema: str, table: str, column: str) -> str:
+    """S5 — the sequence↔column probe (after-running-script.sql:15)."""
+    return f"SELECT pg_get_serial_sequence('{schema}.{table}', '{column}') AS seq"
+
+
+def setval_sql(sequence: str, value: int, is_called: bool = True) -> str:
+    """K7 — sequence resync statement (after-running-script.sql:20-21,
+    100-102). Executed driver-side through a passthrough connection."""
+    return f"SELECT setval('{sequence}', {value}, {str(is_called).lower()})"

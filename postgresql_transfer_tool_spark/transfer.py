@@ -1,0 +1,221 @@
+"""The transfer pipeline — the reference's flagship flow, Spark-native.
+
+Reference shape (SURVEY.md §3.1-§3.2): reflect source → (phase 1) create
+target tables without FKs → (phase 2) chunked sequential copy with
+row-wise inserts → (phase 3) add FK constraints → sequence resync via
+``after-running-script.sql``.
+
+Engine shape, same semantics, scale-correct physics:
+
+- phase 1 (plan): reflect schemas + constraints; exclusion (P3) and
+  existence (P4) predicates applied to the work list.
+- phase 2 (copy): tables copy in PARALLEL (driver thread pool — the
+  reference loops sequentially, ``transfer_data_script.py:88``), each
+  table as one distributed partitioned read→write (the OFFSET/LIMIT
+  chunk loop of ``transfer_data_script.py:107-114`` disappears into
+  Spark partitioning). Writes are staged and atomically renamed — the
+  engine's per-table COMMIT/ROLLBACK analog (K5/K6): a failed table
+  leaves no partial target.
+- phase 3 (constraints): validators run on the target (C1 PK, C4 FK
+  anti-joins); violations fail the table rather than silently landing;
+  FK DDL is emitted as statements for RDBMS targets (K4 — Spark itself
+  has no enforced FKs).
+- phase 4 (sequence resync): COALESCE(MAX(id),0)+1 per serial column
+  (A2-A4), persisted to a sequence manifest — the lake-target analog of
+  ``setval`` (K7); per-object error isolation as in the PL/pgSQL blocks
+  (K8, ``after-running-script.sql:23-26``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import (
+    TableInfo,
+    fixture_catalog,
+    list_tables,
+    load_table,
+    table_exists,
+    table_path,
+)
+
+
+@dataclass
+class TableResult:
+    table: str
+    status: str  # copied | skipped_excluded | skipped_missing | failed
+    source_rows: int = -1
+    target_rows: int = -1
+    error: str | None = None
+    pk_violations: int = 0
+    fk_orphans: dict[str, int] = field(default_factory=dict)
+    next_sequence_value: int | None = None
+
+
+@dataclass
+class TransferReport:
+    results: dict[str, TableResult] = field(default_factory=dict)
+    fk_ddl: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(
+            r.status in ("copied", "skipped_excluded") and r.pk_violations == 0
+            and all(v == 0 for v in r.fk_orphans.values())
+            for r in self.results.values()
+        )
+
+
+def fk_ddl_statement(info: TableInfo, fk) -> str:
+    """The ALTER TABLE statement the reference hand-builds
+    (``transfer_data_with_constraints_script.py:138-161``), preserved for
+    RDBMS targets; referential actions included."""
+    cols = ", ".join(fk.columns)
+    ref_cols = ", ".join(fk.ref_columns)
+    name = f"fk_{fk.table}_{'_'.join(fk.columns)}"
+    stmt = (
+        f"ALTER TABLE {info.schema}.{fk.table} ADD CONSTRAINT {name} "
+        f"FOREIGN KEY ({cols}) REFERENCES {info.schema}.{fk.ref_table} ({ref_cols})"
+    )
+    if fk.on_delete:
+        stmt += f" ON DELETE {fk.on_delete}"
+    if fk.on_update:
+        stmt += f" ON UPDATE {fk.on_update}"
+    return stmt
+
+
+class TransferPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        target_dir: str,
+        exclude: tuple[str, ...] = (),
+        catalog: dict[str, TableInfo] | None = None,
+        max_parallel_tables: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.target_dir = target_dir
+        self.exclude = set(exclude)
+        self.catalog = catalog if catalog is not None else fixture_catalog()
+        self.max_parallel_tables = max_parallel_tables
+
+    # -- phase 2 helper: one table, staged-atomic ---------------------------
+
+    def _copy_table(self, name: str) -> TableResult:
+        res = TableResult(name, "copied")
+        staging = os.path.join(self.target_dir, f"{name}.parquet.staging-{uuid.uuid4().hex}")
+        final = table_path(self.target_dir, name)
+        try:
+            df = load_table(self.spark, self.source_dir, name)
+            # identity projection (P1) stays columnar; the write is the
+            # batched-insert analog (K1 → JDBC batchsize / parquet row groups)
+            df.write.mode("overwrite").parquet(staging)
+            res.source_rows = df.count()
+            res.target_rows = self.spark.read.parquet(staging).count()
+            if res.target_rows != res.source_rows:
+                raise RuntimeError(
+                    f"row-count mismatch {res.source_rows} != {res.target_rows}"
+                )
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(staging, final)  # atomic table-level "commit" (K5)
+        except Exception as exc:  # error isolation per table (O8/K6)
+            res.status = "failed"
+            res.error = f"{type(exc).__name__}: {exc}"
+            shutil.rmtree(staging, ignore_errors=True)  # "rollback"
+        return res
+
+    # -- phases --------------------------------------------------------------
+
+    def run(self) -> TransferReport:
+        report = TransferReport()
+        os.makedirs(self.target_dir, exist_ok=True)
+
+        # phase 1: plan — reflection + exclusion/existence predicates
+        work: list[str] = []
+        for name in list_tables(self.source_dir):
+            if name in self.exclude:  # P3
+                report.results[name] = TableResult(name, "skipped_excluded")
+                continue
+            if not table_exists(self.source_dir, name):  # P4
+                report.results[name] = TableResult(name, "skipped_missing")
+                continue
+            work.append(name)
+
+        # phase 2: parallel copy (inter-table thread pool; intra-table
+        # parallelism comes from Spark partitions)
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
+            for res in pool.map(self._copy_table, work):
+                report.results[res.table] = res
+
+        # phase 3: constraint validation on the target + FK DDL emission
+        for name, res in report.results.items():
+            if res.status != "copied":
+                continue
+            info = self.catalog.get(name)
+            if info is None:
+                continue
+            tdf = self.spark.read.parquet(table_path(self.target_dir, name))
+            if info.primary_key:
+                pk = list(info.primary_key)
+                dup = (
+                    tdf.groupBy(*pk).count().filter(F.col("count") > 1).count()
+                )
+                nulls = tdf.filter(_any_null(pk)).count()
+                res.pk_violations = dup + nulls
+            for fk in info.foreign_keys:
+                if fk.ref_table not in report.results or (
+                    report.results[fk.ref_table].status != "copied"
+                ):
+                    continue
+                parent = self.spark.read.parquet(
+                    table_path(self.target_dir, fk.ref_table)
+                ).select(*fk.ref_columns)
+                child = tdf.select(*fk.columns).na.drop()
+                orphans = child.join(
+                    parent,
+                    [child[c] == parent[r] for c, r in zip(fk.columns, fk.ref_columns)],
+                    "left_anti",
+                ).count()
+                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = orphans
+                report.fk_ddl.append(fk_ddl_statement(info, fk))
+
+        # phase 4: sequence resync manifest (K7/A4, error-isolated K8)
+        sequences: dict[str, int] = {}
+        for name, res in report.results.items():
+            if res.status != "copied":
+                continue
+            info = self.catalog.get(name)
+            if not info or not info.serial_columns:
+                continue
+            try:
+                col = info.serial_columns[0]
+                tdf = self.spark.read.parquet(table_path(self.target_dir, name))
+                nxt = tdf.agg(
+                    (F.coalesce(F.max(col), F.lit(0)) + 1).cast("bigint").alias("v")
+                ).collect()[0]["v"]
+                res.next_sequence_value = int(nxt)
+                sequences[f"{name}.{col}"] = int(nxt)
+            except Exception as exc:  # K8: skip, don't abort
+                res.error = f"sequence resync failed: {exc}"
+        with open(os.path.join(self.target_dir, "_sequences.json"), "w") as f:
+            json.dump(sequences, f, indent=2, sort_keys=True)
+
+        return report
+
+
+def _any_null(cols: list[str]):
+    cond = F.col(cols[0]).isNull()
+    for c in cols[1:]:
+        cond = cond | F.col(c).isNull()
+    return cond

@@ -1,0 +1,153 @@
+"""PostgreSQL ↔ Spark type mapping and DDL synthesis.
+
+The reference copies column definitions opaquely through SQLAlchemy
+(``transfer_data_script.py:62``) and creates targets with
+``CREATE TABLE IF NOT EXISTS`` semantics (``checkfirst=True``,
+``transfer_data_script.py:59-71`` — K2). The engine needs the mapping
+explicit in both directions:
+
+- PG→Spark: typing a reflected JDBC source (SURVEY.md §1.3 table, plus
+  the general scalar surface SQLAlchemy would reflect);
+- Spark→PG: synthesizing target DDL for RDBMS sinks, including the
+  JSONB carrier convention and BIGSERIAL for generated keys.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# PG → Spark (reflection direction). Patterns are matched against
+# normalized type names from information_schema / pg_catalog.
+# ---------------------------------------------------------------------------
+
+_PG_TO_SPARK: list[tuple[str, T.DataType]] = [
+    (r"^(big)?serial$", T.LongType()),
+    (r"^smallserial$", T.IntegerType()),
+    (r"^smallint$|^int2$", T.ShortType()),
+    (r"^integer$|^int$|^int4$", T.IntegerType()),
+    (r"^bigint$|^int8$", T.LongType()),
+    (r"^real$|^float4$", T.FloatType()),
+    (r"^double precision$|^float8$", T.DoubleType()),
+    (r"^numeric(\(.*\))?$|^decimal(\(.*\))?$", T.DecimalType(38, 18)),
+    (r"^money$", T.DecimalType(19, 2)),
+    (r"^boolean$|^bool$", T.BooleanType()),
+    (r"^(character varying|varchar)(\(\d+\))?$", T.StringType()),
+    (r"^(character|char)(\(\d+\))?$", T.StringType()),
+    (r"^text$|^citext$|^name$", T.StringType()),
+    (r"^uuid$", T.StringType()),
+    # JSONB/JSON land as a string carrier; promotion happens on demand
+    # via from_json with an explicit schema (SURVEY.md §1.3)
+    (r"^jsonb?$", T.StringType()),
+    (r"^xml$", T.StringType()),
+    (r"^bytea$", T.BinaryType()),
+    (r"^date$", T.DateType()),
+    # TIMESTAMPTZ is an instant → TimestampType (session-tz rendering);
+    # plain TIMESTAMP is wall-clock → TimestampNTZType
+    (r"^timestamp(\(\d+\))? with time zone$|^timestamptz$", T.TimestampType()),
+    (r"^timestamp(\(\d+\))?( without time zone)?$", T.TimestampNTZType()),
+    (r"^time.*$", T.StringType()),
+    (r"^interval$", T.DayTimeIntervalType()),
+    (r"^inet$|^cidr$|^macaddr8?$", T.StringType()),
+]
+
+
+def _numeric_with_precision(pg_type: str) -> T.DataType | None:
+    m = re.match(r"^(?:numeric|decimal)\((\d+)(?:,\s*(\d+))?\)$", pg_type)
+    if m:
+        precision = int(m.group(1))
+        scale = int(m.group(2) or 0)
+        return T.DecimalType(min(precision, 38), min(scale, 37))
+    return None
+
+
+def pg_to_spark(pg_type: str) -> T.DataType:
+    """Map one PostgreSQL type name to its Spark type.
+
+    Array types (``integer[]`` / ``_int4``) recurse into ArrayType;
+    unknown types degrade to StringType (the lossless carrier) rather
+    than failing reflection — matching the reference's copy-whatever
+    behavior (``transfer_data_script.py:62``).
+    """
+    t = pg_type.strip().lower()
+    if t.endswith("[]"):
+        return T.ArrayType(pg_to_spark(t[:-2]))
+    if t.startswith("_"):
+        return T.ArrayType(pg_to_spark(t[1:]))
+    exact = _numeric_with_precision(t)
+    if exact is not None:
+        return exact
+    for pattern, spark_type in _PG_TO_SPARK:
+        if re.match(pattern, t):
+            return spark_type
+    return T.StringType()
+
+
+def reflect_schema(columns: list[tuple[str, str, bool]]) -> T.StructType:
+    """Build a StructType from reflected (name, pg_type, nullable) rows
+    (the engine's half of MetaData.reflect, S1)."""
+    return T.StructType(
+        [T.StructField(name, pg_to_spark(pg_type), nullable) for name, pg_type, nullable in columns]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark → PG (DDL synthesis direction, K2).
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_PG: dict[type, str] = {
+    T.ByteType: "smallint",
+    T.ShortType: "smallint",
+    T.IntegerType: "integer",
+    T.LongType: "bigint",
+    T.FloatType: "real",
+    T.DoubleType: "double precision",
+    T.BooleanType: "boolean",
+    T.StringType: "text",
+    T.BinaryType: "bytea",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+}
+
+
+def spark_to_pg(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"numeric({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"{spark_to_pg(dt.elementType)}[]"
+    if isinstance(dt, (T.MapType, T.StructType)):
+        return "jsonb"  # nested data round-trips through the JSONB carrier
+    pg = _SPARK_TO_PG.get(type(dt))
+    if pg is None:
+        raise ValueError(f"no PostgreSQL mapping for Spark type {dt}")
+    return pg
+
+
+def create_table_ddl(
+    schema: T.StructType,
+    table: str,
+    target_schema: str = "public",
+    primary_key: tuple[str, ...] = (),
+    serial_columns: tuple[str, ...] = (),
+    if_not_exists: bool = True,
+) -> str:
+    """CREATE TABLE statement for an RDBMS target — the engine's K2
+    (idempotent via IF NOT EXISTS, like the reference's checkfirst=True).
+    Serial columns emit BIGSERIAL so the sequence machinery the resync
+    step (K7) maintains actually exists on the target."""
+    cols = []
+    for f in schema.fields:
+        if f.name in serial_columns:
+            pg = "bigserial"
+        else:
+            pg = spark_to_pg(f.dataType)
+        null = "" if f.nullable and f.name not in primary_key else " NOT NULL"
+        cols.append(f"    {f.name} {pg}{null}")
+    if primary_key:
+        cols.append(f"    PRIMARY KEY ({', '.join(primary_key)})")
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    body = ",\n".join(cols)
+    return f"CREATE TABLE {ine}{target_schema}.{table} (\n{body}\n)"

@@ -1,0 +1,57 @@
+"""Accuracy-bound tests for the sketch-based operators (rows-only in the
+oracle gate, so their quality contract is asserted here instead)."""
+
+from __future__ import annotations
+
+from postgresql_transfer_tool_spark.operators.approx import (
+    ndv_approx,
+    ndv_exact,
+    quantiles_approx,
+    stratified_sample,
+)
+from postgresql_transfer_tool_spark.catalog import load_table
+
+
+def test_ndv_approx_within_bound(spark, sf_dir):
+    exact = {r["event_type"]: r["ndv_users"] for r in ndv_exact(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r["ndv_users_approx"] for r in ndv_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 0.1 * ex), (k, ex, approx[k])
+
+
+def test_quantiles_approx_ordered_and_in_range(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    rows = quantiles_approx(spark, sf_dir).join(bounds, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["p50"] <= r["p95"] <= r["p99"] <= r["hi"], r
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sampled = {
+        r["event_type"]: r["n_sampled"] for r in stratified_sample(spark, sf_dir).collect()
+    }
+    assert set(sampled) <= {"click", "error"}
+    # loose binomial bounds — sampling is seeded but proportions vary
+    for k, frac in (("click", 0.1), ("error", 0.5)):
+        if k in sampled:
+            expected = totals[k] * frac
+            assert 0.5 * expected <= sampled[k] <= 1.5 * expected, (k, sampled[k], expected)

@@ -1,0 +1,33 @@
+"""Tests for the multimodal decode plumbing (mapInPandas stub stage)."""
+
+from __future__ import annotations
+
+from postgresql_transfer_tool_spark.operators.multimodal import (
+    DECODE_SCHEMA,
+    media_decode_pipeline,
+)
+
+
+def test_decode_schema_and_counts(spark, sf_dir):
+    decoded = media_decode_pipeline(spark, sf_dir)
+    assert decoded.schema == DECODE_SCHEMA
+    rows = decoded.collect()
+    assert len(rows) == 500  # one per document
+    for r in rows[:20]:
+        assert r["n_bytes"] > 0
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["feature"]) == 4
+
+
+def test_decode_deterministic(spark, sf_dir):
+    a = {r["doc_id"]: tuple(r["feature"]) for r in media_decode_pipeline(spark, sf_dir).collect()}
+    b = {r["doc_id"]: tuple(r["feature"]) for r in media_decode_pipeline(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_decode_partition_parallel(spark, sf_dir):
+    # the decode must run per-partition (no driver collect): repartition
+    # and confirm the stage still yields every row exactly once
+    decoded = media_decode_pipeline(spark, sf_dir)
+    n = decoded.repartition(8).count()
+    assert n == 500

@@ -1,0 +1,101 @@
+"""Type-mapping tests (SURVEY.md §1.3 table + general scalar surface),
+including property-based round-trips (§5 point 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from postgresql_transfer_tool_spark.types import (
+    create_table_ddl,
+    pg_to_spark,
+    reflect_schema,
+    spark_to_pg,
+)
+
+
+@pytest.mark.parametrize(
+    "pg,expected",
+    [
+        ("bigserial", T.LongType()),           # event-table.sql:6
+        ("timestamptz", T.TimestampType()),    # event-table.sql:7-8
+        ("timestamp with time zone", T.TimestampType()),
+        ("timestamp without time zone", T.TimestampNTZType()),
+        ("character varying(255)", T.StringType()),  # event-table.sql:9
+        ("bigint", T.LongType()),              # event-table.sql:11-13
+        ("jsonb", T.StringType()),             # event-table.sql:15-16 (carrier)
+        ("boolean", T.BooleanType()),          # event-table.sql:17
+        ("numeric(12,2)", T.DecimalType(12, 2)),
+        ("numeric", T.DecimalType(38, 18)),
+        ("integer[]", T.ArrayType(T.IntegerType())),
+        ("_int4", T.ArrayType(T.IntegerType())),
+        ("double precision", T.DoubleType()),
+        ("bytea", T.BinaryType()),
+        ("uuid", T.StringType()),
+        ("sometype_we_never_saw", T.StringType()),  # lossless degradation
+    ],
+)
+def test_pg_to_spark(pg, expected):
+    assert pg_to_spark(pg) == expected
+
+
+def test_reflect_event_table_schema():
+    """The reference's motivating DDL (event-table.sql:5-19) reflects to
+    the Spark schema documented in FIXTURES.md §B."""
+    cols = [
+        ("id", "bigserial", False),
+        ("created", "timestamptz", False),
+        ("name", "character varying(255)", False),
+        ("organization_id", "bigint", True),
+        ("identify", "jsonb", True),
+        ("synced_with_posthog", "boolean", False),
+        ("last_local_modified_at", "timestamptz", True),
+    ]
+    schema = reflect_schema(cols)
+    assert schema["id"].dataType == T.LongType() and not schema["id"].nullable
+    assert schema["identify"].dataType == T.StringType()
+    assert schema["organization_id"].nullable
+
+
+def test_spark_to_pg_and_ddl():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("created", T.TimestampType(), False),
+            T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("vec", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    ddl = create_table_ddl(
+        schema, "analytics_event", primary_key=("id",), serial_columns=("id",)
+    )
+    assert "CREATE TABLE IF NOT EXISTS public.analytics_event" in ddl
+    assert "id bigserial NOT NULL" in ddl
+    assert "created timestamptz NOT NULL" in ddl
+    assert "props jsonb" in ddl
+    assert "vec real[]" in ddl
+    assert "PRIMARY KEY (id)" in ddl
+
+
+def test_spark_to_pg_rejects_unmappable():
+    with pytest.raises(ValueError):
+        spark_to_pg(T.NullType())
+
+
+def test_property_roundtrip_pg_spark_pg():
+    """Every PG type we can emit maps back to a Spark type that emits a
+    PG type parsing to the same Spark type (fixed-point after one hop)."""
+    from hypothesis import given, strategies as st
+
+    base = st.sampled_from(
+        ["smallint", "integer", "bigint", "real", "double precision",
+         "boolean", "text", "bytea", "date", "timestamptz", "numeric(10,2)"]
+    )
+
+    @given(base)
+    def check(pg):
+        spark_t = pg_to_spark(pg)
+        pg2 = spark_to_pg(spark_t)
+        assert pg_to_spark(pg2) == spark_t
+
+    check()
