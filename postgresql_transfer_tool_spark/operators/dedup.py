@@ -418,6 +418,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# X2d — embedding-cosine near-dup: semantic (vector) deduplication over
+# the embeddings table (vec_id aligns with doc_id in the fixtures).
+# Quantized-integer dot products make the cosine bit-identical across
+# engines (see operators/similarity.py for the full derivation).
+# ---------------------------------------------------------------------------
+
+COSINE_NEARDUP_THRESHOLD = 0.45
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, qe, list_sum(list_transform(qe, x -> x * x)) AS nq FROM q
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+          >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs by embedding cosine ≥ threshold.
+
+    Exact all-pairs, computed as a BLOCK MATMUL: the quantized corpus
+    broadcasts (int64 matrix, ~0.5 KB/vector), each partition's chunk
+    multiplies against it with numpy int64 matmul inside ``mapInPandas``
+    (Arrow-batched). Integer dot products are exact, so the result is
+    still bit-identical to the SQL oracle — ~50× faster than per-pair
+    interpreted array-lambda evaluation, and the row-side stays fully
+    distributed (at 100 TB the broadcast side becomes block tiles; the
+    candidate-pruned alternative is ann_lsh_bucketed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _spark_quantized
+
+    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    side = q.toPandas()  # broadcast side: one int64 matrix of the corpus
+    ids_b = side["vec_id"].to_numpy()
+    m_b = np.array(side["qe"].tolist(), dtype=np.int64)
+    rnorm_b = np.sqrt(side["nq"].to_numpy(dtype=np.int64).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids_b, m_b, rnorm_b))
+    threshold = COSINE_NEARDUP_THRESHOLD
+
+    def block(it):
+        ids2, m2, rnorm2 = bc.value
+        for pdf in it:
+            a = np.array(pdf["qe"].tolist(), dtype=np.int64)
+            aids = pdf["vec_id"].to_numpy()
+            arnorm = np.sqrt(pdf["nq"].to_numpy(dtype=np.int64).astype(np.float64))
+            dot = a @ m2.T  # exact int64
+            cos = dot.astype(np.float64) / (arnorm[:, None] * rnorm2[None, :])
+            ai, bi = np.nonzero((cos >= threshold) & (aids[:, None] < ids2[None, :]))
+            yield pd.DataFrame(
+                {
+                    "doc_a": aids[ai],
+                    "doc_b": ids2[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    return q.mapInPandas(block, schema="doc_a long, doc_b long, cosine double")
+
+
 def _survivors_sql() -> str:
     # the LSH pipeline's verified pairs (same CTE chain as dedup_minhash_lsh)
     lsh = _minhash_sql()

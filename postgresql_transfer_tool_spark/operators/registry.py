@@ -55,9 +55,11 @@ def load_all() -> None:
         constraints,
         incremental,
         analytic,
+        tpch_extra,
         dedup,
         similarity,
         text,
         approx,
         multimodal,
+        custom_pandas,
     )

@@ -212,6 +212,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           SUM(n_bpe) AS total_bpe_tokens,
+           SUM(n_ws) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
+    FROM t GROUP BY lang
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting: a BPE-ish pre-tokenization regex
+    (alphanumeric runs + individual punctuation — the GPT-2 pre-split
+    shape) alongside the whitespace count. At 100 TB this is the
+    cheapest cost estimator for training-token budgeting — one regex
+    pass, no shuffle beyond the final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+    n_ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("bpe_per_word"),
+        )
+    )
+
+
+@query(
     "text_char_classes",
     oracle="""
     SELECT source,
