@@ -24,7 +24,7 @@ def test_partitioned_read_options():
 
 def test_partitioned_read_degenerate_bounds():
     opts = partitioned_read_options("t", "id", 5, 5)
-    assert opts["numPartitions"] == "1"  # empty/单-row range → no empty tasks
+    assert opts["numPartitions"] == "1"  # empty or single-row range → no empty tasks
 
 
 def test_target_properties():
