@@ -38,6 +38,29 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
 
 
+def bench_transfer(spark, sf_dir: str) -> float:
+    """Time the flagship workload — the full multi-table transfer
+    (parallel staged copy + constraint validation + sequence resync).
+    The reference's equivalent at sf0.1 is ~760k sequential per-row
+    INSERT round-trips plus O(N²/1000) OFFSET rescans; the engine does
+    it as partitioned reads + batched columnar writes."""
+    import shutil
+    import tempfile
+
+    from postgresql_transfer_tool_spark.transfer import TransferPipeline
+
+    target = tempfile.mkdtemp(prefix="bench_transfer_")
+    try:
+        t0 = time.time()
+        report = TransferPipeline(spark, sf_dir, target).run()
+        dt = time.time() - t0
+        if not report.ok:
+            print("bench: transfer reported not-ok", file=sys.stderr)
+        return round(dt, 4)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from postgresql_transfer_tool_spark.session import get_spark
@@ -60,6 +83,11 @@ def main() -> None:
         except Exception as exc:  # never let one query kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    try:
+        timings["transfer_pipeline"] = bench_transfer(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: transfer_pipeline failed: {exc}", file=sys.stderr)
+        timings["transfer_pipeline"] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
         json.dumps(

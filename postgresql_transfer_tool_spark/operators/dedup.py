@@ -413,6 +413,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster formation: connected components over the near-dup pair graph —
+# an ITERATIVE algorithm (min-label propagation to fixpoint) showing the
+# loop-until-convergence pattern on DataFrames. The oracle is a DuckDB
+# recursive CTE computing the same transitive closure, so even the
+# iterative operator is exact-checked.
+# At 100 TB: label propagation is the standard large-graph CC approach
+# (O(diameter) joins, each shuffling only (node, label) pairs);
+# lineage is cut per iteration via localCheckpoint.
+# ---------------------------------------------------------------------------
+
+
+def _clusters_sql() -> str:
+    lsh = _minhash_sql()
+    body = lsh[: lsh.rindex("SELECT doc_a")]  # WITH ... verified AS (...)
+    return f"""{body},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+def _clusters_oracle() -> str:
+    return _clusters_sql().replace("WITH", "WITH RECURSIVE", 1)
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component id (= min doc_id in the component) for every
+    document, over the MinHash-LSH verified near-dup graph. Iterative
+    min-label propagation, converging in O(component diameter) joins."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(20):  # diameter bound; fixture components are tiny
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        proposed = F.least(
+            F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+        )
+        # eager checkpoint: one materialization serves both the changed
+        # count and the next iteration (no recompute, lineage cut)
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                proposed.alias("cluster_id"),
+                (proposed < F.col("cluster_id")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Survivor selection: greedy keep-lowest-id over the near-dup pair set
 # (a document is dropped iff it near-matches a lower-id document).
 # ---------------------------------------------------------------------------

@@ -158,21 +158,34 @@ class TransferPipeline:
             for res in pool.map(self._copy_table, work):
                 report.results[res.table] = res
 
-        # phase 3: constraint validation on the target + FK DDL emission
-        for name, res in report.results.items():
-            if res.status != "copied":
-                continue
+        # phases 3+4: constraint validation + sequence HWM, parallel per
+        # table (each validation is an independent Spark job; the driver
+        # thread pool keeps the cluster busy across tables just like the
+        # copy phase). PK audit is a single aggregation pass: grouping on
+        # the PK puts NULL keys in their own groups, so duplicates and
+        # null-keys fall out of one groupBy.
+        def _validate(name: str) -> None:
+            res = report.results[name]
             info = self.catalog.get(name)
             if info is None:
-                continue
+                return
             tdf = self.spark.read.parquet(table_path(self.target_dir, name))
             if info.primary_key:
                 pk = list(info.primary_key)
-                dup = (
-                    tdf.groupBy(*pk).count().filter(F.col("count") > 1).count()
+                audit = (
+                    tdf.groupBy(*pk)
+                    .count()
+                    .agg(
+                        F.count_if(
+                            (F.col("count") > 1) & ~_any_null(pk)
+                        ).alias("dup_groups"),
+                        F.coalesce(
+                            F.sum(F.when(_any_null(pk), F.col("count"))), F.lit(0)
+                        ).alias("null_rows"),
+                    )
+                    .collect()[0]
                 )
-                nulls = tdf.filter(_any_null(pk)).count()
-                res.pk_violations = dup + nulls
+                res.pk_violations = int(audit["dup_groups"]) + int(audit["null_rows"])
             for fk in info.foreign_keys:
                 if fk.ref_table not in report.results or (
                     report.results[fk.ref_table].status != "copied"
@@ -189,25 +202,27 @@ class TransferPipeline:
                 ).count()
                 res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = orphans
                 report.fk_ddl.append(fk_ddl_statement(info, fk))
+            if info.serial_columns:  # phase 4 (K7/A4), error-isolated (K8)
+                try:
+                    col = info.serial_columns[0]
+                    nxt = tdf.agg(
+                        (F.coalesce(F.max(col), F.lit(0)) + 1).cast("bigint").alias("v")
+                    ).collect()[0]["v"]
+                    res.next_sequence_value = int(nxt)
+                except Exception as exc:
+                    res.error = f"sequence resync failed: {exc}"
 
-        # phase 4: sequence resync manifest (K7/A4, error-isolated K8)
-        sequences: dict[str, int] = {}
-        for name, res in report.results.items():
-            if res.status != "copied":
-                continue
-            info = self.catalog.get(name)
-            if not info or not info.serial_columns:
-                continue
-            try:
-                col = info.serial_columns[0]
-                tdf = self.spark.read.parquet(table_path(self.target_dir, name))
-                nxt = tdf.agg(
-                    (F.coalesce(F.max(col), F.lit(0)) + 1).cast("bigint").alias("v")
-                ).collect()[0]["v"]
-                res.next_sequence_value = int(nxt)
-                sequences[f"{name}.{col}"] = int(nxt)
-            except Exception as exc:  # K8: skip, don't abort
-                res.error = f"sequence resync failed: {exc}"
+        copied = [n for n, r in report.results.items() if r.status == "copied"]
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
+            list(pool.map(_validate, copied))
+
+        sequences = {
+            f"{n}.{self.catalog[n].serial_columns[0]}": report.results[n].next_sequence_value
+            for n in copied
+            if self.catalog.get(n)
+            and self.catalog[n].serial_columns
+            and report.results[n].next_sequence_value is not None
+        }
         with open(os.path.join(self.target_dir, "_sequences.json"), "w") as f:
             json.dump(sequences, f, indent=2, sort_keys=True)
 
