@@ -205,6 +205,64 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q16_supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per part attribute combo (Q16 shape:
+    NOT-equal + IN-list filters, count-distinct over a join)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_shared_orders
+    FROM supplier s, lineitem l1
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: orders it shares with at least one other supplier
+    (Q21's correlated-EXISTS-on-the-same-table shape, decorrelated by
+    Catalyst into a self-semi-join on (orderkey, suppkey≠))."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_shared_orders
+        FROM supplier_q21 s, lineitem_q21 l1
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        """
+    )
+
+
+@query(
     "q22_dormant_rich_customers",
     oracle=f"""
     SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,

@@ -101,6 +101,7 @@ class TransferPipeline:
         exclude: tuple[str, ...] = (),
         catalog: dict[str, TableInfo] | None = None,
         max_parallel_tables: int = 4,
+        partition_by: dict[str, tuple[str, ...]] | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -108,6 +109,12 @@ class TransferPipeline:
         self.exclude = set(exclude)
         self.catalog = catalog if catalog is not None else fixture_catalog()
         self.max_parallel_tables = max_parallel_tables
+        #: per-table output partitioning, e.g. {"events": ("event_date",)} —
+        #: at 100 TB the target layout (partition pruning for every
+        #: downstream incremental read) matters as much as the copy itself.
+        #: Columns not in the source schema are derived when recognized
+        #: (``<ts_col>_date`` → ``to_date(ts_col)``).
+        self.partition_by = partition_by or {}
 
     # -- phase 2 helper: one table, staged-atomic ---------------------------
 
@@ -119,7 +126,14 @@ class TransferPipeline:
             df = load_table(self.spark, self.source_dir, name)
             # identity projection (P1) stays columnar; the write is the
             # batched-insert analog (K1 → JDBC batchsize / parquet row groups)
-            df.write.mode("overwrite").parquet(staging)
+            writer = df.write.mode("overwrite")
+            part_cols = self.partition_by.get(name)
+            if part_cols:
+                for c in part_cols:
+                    if c not in df.columns and c.endswith("_date") and c[:-5] in df.columns:
+                        df = df.withColumn(c, F.to_date(F.col(c[:-5])))
+                writer = df.write.mode("overwrite").partitionBy(*part_cols)
+            writer.parquet(staging)
             res.source_rows = df.count()
             res.target_rows = self.spark.read.parquet(staging).count()
             if res.target_rows != res.source_rows:
