@@ -226,6 +226,40 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_priority_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM (
+      SELECT o_orderpriority, 'F' AS status, status_F AS n FROM wide
+      UNION ALL SELECT o_orderpriority, 'O', status_O FROM wide
+      UNION ALL SELECT o_orderpriority, 'P', status_P FROM wide
+    ) t
+    """,
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status counts back to long form via
+    DataFrame.unpivot — the inverse of pivot_orderstatus_by_priority."""
+    from .relational import dd as _  # noqa: F401  (keep import graph simple)
+
+    wide = pivot_orderstatus_by_priority(spark, sf_dir).drop("revenue_F")
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ["status_F", "status_O", "status_P"],
+            "status",
+            "n",
+        )
+        .withColumn("status", F.substring("status", 8, 1))
+    )
+
+
+@query(
     "grouping_sets_sql",
     oracle=f"""
     SELECT

@@ -67,6 +67,42 @@ def _user_resample_1d(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_asof_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user pd.merge_asof: most recent error at or before each
+    purchase (the pandas-native as-of implementation)."""
+    purchases = (
+        pdf[pdf["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        .sort_values("ts")
+    )
+    errors = pdf[pdf["event_type"] == "error"][["ts"]].sort_values("ts")
+    if len(purchases) == 0:
+        return purchases.assign(us_since_last_error=pd.array([], dtype="Int64"))
+    merged = pd.merge_asof(
+        purchases, errors.rename(columns={"ts": "err_ts"}),
+        left_on="ts", right_on="err_ts", direction="backward",
+    )
+    delta = (merged["ts"].astype("int64") - merged["err_ts"].astype("int64")) // 1000
+    delta = delta.where(merged["err_ts"].notna(), other=pd.NA).astype("Int64")
+    return merged.assign(us_since_last_error=delta)[
+        ["event_id", "user_id", "us_since_last_error"]
+    ]
+
+
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, implementation 2: grouped pd.merge_asof (the
+    preference-order fallback when window composition can't express the
+    semantics — e.g. nearest-match tolerance). Equivalence with the
+    window composition (operators/analytic.asof_join_purchase_last_error)
+    is asserted in tests/test_custom_pandas.py."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return e.groupBy("user_id").applyInPandas(
+        _merge_asof_group,
+        schema="event_id long, user_id long, us_since_last_error long",
+    )
+
+
 def user_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped time-series resampling (pytest-verified; not in the oracle
     set — gap-day zero-filling is the pandas-native behavior under test)."""

@@ -46,3 +46,22 @@ def test_user_daily_resample_covers_span_with_gap_fill(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert pdf["n_events"].sum() == raw
+
+
+def test_asof_pandas_matches_window_composition(spark, sf_dir):
+    """Two independent as-of implementations (grouped merge_asof vs
+    tagged-union window carry-forward) must agree row-for-row."""
+    from postgresql_transfer_tool_spark.operators.analytic import (
+        asof_join_purchase_last_error,
+    )
+    from postgresql_transfer_tool_spark.operators.custom_pandas import asof_join_pandas
+
+    via_window = {
+        r["event_id"]: r["us_since_last_error"]
+        for r in asof_join_purchase_last_error(spark, sf_dir).collect()
+    }
+    via_pandas = {
+        r["event_id"]: r["us_since_last_error"]
+        for r in asof_join_pandas(spark, sf_dir).collect()
+    }
+    assert via_window == via_pandas

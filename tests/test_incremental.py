@@ -83,3 +83,44 @@ def test_flag_flip_sync(spark, sf_dir, tmp_path):
     # fixture props have no 'synced' key → everything is unsynced
     assert n == load_table(spark, sf_dir, "events").count()
     assert spark.read.parquet(path).count() == n
+
+
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    """I3 session windows in Structured Streaming: 30-min-gap session
+    counts must match the batch sessionization for a stable subset."""
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing_sw")
+    prepare_landing(spark, sf_dir, landing)
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.start").alias("s"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_session_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["user_id"], r["s"]): r["n"]
+            for r in spark.sql("SELECT * FROM t_session_win").collect()
+        }
+    finally:
+        q.stop()
+    # batch ground truth via the same session_window function
+    batch = {
+        (r["user_id"], r["s"]): r["n"]
+        for r in spark.read.parquet(landing)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.start").alias("s"), "n")
+        .collect()
+    }
+    assert streamed == batch
