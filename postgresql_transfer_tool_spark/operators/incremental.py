@@ -112,7 +112,7 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization_gap_30m",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts)
                        - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                        > 1800000000
@@ -122,8 +122,9 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)
                AS session_id
       FROM marked
     )
@@ -139,7 +140,7 @@ def sessionization_gap_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

@@ -29,7 +29,7 @@ from .registry import query
     "binary_column_plumbing",
     oracle="""
     SELECT source,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_blobs,
            MIN(substr(hex(encode(substr(text, 1, 4))), 1, 8)) AS min_hex_prefix
     FROM documents GROUP BY source
@@ -58,7 +58,7 @@ def binary_column_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_vectors,
            MIN(len(embedding)) AS min_dim,
            MAX(len(embedding)) AS max_dim,
-           SUM(len(list_filter(embedding, v -> v > 0))) AS n_positive
+           CAST(SUM(len(list_filter(embedding, v -> v > 0))) AS BIGINT) AS n_positive
     FROM embeddings GROUP BY label
     """,
 )

@@ -44,8 +44,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Names promoted to the front of the registry. The verification driver
+#: checks a bounded prefix of the registered queries per round; round 1
+#: covered the first 50, leaving the X1-X6 surface (dedup/ANN/text/
+#: approx/multimodal) and tpch_extra without a hard correctness row
+#: (VERDICT.md "Next round" #1). Promoting them — plus the two queries
+#: whose oracles were fixed this round — guarantees they get driver
+#: rows; the remainder keeps registration order (all were driver-green
+#: in round 1 and stay covered by tests/test_oracle_diff.py).
+_PRIORITY = [
+    # X1/X2 dedup family
+    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_survivors",
+    # X3 similarity / ANN
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "knn_label_vote",
+    # X4 text analysis
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "text_bpe_token_count", "text_char_classes",
+    # X5 approx analytics
+    "ndv_exact", "ndv_approx", "median_exact",
+    "quantiles_approx", "stratified_sample", "histogram_fixed_buckets",
+    # X6 multimodal
+    "binary_column_plumbing", "embedding_column_stats", "media_decode_features",
+    # TPC-H extensions
+    "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue_ratio",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q16_supplier_count_by_part_attrs", "q21_multi_supplier_orders",
+    "q22_dormant_rich_customers",
+    # custom pandas + analytic stragglers without round-1 rows
+    "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
+    # round-2 oracle fixes (HUGEINT casts) — need fresh driver rows
+    "json_schema_promotion", "sessionization_gap_30m",
+]
+
+
 def load_all() -> None:
-    """Import every operator module so registration side-effects run."""
+    """Import every operator module so registration side-effects run,
+    then reorder the registry so `_PRIORITY` names come first."""
     from . import (  # noqa: F401
         relational,
         joins,
@@ -63,3 +99,11 @@ def load_all() -> None:
         multimodal,
         custom_pandas,
     )
+
+    ordered = [n for n in _PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _PRIORITY
+    ]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in ordered if n in snapshot})

@@ -43,7 +43,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_schema_promotion",
     oracle="""
-    SELECT SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+    SELECT CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
            COUNT(*) AS n_parsed
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL

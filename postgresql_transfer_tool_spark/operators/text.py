@@ -36,7 +36,7 @@ def _sql_list(words: tuple[str, ...]) -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
            MIN(len(toks)) AS min_tokens,
            MAX(len(toks)) AS max_tokens,
            CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
@@ -221,8 +221,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang,
-           SUM(n_bpe) AS total_bpe_tokens,
-           SUM(n_ws) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
            CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
     FROM t GROUP BY lang
     """,
@@ -251,11 +251,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_classes",
     oracle="""
     SELECT source,
-           SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
-             AS n_vowels,
-           SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g')))
-             AS n_whitespace,
-           SUM(length(text)) AS n_chars_total
+           CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                AS BIGINT) AS n_vowels,
+           CAST(SUM(length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                AS BIGINT) AS n_whitespace,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
     FROM documents GROUP BY source
     """,
 )
