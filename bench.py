@@ -1,7 +1,12 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (total + headline queries only — round 1's
+87-entry line overflowed the driver's tail-capture window and parsed as
+null):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The full per-query table (all 87 + transfer_pipeline) is written to
+BENCH_FULL.json next to this script.
 
 Each query is executed once to warm the JVM/page cache (timed run is the
 second execution), and fully materialized via a count-style action so the
@@ -89,14 +94,30 @@ def main() -> None:
         print(f"bench: transfer_pipeline failed: {exc}", file=sys.stderr)
         timings["transfer_pipeline"] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    sf = sf_from_dir(sf_dir)
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=2, sort_keys=True)
+    headline = {n: timings[n] for n in [*HEADLINE, "transfer_pipeline"] if n in timings}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(sf_dir),
+                "queries": headline,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": full["n_failed"],
+                "full_table": "BENCH_FULL.json",
             }
         )
     )
