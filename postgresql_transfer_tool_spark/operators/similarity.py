@@ -116,96 +116,169 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Random-hyperplane LSH: plane[p][d] = ((p*131 + d*31) % 7) - 3 — a fixed
-# integer pseudo-plane, identical on both engines. Signature bit p =
-# sign(dot(qe, plane_p)); bucket = 8-bit signature. Pairs are compared
-# only within a bucket (at scale: bucket is the shuffle/partition key).
+# Banded random-hyperplane LSH (AND/OR construction, corpus-adaptive).
+#
+# plane[q][d] = ((q*131 + d*31) % 7) - 3 — a fixed integer pseudo-plane
+# family, identical on both engines. The signature space is BANDS
+# independent bands; band b uses planes q = b*MAX_BITS .. b*MAX_BITS+bits-1
+# where `bits` GROWS WITH THE CORPUS:
+#
+#     bits = clamp(bit_length((n-1) // TARGET_BUCKET), MIN_BITS, MAX_BITS)
+#
+# so the expected bucket population stays ~TARGET_BUCKET rows no matter
+# the corpus size (n=500 → 4 bits; n=2000 → 6; n=10⁹ → 24): within-bucket
+# pairing is O(n·TARGET_BUCKET), linear in n, not O(n²/2^const). Two rows
+# are candidates when they agree on ALL bits of AT LEAST ONE band
+# (AND within a band sharpens precision; OR across bands restores recall).
+# A deterministic ROW_NUMBER cap bounds the worst skewed bucket. At 100 TB
+# the corpus shuffles once on the (band, sig) key; parallelism = BANDS·2^bits.
 # ---------------------------------------------------------------------------
 
-N_PLANES = 8
+BANDS = 4
+MIN_BITS = 4
+MAX_BITS = 24
+TARGET_BUCKET = 32  # expected rows per (band, sig) bucket
+BUCKET_CAP = 1024  # hard per-bucket membership cap (skew guard)
 
 
-def _plane_sql(p: int) -> str:
+def lsh_bits_for(n: int) -> int:
+    """Signature width per band for an n-row corpus (exact integer math —
+    mirrored in SQL via length(bin((n-1)//TARGET)))."""
+    return max(MIN_BITS, min(MAX_BITS, ((max(n, 1) - 1) // TARGET_BUCKET).bit_length()))
+
+
+def _plane_sql(q_expr: str) -> str:
+    """DuckDB dot(qe, plane_q) with q given as a SQL expression."""
     return (
         f"list_sum(list_transform(range({DIM}),"
-        f" d -> qe[d+1] * (((({p} * 131) + d * 31) % 7) - 3)))"
+        f" d -> qe[d+1] * (((({q_expr}) * 131) + d * 31) % 7 - 3)))"
     )
 
 
-def _lsh_bucket_sql() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
+def _band_sig_sql() -> str:
+    """Band signature with runtime-variable width: bit j contributes only
+    when j < bits (the CASE prunes what Spark prunes at plan-build time)."""
+    terms = " + ".join(
+        f"(CASE WHEN {j} < bits AND {_plane_sql(f'band * {MAX_BITS} + {j}')} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(MAX_BITS)
     )
-    return f"CAST({bits} AS BIGINT)"
+    return f"CAST({terms} AS BIGINT)"
 
 
-def _spark_lsh_bucket():
-    def plane_dot(p: int):
-        return F.aggregate(
-            F.zip_with(
-                "qe",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(DIM - 1)),
-                    lambda d: ((F.lit(p * 131) + d * 31) % 7 - 3).cast("bigint"),
-                ),
-                lambda x, c: x * c,
+def _spark_plane_dot(q: int):
+    return F.aggregate(
+        F.zip_with(
+            "qe",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: ((F.lit(q * 131) + d * 31) % 7 - 3).cast("bigint"),
             ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+            lambda x, c: x * c,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _spark_band_sig(band: int, bits: int):
+    sig = F.lit(0)
+    for j in range(bits):
+        sig = sig + F.when(_spark_plane_dot(band * MAX_BITS + j) > 0, 1 << j).otherwise(0)
+    return sig.cast("bigint")
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (vec_a, vec_b, n_bands) pairs sharing ≥1 full band
+    signature, bucket-capped. Exposed separately so tests can assert
+    sub-quadratic candidate growth across scale factors."""
+    q = _spark_quantized(spark, sf_dir)
+    bits = lsh_bits_for(q.count())
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    _spark_band_sig(b, bits).alias("sig"),
+                )
+                for b in range(BANDS)
+            ]
         )
-
-    bucket = None
-    for p in range(N_PLANES):
-        term = F.when(plane_dot(p) > 0, 1 << p).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("bigint")
-
-
-@query(
-    "ann_lsh_bucketed",
-    oracle=f"""
-    WITH {_SQL_QUANTIZED},
-    bucketed AS (
-      SELECT vec_id, label, qe, nq, {_lsh_bucket_sql()} AS bucket FROM q
-    ),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-             CAST({_SQL_DOT} AS DOUBLE)
-               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ).alias("bs")
+    bucketed = q.select("vec_id", "qe", "nq", bands).select(
+        "vec_id", "qe", "nq", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    SELECT vec_a, vec_b, bucket, cosine FROM pairs WHERE cosine >= 0.35
-    """,
-)
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed similarity pairs: candidates share an 8-bit
-    random-hyperplane signature, then exact cosine filters ≥ 0.35.
-    The bucket join replaces the O(n²) cross product — at 100 TB the
-    corpus shuffles once on the bucket key."""
-    q = _spark_quantized(spark, sf_dir).withColumn("bucket", _spark_lsh_bucket())
-    a = q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("bucket"),
-        F.col("qe").alias("qa"),
-        F.col("nq").alias("na"),
+    cap_w = Window.partitionBy("band", "sig").orderBy("vec_id")
+    bucketed = (
+        bucketed.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .drop("rn")
     )
-    b = q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("qe").alias("qb"),
-        F.col("nq").alias("nb"),
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), "band", "sig",
+        F.col("qe").alias("qa"), F.col("nq").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"), F.col("qe").alias("qb"), F.col("nq").alias("nb"),
     )
     dot = _spark_dot("qa", "qb")
     cosine = dot.cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "bucket", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("n_bands"), F.min("cosine").alias("cosine"))
     )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_SQL_QUANTIZED},
+    params AS (
+      SELECT LEAST({MAX_BITS}, GREATEST({MIN_BITS},
+               length(bin((COUNT(*) - 1) // {TARGET_BUCKET})))) AS bits
+      FROM embeddings
+    ),
+    bucketed_all AS (
+      SELECT vec_id, qe, nq, band, {_band_sig_sql()} AS sig
+      FROM q, params, (SELECT unnest(range({BANDS})) AS band)
+    ),
+    bucketed AS (
+      SELECT * FROM (
+        SELECT vec_id, qe, nq, band, sig,
+               ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY vec_id) AS rn
+        FROM bucketed_all
+      ) WHERE rn <= {BUCKET_CAP}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST({_SQL_DOT} AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, CAST(COUNT(*) AS BIGINT) AS n_bands,
+           MIN(cosine) AS cosine
+    FROM pairs GROUP BY vec_a, vec_b HAVING MIN(cosine) >= 0.35
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH similarity pairs: candidates agree on a full band
+    signature (width adapts to corpus size, see lsh_bits_for), then exact
+    cosine filters ≥ 0.35. n_bands = how many bands agreed (LSH
+    confidence). The bucket join replaces the O(n²) cross product; bucket
+    population is held near TARGET_BUCKET rows so candidate volume grows
+    linearly with the corpus."""
+    return lsh_candidate_pairs(spark, sf_dir).filter(F.col("cosine") >= 0.35)
 
 
 @query(

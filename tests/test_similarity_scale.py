@@ -1,0 +1,101 @@
+"""Scale behavior of the banded-LSH ANN path (VERDICT r1 item 4).
+
+The r1 design used a fixed 8-bit signature → 256 buckets → within-bucket
+pairing quadratic in corpus size. The r2 design widens each band's
+signature with the corpus (lsh_bits_for) so expected bucket population —
+and with it candidate volume per row — stays flat. These tests pin:
+
+1. bits actually grow with n (the adaptive formula);
+2. candidate-pair growth between sf0.01 (500 vecs) and sf0.1 (2000 vecs)
+   is sub-quadratic: rows grew 4×, a fixed-bucket design would grow
+   pairs ~16×, the adaptive one must stay well under that;
+3. the per-bucket ROW_NUMBER cap structurally bounds the worst bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresql_transfer_tool_spark.operators.similarity import (
+    BANDS,
+    BUCKET_CAP,
+    MAX_BITS,
+    MIN_BITS,
+    TARGET_BUCKET,
+    lsh_bits_for,
+    lsh_candidate_pairs,
+)
+
+
+def test_lsh_bits_grow_with_corpus():
+    assert lsh_bits_for(1) == MIN_BITS
+    assert lsh_bits_for(500) == 4  # (499 // 32).bit_length() == 4
+    assert lsh_bits_for(2000) == 6  # (1999 // 32).bit_length() == 6
+    assert lsh_bits_for(10**6) == 15
+    assert lsh_bits_for(10**9) == MAX_BITS  # capped
+    # monotone non-decreasing
+    prev = 0
+    for n in [1, 10, 100, 10**3, 10**4, 10**5, 10**6, 10**9, 10**12]:
+        b = lsh_bits_for(n)
+        assert b >= prev
+        prev = b
+
+
+def test_lsh_bits_match_oracle_formula(duck):
+    """Python bit_length must equal DuckDB length(bin(x)) for x >= 1 —
+    the two engines must agree on the signature width for any corpus."""
+    for n in [2, 33, 500, 2000, 64_000, 10**7, 10**10]:
+        sql = (
+            f"SELECT LEAST({MAX_BITS}, GREATEST({MIN_BITS},"
+            f" length(bin(({n} - 1) // {TARGET_BUCKET}))))"
+        )
+        assert duck.sql(sql).fetchone()[0] == lsh_bits_for(n)
+
+
+@pytest.mark.slow
+def test_candidate_growth_subquadratic(spark):
+    """4× corpus (500 → 2000 vecs) must NOT produce ~16× candidates."""
+    n_small = lsh_candidate_pairs(spark, "/root/testdata/sf0.01").count()
+    n_large = lsh_candidate_pairs(spark, "/root/testdata/sf0.1").count()
+    row_ratio = 2000 / 500
+    growth = n_large / max(n_small, 1)
+    # quadratic would be row_ratio**2 = 16; require at most half of that
+    assert growth < row_ratio**2 / 2, (n_small, n_large, growth)
+
+
+def test_bucket_cap_bounds_membership(spark):
+    """No (band, sig) bucket may exceed BUCKET_CAP members after capping —
+    the skew guard that bounds worst-case pairing at any scale."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        _spark_band_sig,
+        _spark_quantized,
+        lsh_bits_for as bits_for,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    q = _spark_quantized(spark, sf)
+    bits = bits_for(q.count())
+    assert BANDS * (1 << bits) >= 64  # parallelism floor at fixture scale
+    sizes = (
+        q.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _spark_band_sig(b, bits).alias("sig"),
+                        )
+                        for b in range(BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .groupBy("bs.band", "bs.sig")
+        .count()
+    )
+    max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+    # fixture buckets sit near TARGET_BUCKET; the cap only binds under skew
+    assert max_bucket <= BUCKET_CAP
