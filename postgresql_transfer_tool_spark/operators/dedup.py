@@ -504,6 +504,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_NEARDUP_THRESHOLD = 0.45
 
+#: rows per tile for the block-matmul; at 64-dim int64 a tile is
+#: TILE_ROWS × 64 × 8 B ≈ 0.5 MB — sized to multiply in L2/L3, and small
+#: enough that a joined tile-pair row stays well inside an Arrow batch.
+TILE_ROWS = 1024
+
 
 @query(
     "dedup_embedding_cosine",
@@ -527,14 +532,21 @@ COSINE_NEARDUP_THRESHOLD = 0.45
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs by embedding cosine ≥ threshold.
 
-    Exact all-pairs, computed as a BLOCK MATMUL: the quantized corpus
-    broadcasts (int64 matrix, ~0.5 KB/vector), each partition's chunk
-    multiplies against it with numpy int64 matmul inside ``mapInPandas``
-    (Arrow-batched). Integer dot products are exact, so the result is
-    still bit-identical to the SQL oracle — ~50× faster than per-pair
-    interpreted array-lambda evaluation, and the row-side stays fully
-    distributed (at 100 TB the broadcast side becomes block tiles; the
-    candidate-pruned alternative is ann_lsh_bucketed).
+    Exact all-pairs, computed as a DISTRIBUTED BLOCK MATMUL: the corpus
+    is packed into ~0.5 MB tiles of TILE_ROWS quantized vectors
+    (``applyInPandas`` per tile id), tiles self-join on
+    ``tile_a <= tile_b`` (ids are monotone across tiles, so the lower
+    triangle suffices), and each tile pair multiplies with numpy int64
+    matmul inside ``mapInPandas`` (Arrow-batched). Integer dot products
+    are exact, so the result is bit-identical to the SQL oracle.
+
+    Nothing materializes on the driver and no side is broadcast — both
+    tile relations stay partitioned, so at 100 TB the O((n/TILE)²) tile
+    pairs spread over the cluster instead of bottlenecking one machine.
+    (All-pairs is inherently quadratic; the candidate-pruned subquadratic
+    alternative is ann_lsh_bucketed.) Tiling keys off dense vec_ids via
+    floor-division; sparse id spaces should remap ids first (a zipWith-
+    index-style densify) to keep tiles balanced.
     """
     import numpy as np
     import pandas as pd
@@ -542,31 +554,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _spark_quantized
 
     q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
-    side = q.toPandas()  # broadcast side: one int64 matrix of the corpus
-    ids_b = side["vec_id"].to_numpy()
-    m_b = np.array(side["qe"].tolist(), dtype=np.int64)
-    rnorm_b = np.sqrt(side["nq"].to_numpy(dtype=np.int64).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids_b, m_b, rnorm_b))
     threshold = COSINE_NEARDUP_THRESHOLD
 
-    def block(it):
-        ids2, m2, rnorm2 = bc.value
-        for pdf in it:
-            a = np.array(pdf["qe"].tolist(), dtype=np.int64)
-            aids = pdf["vec_id"].to_numpy()
-            arnorm = np.sqrt(pdf["nq"].to_numpy(dtype=np.int64).astype(np.float64))
-            dot = a @ m2.T  # exact int64
-            cos = dot.astype(np.float64) / (arnorm[:, None] * rnorm2[None, :])
-            ai, bi = np.nonzero((cos >= threshold) & (aids[:, None] < ids2[None, :]))
-            yield pd.DataFrame(
-                {
-                    "doc_a": aids[ai],
-                    "doc_b": ids2[bi],
-                    "cosine": cos[ai, bi],
-                }
-            )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        return pd.DataFrame(
+            {
+                "tile": [int(pdf["tile"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy().tolist()],
+                "mat": [np.array(pdf["qe"].tolist(), dtype=np.int64).ravel().tolist()],
+                "nq": [pdf["nq"].to_numpy().tolist()],
+            }
+        )
 
-    return q.mapInPandas(block, schema="doc_a long, doc_b long, cosine double")
+    tiles = (
+        q.withColumn("tile", F.floor(F.col("vec_id") / TILE_ROWS))
+        .groupBy("tile")
+        .applyInPandas(
+            pack, schema="tile long, ids array<long>, mat array<long>, nq array<long>"
+        )
+    )
+    a = tiles.select(
+        F.col("tile").alias("tile_a"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"), F.col("nq").alias("nq_a"),
+    )
+    # lower-triangle tile pairs as an EQUI-join: each b-tile explodes the
+    # list of a-tiles it must meet (tile ids are dense from 0, so
+    # sequence(0, tile_b) enumerates them). A `tile_a <= tile_b` theta
+    # join would force a nested-loop broadcast of the whole tile relation
+    # — this shape shuffle-joins on tile_a and stays distributed.
+    b = tiles.select(
+        F.col("tile").alias("tile_b"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"), F.col("nq").alias("nq_b"),
+    ).withColumn("tile_a", F.explode(F.sequence(F.lit(0).cast("long"), F.col("tile_b"))))
+    joined = a.join(b, "tile_a")
+
+    def multiply(it):
+        for pdf in it:
+            out_a, out_b, out_cos = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids_a, dtype=np.int64)
+                ids2 = np.asarray(row.ids_b, dtype=np.int64)
+                m1 = np.asarray(row.mat_a, dtype=np.int64).reshape(len(ids1), -1)
+                m2 = np.asarray(row.mat_b, dtype=np.int64).reshape(len(ids2), -1)
+                rn1 = np.sqrt(np.asarray(row.nq_a, dtype=np.int64).astype(np.float64))
+                rn2 = np.sqrt(np.asarray(row.nq_b, dtype=np.int64).astype(np.float64))
+                dot = m1 @ m2.T  # exact int64
+                cos = dot.astype(np.float64) / (rn1[:, None] * rn2[None, :])
+                ai, bi = np.nonzero(
+                    (cos >= threshold) & (ids1[:, None] < ids2[None, :])
+                )
+                out_a.append(ids1[ai])
+                out_b.append(ids2[bi])
+                out_cos.append(cos[ai, bi])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_cos),
+                    }
+                )
+
+    return joined.mapInPandas(
+        multiply, schema="doc_a long, doc_b long, cosine double"
+    )
 
 
 def _survivors_sql() -> str:
