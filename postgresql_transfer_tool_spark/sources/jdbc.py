@@ -164,6 +164,79 @@ def foreign_keys_sql(schema: str) -> str:
     """
 
 
+def unique_constraints_sql(schema: str) -> str:
+    """UNIQUE constraint reflection — the metadata the reference rebuilds
+    on the target via SQLAlchemy ``UniqueConstraint`` objects
+    (``transfer_data_with_constraints_script.py:84-87``). One row per
+    (table, constraint, column); reassemble multi-column constraints with
+    :func:`unique_from_rows`."""
+    return f"""
+    SELECT tc.table_name, tc.constraint_name, kcu.column_name,
+           kcu.ordinal_position
+    FROM information_schema.table_constraints tc
+    JOIN information_schema.key_column_usage kcu
+      ON kcu.constraint_name = tc.constraint_name
+     AND kcu.table_schema = tc.table_schema
+    WHERE tc.constraint_type = 'UNIQUE' AND tc.table_schema = '{schema}'
+    ORDER BY tc.table_name, tc.constraint_name, kcu.ordinal_position
+    """
+
+
+def check_constraints_sql(schema: str) -> str:
+    """CHECK constraint reflection (reference rebuilds them via
+    ``CheckConstraint(sqltext=...)``,
+    ``transfer_data_with_constraints_script.py:88-90``). PostgreSQL also
+    surfaces every NOT NULL as a synthetic ``... IS NOT NULL`` check —
+    filtered out here, matching what SQLAlchemy's reflection returns."""
+    return f"""
+    SELECT tc.table_name, tc.constraint_name, cc.check_clause
+    FROM information_schema.table_constraints tc
+    JOIN information_schema.check_constraints cc
+      ON cc.constraint_name = tc.constraint_name
+     AND cc.constraint_schema = tc.table_schema
+    WHERE tc.constraint_type = 'CHECK' AND tc.table_schema = '{schema}'
+      AND cc.check_clause NOT LIKE '%IS NOT NULL'
+    ORDER BY tc.table_name, tc.constraint_name
+    """
+
+
+def unique_from_rows(
+    rows: list[tuple[str, str, str, int]],
+) -> dict[str, tuple[tuple[str, ...], ...]]:
+    """(table, constraint, column, ordinal) rows → per-table column-tuple
+    sets, the shape ``TableInfo.unique`` stores."""
+    grouped: dict[str, dict[str, list[tuple[int, str]]]] = {}
+    for table, constraint, column, ordinal in rows:
+        grouped.setdefault(table, {}).setdefault(constraint, []).append(
+            (ordinal, column)
+        )
+    return {
+        table: tuple(
+            tuple(col for _, col in sorted(cols))
+            for _, cols in sorted(constraints.items())
+        )
+        for table, constraints in grouped.items()
+    }
+
+
+def checks_from_rows(
+    rows: list[tuple[str, str, str]],
+) -> dict[str, tuple[str, ...]]:
+    """(table, constraint, clause) rows → per-table check expressions
+    (``TableInfo.checks``). Strips the outer parens PostgreSQL adds to
+    ``check_clause``."""
+    grouped: dict[str, list[tuple[str, str]]] = {}
+    for table, constraint, clause in rows:
+        clause = clause.strip()
+        while clause.startswith("((") and clause.endswith("))"):
+            clause = clause[1:-1]
+        grouped.setdefault(table, []).append((constraint, clause))
+    return {
+        table: tuple(clause for _, clause in sorted(items))
+        for table, items in grouped.items()
+    }
+
+
 def serial_sequence_sql(schema: str, table: str, column: str) -> str:
     """S5 — the sequence↔column probe (after-running-script.sql:15)."""
     return f"SELECT pg_get_serial_sequence('{schema}.{table}', '{column}') AS seq"
@@ -173,3 +246,49 @@ def setval_sql(sequence: str, value: int, is_called: bool = True) -> str:
     """K7 — sequence resync statement (after-running-script.sql:20-21,
     100-102). Executed driver-side through a passthrough connection."""
     return f"SELECT setval('{sequence}', {value}, {str(is_called).lower()})"
+
+
+def read_query(spark: SparkSession, target: JdbcTarget, sql: str) -> DataFrame:
+    """Ship an arbitrary catalog query through the JDBC ``query`` option
+    (how every reflection SQL above reaches a live server)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", target.url)
+        .option("query", sql)
+        .options(**target.properties())
+        .load()
+    )
+
+
+def reflect_catalog(spark: SparkSession, target: JdbcTarget):
+    """S1 against a live PostgreSQL: assemble ``TableInfo`` per table from
+    the reflection queries — the engine's analog of the reference's
+    ``MetaData.reflect()`` startup (``transfer_data_script.py:30-35``),
+    now including UNIQUE and CHECK constraints so the C2/C3 validators
+    can run against discovered (not hand-declared) metadata."""
+    from ..catalog import TableInfo
+
+    schema = target.schema
+    tables = [
+        r[0] for r in read_query(spark, target, tables_in_schema_sql(schema)).collect()
+    ]
+    unique = unique_from_rows(
+        [tuple(r) for r in read_query(spark, target, unique_constraints_sql(schema)).collect()]
+    )
+    checks = checks_from_rows(
+        [tuple(r) for r in read_query(spark, target, check_constraints_sql(schema)).collect()]
+    )
+    out: dict[str, TableInfo] = {}
+    for t in tables:
+        pk = tuple(
+            r[0]
+            for r in read_query(spark, target, primary_key_sql(schema, t)).collect()
+        )
+        out[t] = TableInfo(
+            name=t,
+            schema=schema,
+            primary_key=pk,
+            unique=unique.get(t, ()),
+            checks=checks.get(t, ()),
+        )
+    return out

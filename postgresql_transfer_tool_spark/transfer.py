@@ -57,6 +57,8 @@ class TableResult:
     error: str | None = None
     pk_violations: int = 0
     fk_orphans: dict[str, int] = field(default_factory=dict)
+    unique_violations: dict[str, int] = field(default_factory=dict)
+    check_violations: dict[str, int] = field(default_factory=dict)
     next_sequence_value: int | None = None
 
 
@@ -70,6 +72,8 @@ class TransferReport:
         return all(
             r.status in ("copied", "skipped_excluded") and r.pk_violations == 0
             and all(v == 0 for v in r.fk_orphans.values())
+            and all(v == 0 for v in r.unique_violations.values())
+            and all(v == 0 for v in r.check_violations.values())
             for r in self.results.values()
         )
 
@@ -200,6 +204,23 @@ class TransferPipeline:
                     .collect()[0]
                 )
                 res.pk_violations = int(audit["dup_groups"]) + int(audit["null_rows"])
+            # C2 — UNIQUE constraints (reference rebuilds UniqueConstraint,
+            # transfer_data_with_constraints_script.py:84-87); one
+            # hash-aggregate on the constraint columns per constraint.
+            for cols in info.unique:
+                n = (
+                    tdf.groupBy(*cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                res.unique_violations[", ".join(cols)] = int(n)
+            # C3 — CHECK constraints (…:88-90): the reflected boolean
+            # expression evaluates JVM-side; NULL (unknown) does not
+            # violate, matching SQL CHECK semantics.
+            for check in info.checks:
+                n = tdf.filter(~F.coalesce(F.expr(check), F.lit(True))).count()
+                res.check_violations[check] = int(n)
             for fk in info.foreign_keys:
                 if fk.ref_table not in report.results or (
                     report.results[fk.ref_table].status != "copied"

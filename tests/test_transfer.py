@@ -107,6 +107,38 @@ def test_orphan_detection_catches_seeded_violation(spark, sf_dir, tmp_path):
     assert orphans > 0  # the validator sees what FK enforcement would reject
 
 
+def test_reflected_unique_and_check_constraints_validated(spark, sf_dir, tmp_path):
+    """C2/C3 driven from TableInfo — the shape reflect_catalog populates
+    from a live information_schema: a holding UNIQUE, a holding CHECK,
+    and a deliberately-violated CHECK must all be audited."""
+    from postgresql_transfer_tool_spark.catalog import TableInfo
+
+    target = str(tmp_path / "t4")
+    catalog = {
+        "nation": TableInfo(
+            name="nation",
+            primary_key=("n_nationkey",),
+            unique=(("n_name",),),
+            checks=("n_regionkey >= 0",),
+        ),
+        "lineitem": TableInfo(
+            name="lineitem",
+            checks=("l_quantity <= 25",),  # violated by the fixture
+        ),
+    }
+    report = TransferPipeline(
+        spark, sf_dir, target,
+        exclude=tuple(t for t in TABLES if t not in ("nation", "lineitem")),
+        catalog=catalog,
+    ).run()
+    nation = report.results["nation"]
+    assert nation.unique_violations == {"n_name": 0}
+    assert nation.check_violations == {"n_regionkey >= 0": 0}
+    li = report.results["lineitem"]
+    assert li.check_violations["l_quantity <= 25"] > 0
+    assert not report.ok  # a violated reflected CHECK fails the run
+
+
 def test_topo_order_available_for_fk_targets():
     from postgresql_transfer_tool_spark.catalog import topo_sort_tables
 
