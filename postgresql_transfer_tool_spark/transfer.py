@@ -81,13 +81,17 @@ class TransferReport:
 def fk_ddl_statement(info: TableInfo, fk) -> str:
     """The ALTER TABLE statement the reference hand-builds
     (``transfer_data_with_constraints_script.py:138-161``), preserved for
-    RDBMS targets; referential actions included."""
-    cols = ", ".join(fk.columns)
-    ref_cols = ", ".join(fk.ref_columns)
-    name = f"fk_{fk.table}_{'_'.join(fk.columns)}"
+    RDBMS targets; referential actions included. Identifiers quote per
+    PostgreSQL rules so mixed-case/hyphenated schemas (the reference's
+    \"fde-local\", after-running-script.sql:84-126) round-trip."""
+    from .types import quote_ident, quote_qualified
+
+    cols = ", ".join(quote_ident(c) for c in fk.columns)
+    ref_cols = ", ".join(quote_ident(c) for c in fk.ref_columns)
+    name = quote_ident(f"fk_{fk.table}_{'_'.join(fk.columns)}")
     stmt = (
-        f"ALTER TABLE {info.schema}.{fk.table} ADD CONSTRAINT {name} "
-        f"FOREIGN KEY ({cols}) REFERENCES {info.schema}.{fk.ref_table} ({ref_cols})"
+        f"ALTER TABLE {quote_qualified(info.schema, fk.table)} ADD CONSTRAINT {name} "
+        f"FOREIGN KEY ({cols}) REFERENCES {quote_qualified(info.schema, fk.ref_table)} ({ref_cols})"
     )
     if fk.on_delete:
         stmt += f" ON DELETE {fk.on_delete}"

@@ -94,6 +94,43 @@ def reflect_schema(columns: list[tuple[str, str, bool]]) -> T.StructType:
 
 
 # ---------------------------------------------------------------------------
+# Identifier quoting. The reference's third PL/pgSQL block handles the
+# hyphenated schema "fde-local" with quoted identifiers
+# (after-running-script.sql:84-126); all DDL synthesized here must
+# round-trip such names. Quoting follows pg_dump: only when the name is
+# not a clean lowercase identifier or collides with a keyword, so DDL
+# for conventional names stays byte-stable.
+# ---------------------------------------------------------------------------
+
+_CLEAN_IDENT = re.compile(r"^[a-z_][a-z0-9_]*$")
+
+#: keywords that commonly appear as table/column names and MUST be quoted
+#: (subset of the PG reserved list — extend as needed).
+_RESERVED = frozenset(
+    "all and any array as asc between case cast check collate column "
+    "constraint create cross current_date current_time current_timestamp "
+    "default desc distinct do else end except false for foreign from full "
+    "grant group having in initially inner intersect into is join leading "
+    "left like limit localtime localtimestamp natural not null offset on "
+    "only or order outer primary references returning right select "
+    "session_user some table then to trailing true union unique user "
+    "using when where window with".split()
+)
+
+
+def quote_ident(name: str) -> str:
+    """Quote one identifier for PostgreSQL DDL when needed; embedded
+    double quotes double per the SQL standard."""
+    if _CLEAN_IDENT.match(name) and name not in _RESERVED:
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def quote_qualified(schema: str, name: str) -> str:
+    return f"{quote_ident(schema)}.{quote_ident(name)}"
+
+
+# ---------------------------------------------------------------------------
 # Spark → PG (DDL synthesis direction, K2).
 # ---------------------------------------------------------------------------
 
@@ -145,9 +182,11 @@ def create_table_ddl(
         else:
             pg = spark_to_pg(f.dataType)
         null = "" if f.nullable and f.name not in primary_key else " NOT NULL"
-        cols.append(f"    {f.name} {pg}{null}")
+        cols.append(f"    {quote_ident(f.name)} {pg}{null}")
     if primary_key:
-        cols.append(f"    PRIMARY KEY ({', '.join(primary_key)})")
+        cols.append(
+            f"    PRIMARY KEY ({', '.join(quote_ident(c) for c in primary_key)})"
+        )
     ine = "IF NOT EXISTS " if if_not_exists else ""
     body = ",\n".join(cols)
-    return f"CREATE TABLE {ine}{target_schema}.{table} (\n{body}\n)"
+    return f"CREATE TABLE {ine}{quote_qualified(target_schema, table)} (\n{body}\n)"

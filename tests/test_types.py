@@ -77,6 +77,42 @@ def test_spark_to_pg_and_ddl():
     assert "PRIMARY KEY (id)" in ddl
 
 
+def test_quoted_identifier_ddl_roundtrip():
+    """Reference parity: after-running-script.sql:84-126 handles schema
+    \"fde-local\" with quoted identifiers — synthesized DDL must too."""
+    from postgresql_transfer_tool_spark.types import quote_ident
+
+    assert quote_ident("lineitem") == "lineitem"  # clean names untouched
+    assert quote_ident("fde-local") == '"fde-local"'
+    assert quote_ident("MixedCase") == '"MixedCase"'
+    assert quote_ident("order") == '"order"'  # reserved word
+    assert quote_ident('wei"rd') == '"wei""rd"'  # embedded quote doubles
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("User Name", T.StringType(), True),
+        ]
+    )
+    ddl = create_table_ddl(
+        schema, "My-Table", target_schema="fde-local", primary_key=("id",)
+    )
+    assert 'CREATE TABLE IF NOT EXISTS "fde-local"."My-Table"' in ddl
+    assert '"User Name" text' in ddl
+    assert "PRIMARY KEY (id)" in ddl
+
+
+def test_fk_ddl_quotes_hyphenated_schema():
+    from postgresql_transfer_tool_spark.catalog import ForeignKey, TableInfo
+    from postgresql_transfer_tool_spark.transfer import fk_ddl_statement
+
+    info = TableInfo(name="nation", schema="fde-local")
+    fk = ForeignKey("nation", ("n_regionkey",), "region", ("r_regionkey",))
+    stmt = fk_ddl_statement(info, fk)
+    assert 'ALTER TABLE "fde-local".nation' in stmt
+    assert 'REFERENCES "fde-local".region (r_regionkey)' in stmt
+
+
 def test_spark_to_pg_rejects_unmappable():
     with pytest.raises(ValueError):
         spark_to_pg(T.NullType())
