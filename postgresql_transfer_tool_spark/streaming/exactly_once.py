@@ -4,11 +4,18 @@ SURVEY.md §7.4 hard-part 1: Spark cannot replicate the reference's
 per-table ACID commit against a remote RDBMS (K5/K6). The engine's
 upgrade path is an idempotent sink: every micro-batch carries a
 monotonically increasing epoch id; the sink writes the batch to an
-epoch-scoped location, then records the epoch in a ledger — atomically,
+epoch-scoped location, then records the epoch in the ledger — atomically,
 write-then-rename. A replayed epoch (failure/retry, which Structured
 Streaming's at-least-once delivery permits) is detected in the ledger
 and skipped, making the end-to-end pipeline effectively exactly-once
 for an idempotent target.
+
+The ledger is one marker FILE PER EPOCH (append-only directory), not a
+shared JSON list: a read-modify-write list loses updates when two
+streaming queries ever share a ledger (query A's rewrite drops the epoch
+query B just committed, breaking the guarantee); independent marker
+files commute, so concurrent writers are safe for distinct epochs, and
+a same-epoch race is harmless because committing twice is idempotent.
 
 For a real RDBMS target the same pattern holds with a staging table +
 ``INSERT ... SELECT`` guarded by an epochs table in one transaction.
@@ -16,31 +23,34 @@ For a real RDBMS target the same pattern holds with a staging table +
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 
 
 class EpochLedger:
-    """Committed-epoch record, atomic via write-then-rename."""
+    """Committed-epoch record: a directory of per-epoch marker files,
+    each created atomically via write-then-rename."""
 
     def __init__(self, path: str) -> None:
-        self.path = path
+        self.path = path  # directory of epoch=N.committed markers
 
     def committed(self) -> set[int]:
-        if not os.path.exists(self.path):
+        if not os.path.isdir(self.path):
             return set()
-        with open(self.path) as f:
-            return set(json.load(f))
+        return {
+            int(f[len("epoch=") : -len(".committed")])
+            for f in os.listdir(self.path)
+            if f.startswith("epoch=") and f.endswith(".committed")
+        }
 
     def commit(self, epoch_id: int) -> None:
-        epochs = self.committed()
-        epochs.add(epoch_id)
-        tmp = self.path + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, f"epoch={epoch_id}.committed")
+        tmp = f"{marker}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(sorted(epochs), f)
-        os.replace(tmp, self.path)
+            f.write(str(epoch_id))
+        os.replace(tmp, marker)  # atomic; last writer wins, same content
 
 
 class IdempotentParquetSink:
@@ -48,7 +58,7 @@ class IdempotentParquetSink:
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
-        self.ledger = EpochLedger(os.path.join(out_dir, "_epochs.json"))
+        self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -59,9 +69,20 @@ class IdempotentParquetSink:
         )
         self.ledger.commit(epoch_id)  # commit point: rename is atomic
 
-    def read_all(self, spark) -> DataFrame:
+    def read_all(self, spark, schema=None) -> DataFrame:
+        """Union of all committed epochs. With nothing committed yet,
+        returns an empty frame when the caller supplies a schema, else
+        raises — ``spark.read.parquet()`` with zero paths would otherwise
+        fail with an inscrutable analysis error."""
         paths = [
             os.path.join(self.out_dir, f"epoch={e}")
             for e in sorted(self.ledger.committed())
         ]
+        if not paths:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            raise ValueError(
+                f"no committed epochs under {self.out_dir}; pass schema= "
+                "to read an empty frame before the first commit"
+            )
         return spark.read.parquet(*paths)
