@@ -17,6 +17,8 @@ bit-identical on both engines, making top-k ordering deterministic
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -126,7 +128,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bits = clamp(bit_length((n-1) // TARGET_BUCKET), MIN_BITS, MAX_BITS)
 #
 # so the expected bucket population stays ~TARGET_BUCKET rows no matter
-# the corpus size (n=500 → 4 bits; n=2000 → 6; n=10⁹ → 24): within-bucket
+# the corpus size (n=500 → 6 bits; n=2000 → 8; n=10⁹ → 24): within-bucket
 # pairing is O(n·TARGET_BUCKET), linear in n, not O(n²/2^const). Two rows
 # are candidates when they agree on ALL bits of AT LEAST ONE band
 # (AND within a band sharpens precision; OR across bands restores recall).
@@ -137,7 +139,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BANDS = 4
 MIN_BITS = 4
 MAX_BITS = 24
-TARGET_BUCKET = 32  # expected rows per (band, sig) bucket
+TARGET_BUCKET = 8  # expected rows per (band, sig) bucket
 BUCKET_CAP = 1024  # hard per-bucket membership cap (skew guard)
 
 
@@ -182,10 +184,37 @@ def _spark_plane_dot(q: int):
 
 
 def _spark_band_sig(band: int, bits: int):
+    """Reference (JVM higher-order-function) signature implementation —
+    the spec the vectorized path below is cross-checked against in
+    tests/test_similarity_scale.py."""
     sig = F.lit(0)
     for j in range(bits):
         sig = sig + F.when(_spark_plane_dot(band * MAX_BITS + j) > 0, 1 << j).otherwise(0)
     return sig.cast("bigint")
+
+
+def _band_sigs_udf(bits: int):
+    """All BANDS signatures in one Arrow-batched numpy matmul
+    (n×DIM @ DIM×(BANDS·bits), exact int64 — identical values to the
+    per-plane HOF/SQL formula, ~10× less per-row interpreter work than
+    BANDS·bits separate aggregate() lambdas)."""
+    from pyspark.sql.functions import pandas_udf
+
+    plane_idx = [b * MAX_BITS + j for b in range(BANDS) for j in range(bits)]
+    coefs = np.array(
+        [[((q * 131) + d * 31) % 7 - 3 for d in range(DIM)] for q in plane_idx],
+        dtype=np.int64,
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(qe: pd.Series) -> pd.Series:
+        m = np.array(qe.tolist(), dtype=np.int64)
+        dots = m @ coefs.T  # exact int64, |dot| ≤ 64·3·10⁶ ≪ 2⁶³
+        bitmat = (dots > 0).reshape(len(m), BANDS, bits)
+        return pd.Series(list((bitmat * weights).sum(axis=2)))
+
+    return sigs
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,19 +223,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic candidate growth across scale factors."""
     q = _spark_quantized(spark, sf_dir)
     bits = lsh_bits_for(q.count())
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).cast("int").alias("band"),
-                    _spark_band_sig(b, bits).alias("sig"),
-                )
-                for b in range(BANDS)
-            ]
-        )
-    ).alias("bs")
-    bucketed = q.select("vec_id", "qe", "nq", bands).select(
-        "vec_id", "qe", "nq", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    bucketed = q.select(
+        "vec_id", "qe", "nq", _band_sigs_udf(bits)("qe").alias("sigs")
+    ).select(
+        "vec_id", "qe", "nq",
+        F.posexplode("sigs").alias("band", "sig"),
     )
     cap_w = Window.partitionBy("band", "sig").orderBy("vec_id")
     bucketed = (

@@ -29,9 +29,9 @@ from postgresql_transfer_tool_spark.operators.similarity import (
 
 def test_lsh_bits_grow_with_corpus():
     assert lsh_bits_for(1) == MIN_BITS
-    assert lsh_bits_for(500) == 4  # (499 // 32).bit_length() == 4
-    assert lsh_bits_for(2000) == 6  # (1999 // 32).bit_length() == 6
-    assert lsh_bits_for(10**6) == 15
+    assert lsh_bits_for(500) == 6  # (499 // 8).bit_length() == 6
+    assert lsh_bits_for(2000) == 8  # (1999 // 8).bit_length() == 8
+    assert lsh_bits_for(10**6) == 17
     assert lsh_bits_for(10**9) == MAX_BITS  # capped
     # monotone non-decreasing
     prev = 0
@@ -61,6 +61,28 @@ def test_candidate_growth_subquadratic(spark):
     growth = n_large / max(n_small, 1)
     # quadratic would be row_ratio**2 = 16; require at most half of that
     assert growth < row_ratio**2 / 2, (n_small, n_large, growth)
+
+
+def test_vectorized_signatures_match_reference(spark):
+    """The Arrow/numpy signature path must produce bit-identical band
+    signatures to the per-plane HOF spec (which mirrors the oracle SQL)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        _band_sigs_udf,
+        _spark_band_sig,
+        _spark_quantized,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    q = _spark_quantized(spark, sf)
+    bits = lsh_bits_for(q.count())
+    both = q.select(
+        "vec_id",
+        _band_sigs_udf(bits)("qe").alias("fast"),
+        F.array(*[_spark_band_sig(b, bits) for b in range(BANDS)]).alias("ref"),
+    )
+    assert both.filter(F.col("fast") != F.col("ref")).count() == 0
 
 
 def test_bucket_cap_bounds_membership(spark):
