@@ -131,18 +131,27 @@ class TransferPipeline:
         staging = os.path.join(self.target_dir, f"{name}.parquet.staging-{uuid.uuid4().hex}")
         final = table_path(self.target_dir, name)
         try:
+            from pyspark.sql import Observation
+
             df = load_table(self.spark, self.source_dir, name)
-            # identity projection (P1) stays columnar; the write is the
-            # batched-insert analog (K1 → JDBC batchsize / parquet row groups)
-            writer = df.write.mode("overwrite")
             part_cols = self.partition_by.get(name)
             if part_cols:
                 for c in part_cols:
                     if c not in df.columns and c.endswith("_date") and c[:-5] in df.columns:
                         df = df.withColumn(c, F.to_date(F.col(c[:-5])))
-                writer = df.write.mode("overwrite").partitionBy(*part_cols)
+            # identity projection (P1) stays columnar; the write is the
+            # batched-insert analog (K1 → JDBC batchsize / parquet row
+            # groups). The source row count rides the write itself via
+            # observe() — no second full source scan (at 100 TB, or over
+            # JDBC, a re-count is a second pass over the table).
+            obs = Observation(f"copy_{name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            writer = df.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
             writer.parquet(staging)
-            res.source_rows = df.count()
+            res.source_rows = int(obs.get["rows"])
+            # target count reads parquet footers only (metadata-cheap)
             res.target_rows = self.spark.read.parquet(staging).count()
             if res.target_rows != res.source_rows:
                 raise RuntimeError(
