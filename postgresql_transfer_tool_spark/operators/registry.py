@@ -76,6 +76,8 @@ _PRIORITY = [
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     # round-2 oracle fixes (HUGEINT casts) — need fresh driver rows
     "json_schema_promotion", "sessionization_gap_30m",
+    # round-2 additions — need first driver rows
+    "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
 ]
 
 

@@ -302,6 +302,117 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(spark, sf_dir).filter(F.col("cosine") >= 0.35)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the other classic scale path next to LSH.
+# A coarse codebook partitions the corpus into cells (assignment = nearest
+# centroid); a query probes only its NPROBE nearest cells, so search cost
+# is corpus/cells × nprobe instead of corpus. The codebook here is the
+# first N_CENTROIDS vectors by vec_id — a deterministic stand-in for
+# k-means training (which is seed/iteration-order dependent and could not
+# be oracle-mirrored); the partition/probe/re-rank machinery is the real
+# operator. At 100 TB: centroids broadcast (they are tiny), assignment is
+# one map-side pass, and the corpus shuffles once on cell id — the same
+# single-shuffle shape as the LSH bucket join, with N_CENTROIDS chosen
+# ~sqrt(corpus) in production.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_QUANTIZED},
+    cent AS (
+      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored_cells AS (
+      SELECT q.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY CAST(list_sum(list_transform(range({DIM}),
+                              i -> q.qe[i+1] * c.ce[i+1])) AS DOUBLE)
+                        / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.ncent AS DOUBLE)))
+                        DESC, c.cid) AS crk
+      FROM q, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cell FROM scored_cells WHERE crk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM scored_cells
+      WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id, s.cell
+      FROM probes p JOIN assigned s ON s.cell = p.cell
+      WHERE s.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT c.query_id, c.neighbor_id, c.cell,
+             CAST({_SQL_DOT} AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM cand c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM ranked
+    ) t WHERE rk <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: assign corpus to nearest-centroid cells, probe the
+    query's NPROBE best cells, exact-rerank candidates."""
+    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    cent = q.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("ncent"),
+    )
+    cdot = _spark_dot("qe", "ce")
+    ccos = cdot.cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    scored_cells = (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(cw))
+    )
+    assigned = scored_cells.filter(F.col("crk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probes = scored_cells.filter(
+        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    corpus_cells = assigned.join(
+        q.select(F.col("vec_id"), F.col("qe").alias("qb"), F.col("nq").alias("nb")),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "qb", "nb")
+    qa = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    dot = _spark_dot("qa", "qb")
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    ranked = (
+        F.broadcast(probes)
+        .join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qa), "query_id")
+        .select("query_id", "neighbor_id", "cell", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
 @query(
     "knn_label_vote",
     oracle=f"""

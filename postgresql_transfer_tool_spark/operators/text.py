@@ -248,6 +248,123 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(toks) AS n_words,
+             list_max(list_transform(list_distinct(toks),
+                      w -> len(list_filter(toks, x -> x = w)))) AS top_cnt,
+             CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS total3,
+             CASE WHEN len(toks) >= 3 THEN
+               len(list_distinct(list_transform(range(len(toks)-2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+             ELSE 0 END AS distinct3
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+           CASE WHEN total3 > 0
+                THEN 1.0 - CAST(distinct3 AS DOUBLE) / total3
+                ELSE 0.0 END AS dup_3gram_frac,
+           (CAST(top_cnt AS DOUBLE) / n_words > 0.2
+            OR (total3 > 0 AND 1.0 - CAST(distinct3 AS DOUBLE) / total3 > 0.3))
+             AS is_repetitive
+    FROM m
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document: most-
+    frequent-word fraction and duplicate-3-gram fraction, plus the
+    combined repetitive-document flag. Shuffle-free by design — every
+    metric is a per-row array expression (no explode/groupBy), so at
+    100 TB the filter runs map-side at scan speed."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+    n = F.size("toks")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda w: F.size(F.filter("toks", lambda x: x == w)),
+        )
+    )
+    three_grams = F.expr(
+        "transform(sequence(0, size(toks)-3),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )
+    total3 = F.when(n >= 3, n - 2).otherwise(0)
+    distinct3 = F.when(n >= 3, F.size(F.array_distinct(three_grams))).otherwise(0)
+    top_frac = top_cnt.cast("double") / n
+    dup3 = F.when(
+        total3 > 0, F.lit(1.0) - distinct3.cast("double") / total3
+    ).otherwise(0.0)
+    return (
+        docs.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            top_frac.alias("top_word_frac"),
+            dup3.alias("dup_3gram_frac"),
+            ((top_frac > 0.2) | ((total3 > 0) & (dup3 > 0.3))).alias("is_repetitive"),
+        )
+    )
+
+
+#: PII / denylist scrub patterns — identical semantics in Java regex and
+#: DuckDB's RE2 (\\b word boundaries, no lookaround). The fixture corpus
+#: carries no synthetic PII, so the email/phone counters exercise the
+#: no-match identity path while the denylist terms (present in the
+#: corpus) exercise real replacement.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+DENYLIST = ("spark", "key")
+_DENY_RE = r"\b(" + "|".join(DENYLIST) + r")\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+           len(regexp_extract_all(text, '{_DENY_RE}')) AS n_denylist,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g'),
+                 '{_DENY_RE}', '[TERM]', 'g')) AS scrubbed_hash
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrubbing — the redaction pass every training-data
+    pipeline runs before tokenization. Counts each pattern class and
+    emits the md5 of the fully scrubbed text (the hash, compared against
+    the oracle, proves byte-identical redaction across engines). One
+    map-side regex pass; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        _DENY_RE,
+        "[TERM]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phone"),
+        F.regexp_count("text", F.lit(_DENY_RE)).alias("n_denylist"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+@query(
     "text_char_classes",
     oracle="""
     SELECT source,
