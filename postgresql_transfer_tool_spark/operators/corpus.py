@@ -1,0 +1,210 @@
+"""Corpus-level training-data operators: global n-gram statistics,
+TF-IDF term scoring, and benchmark-contamination detection.
+
+These complement the per-document signals in `operators/text.py` with
+the cross-document passes an LLM data pipeline runs before training:
+what the corpus's dominant n-grams are (boilerplate detection), which
+terms characterize each document (TF-IDF), and whether any training
+document shares long n-grams with a held-out benchmark set
+(decontamination — the Brown et al. GPT-3 appendix-C style check).
+
+Scale design: all three explode documents into tokens/n-grams and
+aggregate — the shuffle key is the n-gram (high cardinality, naturally
+balanced), document-frequency tables are computed once per pass, and
+the contamination check broadcasts the benchmark n-gram set (the
+benchmark is always tiny relative to the corpus) so the corpus side
+stays map-side + one per-doc aggregation. No Python in any row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import query
+
+#: Tokenization shared by all three passes — identical semantics in
+#: Spark `split` (Java regex) and DuckDB `string_split_regex` (RE2).
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+
+
+@query(
+    "corpus_ngram_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) > 0
+    ), g AS (
+      SELECT unnest(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               AS gram
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT gram, n_occurrences, rk FROM (
+      SELECT gram, COUNT(*) AS n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram) AS rk
+      FROM g GROUP BY gram
+    ) ranked WHERE rk <= 20
+    """,
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 3-grams across the corpus — the boilerplate /
+    template detector. Explode → count → rank; the count aggregation is
+    map-side combined by Spark, and the final top-k is a single-reducer
+    rank over the already-aggregated (small) gram table."""
+    toks = _spark_tokens(spark, sf_dir)
+    grams = toks.filter(F.size("toks") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("gram")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k, merged once) — never a global sort or a
+    # single-task rank window; row_number then runs on 20 rows only.
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+      WHERE len({_SQL_TOKS}) > 0
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, w AS top_term, tf, df, score FROM (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                        * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                        DESC, tf.w) AS rk
+      FROM tf, df, n WHERE tf.w = df.w
+    ) ranked WHERE rk = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by TF-IDF with raw-ratio
+    IDF (N/df — division-only, so the score is two IEEE ops on
+    identical integers and bit-identical across engines; log-scaled IDF
+    would rank identically for ties-free data but is not exactly
+    portable). df is one extra aggregation over the same token relation;
+    n_docs joins in as a broadcast scalar, never a driver collect."""
+    toks = _spark_tokens(spark, sf_dir)
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "w", "tf", "df", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "tf", "df", "score")
+    )
+
+
+#: benchmark split: every 50th document is the held-out "eval set"
+_BENCH_MOD = 50
+#: contamination n-gram length (word 5-grams)
+_NGRAM = 5
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= {_NGRAM}
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {_NGRAM - 1}),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ), train AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.gram) AS n_shared,
+           COUNT(b.gram) > 0 AS is_contaminated
+    FROM train t LEFT JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word 5-grams appear anywhere in the held-out set (docs with
+    doc_id % 50 == 0). The benchmark gram set broadcasts; the corpus
+    side is one map-side explode + per-doc aggregation — at 100 TB the
+    only shuffle is the final doc_id groupBy. The fixture's planted
+    near-duplicate pairs make real collisions when one twin lands in the
+    benchmark split."""
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(0, size(toks)-{_NGRAM}),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],"
+        " toks[i+4])))"
+    )
+    # localCheckpoint: the gram relation feeds both the bench and train
+    # branches — materialize once instead of re-running the CPU-heavy
+    # tokenize+5-gram expression per branch (same pattern as dedup.py).
+    g = (
+        _spark_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= _NGRAM)
+        .select("doc_id", grams_expr.alias("grams"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    bench = (
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("bgram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), train.gram == bench.bgram, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("bgram").alias("n_shared"),
+            (F.count("bgram") > 0).alias("is_contaminated"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""MERGE / upsert emulation (Delta-style ``MERGE INTO`` without a
+transactional table format).
+
+The reference loads every table with truncate-and-reload
+(``transfer_data_script.py`` drops and refills); real warehouses apply
+CDC batches with MERGE semantics instead. On plain Spark-over-parquet
+the idiomatic implementation is a single full-outer join on the merge
+key with per-column ``coalesce`` — one shuffle, no driver round-trips,
+and at 100 TB the join key is the table's natural partitioning key so
+AQE turns it into a co-located sort-merge join (or a broadcast when the
+CDC batch is small, which it almost always is — hinted below).
+
+``merge_into`` is the reusable engine API; the registered query drives
+it through a deterministic snapshot/batch split of ``orders`` so the
+driver can oracle-check full MERGE semantics (update + insert + keep)
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: Sequence[str],
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """MERGE ``source`` into ``target`` on ``key``.
+
+    WHEN MATCHED: take ``update_cols`` from the source row.
+    WHEN NOT MATCHED (source only): insert the source row.
+    WHEN NOT MATCHED BY SOURCE (target only): keep the target row.
+
+    Returns the merged relation plus an ``action`` audit column
+    (update / insert / keep). Columns outside ``update_cols`` must exist
+    in both sides (inserted rows take them from the source).
+    """
+    t = target.alias("t")
+    s = (F.broadcast(source) if broadcast_source else source).alias("s")
+    matched = F.col(f"s.{key}").isNotNull()
+
+    def pick(c: str) -> Column:
+        if c == key:
+            return F.coalesce(f"t.{key}", f"s.{key}").alias(key)
+        if c in update_cols:
+            return F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        return F.coalesce(f"t.{c}", f"s.{c}").alias(c)
+
+    action = (
+        F.when(F.col(f"t.{key}").isNull(), F.lit("insert"))
+        .when(matched, F.lit("update"))
+        .otherwise(F.lit("keep"))
+        .alias("action")
+    )
+    cols = [pick(c) for c in target.columns] + [action]
+    return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(*cols)
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 >= 5
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action
+    FROM target t FULL OUTER JOIN batch s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a simulated CDC batch (keys ending 5-9, repriced +100,
+    status 'U') into an orders snapshot (keys ending 0-7): keys 5-7
+    update, 8-9 insert, 0-4 keep. The +100.0 reprice is a single IEEE
+    add on identical inputs, so values hash-match bit-exactly."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 10 < 8)
+    batch = orders.filter(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    )
+    return merge_into(
+        target, batch, "o_orderkey", update_cols=("o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "merge_scd2_customer_balance",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey, c_acctbal, 0 AS version
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    SELECT c_custkey, c_acctbal, version, is_current FROM (
+      SELECT c.c_custkey, c.c_acctbal, c.version,
+             (ch.c_custkey IS NULL) AS is_current
+      FROM current c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, 1 AS version, TRUE AS is_current
+      FROM changes
+    ) v
+    """,
+)
+def merge_scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge: balance changes for every 20th customer close
+    the current version (is_current=false) and append a new version row
+    — the expire-and-append union shape, one broadcast join + union."""
+    current = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.lit(0).alias("version")
+    )
+    changes = (
+        current.filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + F.lit(50.0)).alias("c_acctbal"))
+    )
+    changed_keys = changes.select(F.col("c_custkey").alias("ch_custkey"))
+    expired = current.join(
+        F.broadcast(changed_keys),
+        current.c_custkey == changed_keys.ch_custkey,
+        "left",
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        "version",
+        F.col("ch_custkey").isNull().alias("is_current"),
+    )
+    appended = changes.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return expired.unionAll(appended)

@@ -78,6 +78,12 @@ _PRIORITY = [
     "json_schema_promotion", "sessionization_gap_30m",
     # round-2 additions — need first driver rows
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
+    "merge_upsert_orders", "merge_scd2_customer_balance",
+    "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q11_important_stock",
+    "q13_customer_order_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q20_excess_availability_suppliers",
 ]
 
 
@@ -94,12 +100,15 @@ def load_all() -> None:
         incremental,
         analytic,
         tpch_extra,
+        tpch_full,
         dedup,
         similarity,
         text,
         approx,
         multimodal,
         custom_pandas,
+        merge,
+        corpus,
     )
 
     ordered = [n for n in _PRIORITY if n in QUERIES] + [
