@@ -62,15 +62,21 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     template detector. Explode → count → rank; the count aggregation is
     map-side combined by Spark, and the final top-k is a single-reducer
     rank over the already-aggregated (small) gram table."""
-    toks = _spark_tokens(spark, sf_dir)
-    grams = toks.filter(F.size("toks") >= 3).select(
-        F.explode(
+    # checkpoint before exploding: CollapseProject would fold the 3-gram
+    # transform into Generate's child, which re-evaluates the array per
+    # output element (O(tokens²) per doc — see dedup.py's shingle memo).
+    gram_arrays = (
+        _spark_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select(
             F.expr(
                 "transform(sequence(0, size(toks)-3),"
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-            )
-        ).alias("gram")
+            ).alias("grams")
+        )
+        .localCheckpoint(eager=False)
     )
+    grams = gram_arrays.select(F.explode("grams").alias("gram"))
     # orderBy+limit compiles to TakeOrderedAndProject (distributed
     # per-partition top-k, merged once) — never a global sort or a
     # single-task rank window; row_number then runs on 20 rows only.
