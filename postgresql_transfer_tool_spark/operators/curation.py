@@ -1,0 +1,164 @@
+"""Dataset-curation operators: deterministic domain-mix sampling,
+quality-ranked token budgeting, and the k-means aggregation step over
+embeddings.
+
+The last mile of a training-data pipeline: decide *which* documents go
+into the mix (per-domain sampling rates), *how many* tokens to take
+(rank by quality, cut at the budget), and summarize embedding space
+(per-label centroids). All three are deterministic and oracle-mirrored
+— notably the sampler, which uses an engine-portable md5 bucket instead
+of an engine-specific RNG, so the *exact same rows* are selected by any
+engine at any parallelism (re-runs and backfills pick identical data —
+the property that makes a sampled corpus reproducible).
+
+Scale: sampling and bucketing are stateless map-side expressions
+(filter at scan speed, no shuffle); token budgeting is one global sort
+expressed as a window over an already-aggregated per-doc relation; the
+centroid step is a single partial-aggregable groupBy on (label, dim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import query
+
+#: engine-portable uniform bucket in [0, 100): md5-prefix → int — the
+#: same recipe as dedup's shingle hashing (verified identical in both
+#: engines); doc_id stringifies identically (plain integer).
+_SQL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+
+def _spark_bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+@query(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 25 AS rate_pct,
+             {_SQL_BUCKET} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rate_pct
+    FROM rated WHERE bucket < rate_pct
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain sampling: each source gets a rate from
+    its index (25/50/75/100%), and a document is kept iff its md5
+    bucket falls under the rate — a pure map-side filter whose output
+    is bit-identical across engines, partitionings, and re-runs (no
+    RNG, no seed drift; the reproducible-corpus property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (F.substring("source", 4, 10).cast("bigint") % 4 + 1) * 25
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            rate.alias("rate_pct"), _spark_bucket().alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("doc_id", "source", "n_chars", "rate_pct")
+    )
+
+
+#: global token budget for the selection query (~half the corpus at any
+#: sf is scale-dependent; a fixed absolute budget keeps the oracle
+#: scale-invariant in *semantics* while selecting a sf-dependent count)
+_TOKEN_BUDGET = 20_000
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed token budget from the best-scoring documents
+    (score = token count, tie-broken by doc_id): rank, running-sum,
+    cut. One window over the tiny per-doc summary — the heavy text
+    tokenization happens map-side before the sort, so the global
+    window sees only (doc_id, n_tokens) rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    scored = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= _TOKEN_BUDGET
+    )
+
+
+DIM = 64
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+      FROM embeddings
+    )
+    SELECT label, d.i AS dim,
+           CAST(SUM(qe[d.i]) AS BIGINT) AS sum_q,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(qe[d.i]) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS centroid_q
+    FROM q, range(1, {DIM + 1}) d(i)
+    GROUP BY label, d.i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the quantized embeddings, one row per
+    (label, dimension) — the aggregation step of a k-means/Lloyd
+    iteration at scale (and the summary a labeled corpus publishes).
+    Integer sums are exact; the mean is one double division on
+    identical integers. posexplode runs on a materialized array column
+    (localCheckpoint) to keep the quantize transform out of Generate's
+    per-element re-evaluation path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        "embedding", lambda v: F.round(v.cast("double") * 1000000).cast("bigint")
+    )
+    pre = emb.select("label", qe.alias("qe")).localCheckpoint(eager=False)
+    return (
+        pre.select("label", F.posexplode("qe").alias("i", "v"))
+        .groupBy("label", (F.col("i") + 1).alias("dim"))
+        .agg(
+            F.sum("v").alias("sum_q"),
+            F.count("*").alias("n"),
+            (F.sum("v").cast("double") / F.count("*")).alias("centroid_q"),
+        )
+    )

@@ -3,12 +3,13 @@ transactional table format).
 
 The reference loads every table with truncate-and-reload
 (``transfer_data_script.py`` drops and refills); real warehouses apply
-CDC batches with MERGE semantics instead. On plain Spark-over-parquet
-the idiomatic implementation is a single full-outer join on the merge
-key with per-column ``coalesce`` — one shuffle, no driver round-trips,
-and at 100 TB the join key is the table's natural partitioning key so
-AQE turns it into a co-located sort-merge join (or a broadcast when the
-CDC batch is small, which it almost always is — hinted below).
+CDC batches with MERGE semantics instead. A naive full-outer join would
+shuffle the entire target (Spark cannot broadcast any side of a full
+outer join), so ``merge_into`` decomposes exactly like Delta's merge
+does: the matched/kept rows come from a broadcast LEFT join (the wide
+target never moves — the CDC batch, almost always tiny relative to the
+table, is the build side), and the inserts from a LEFT ANTI join that
+shuffles only the target's key column projection, never its payload.
 
 ``merge_into`` is the reusable engine API; the registered query drives
 it through a deterministic snapshot/batch split of ``orders`` so the
@@ -43,26 +44,31 @@ def merge_into(
     Returns the merged relation plus an ``action`` audit column
     (update / insert / keep). Columns outside ``update_cols`` must exist
     in both sides (inserted rows take them from the source).
+
+    Shape (the scale-critical part): matched/kept rows are a broadcast
+    LEFT join — the full-width target is never shuffled; inserts are a
+    LEFT ANTI join of the source against the target's *key projection*
+    (one narrow column of the target moves, not the table). Spark
+    cannot broadcast a full-outer join, so the single-join formulation
+    would silently sort-merge-shuffle 100 TB.
     """
     t = target.alias("t")
     s = (F.broadcast(source) if broadcast_source else source).alias("s")
     matched = F.col(f"s.{key}").isNotNull()
 
     def pick(c: str) -> Column:
-        if c == key:
-            return F.coalesce(f"t.{key}", f"s.{key}").alias(key)
         if c in update_cols:
             return F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-        return F.coalesce(f"t.{c}", f"s.{c}").alias(c)
+        return F.col(f"t.{c}").alias(c)
 
-    action = (
-        F.when(F.col(f"t.{key}").isNull(), F.lit("insert"))
-        .when(matched, F.lit("update"))
-        .otherwise(F.lit("keep"))
-        .alias("action")
+    upserted = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left").select(
+        *[pick(c) for c in target.columns],
+        F.when(matched, F.lit("update")).otherwise(F.lit("keep")).alias("action"),
     )
-    cols = [pick(c) for c in target.columns] + [action]
-    return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(*cols)
+    inserts = source.join(
+        target.select(key), on=key, how="left_anti"
+    ).select(*target.columns, F.lit("insert").alias("action"))
+    return upserted.unionByName(inserts)
 
 
 @query(

@@ -84,6 +84,7 @@ _PRIORITY = [
     "q9_product_type_profit", "q11_important_stock",
     "q13_customer_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q20_excess_availability_suppliers",
+    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
 ]
 
 
@@ -109,6 +110,7 @@ def load_all() -> None:
         custom_pandas,
         merge,
         corpus,
+        curation,
     )
 
     ordered = [n for n in _PRIORITY if n in QUERIES] + [

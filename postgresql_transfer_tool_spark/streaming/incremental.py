@@ -137,3 +137,32 @@ def flag_flip_sync(
     unsynced.write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
     return n, out_path
+
+
+def streaming_dedup_events(
+    spark: SparkSession, landing_dir: str, query_name: str = "dedup_events"
+):
+    """Streaming exact deduplication: drop repeated ``event_id`` arrivals
+    (at-least-once upstreams redeliver) while holding state only inside
+    the watermark horizon — ``dropDuplicatesWithinWatermark`` evicts ids
+    older than the 1-hour watermark, so state is bounded by the event
+    rate × horizon instead of growing with the whole stream (the
+    property that keeps this runnable forever at 100 TB/day; a plain
+    ``dropDuplicates`` on a stream never frees its state).
+
+    Returns the StreamingQuery; results land in a memory sink as rows of
+    (event_id, event_type, value).
+    """
+    schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

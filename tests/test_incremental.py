@@ -9,6 +9,7 @@ from postgresql_transfer_tool_spark.streaming.incremental import (
     flag_flip_sync,
     prepare_landing,
     run_incremental_batch,
+    streaming_dedup_events,
     streaming_event_counts,
 )
 
@@ -124,3 +125,26 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """At-least-once redelivery: the landing dir holds every event twice;
+    the watermarked streaming dedup must emit each event_id exactly once
+    and agree with the batch distinct count."""
+    landing = str(tmp_path / "landing_dup")
+    prepare_landing(spark, sf_dir, landing)
+    # redeliver the whole stream a second time before the query starts
+    spark.read.parquet(landing).write.mode("append").parquet(landing)
+
+    n_distinct = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(landing).count() == 2 * n_distinct
+
+    q = streaming_dedup_events(spark, landing, "t_dedup_events")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM t_dedup_events").collect()
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == n_distinct
+    assert len(set(ids)) == n_distinct

@@ -69,3 +69,44 @@ def test_q3_pushes_date_filters(spark, sf_dir):
 def test_hwm_predicate_reaches_scan(spark, sf_dir):
     # incremental reads must prune row groups via the ts min/max stats
     assert_pushed_filter(hwm_incremental_batch(spark, sf_dir), "ts")
+
+
+def test_merge_broadcasts_cdc_batch(spark, sf_dir):
+    # the CDC batch side of a MERGE must broadcast — a shuffled
+    # full-outer join of snapshot vs batch would reshuffle the whole
+    # snapshot for a 0.1% batch
+    from postgresql_transfer_tool_spark.operators.merge import merge_upsert_orders
+
+    assert has_broadcast_join(merge_upsert_orders(spark, sf_dir))
+
+
+def test_corpus_topk_avoids_global_sort(spark, sf_dir):
+    # top-k must compile to TakeOrderedAndProject (per-partition top-k,
+    # one merge), never a full Exchange+Sort of the gram table
+    from postgresql_transfer_tool_spark.operators.corpus import corpus_ngram_topk
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    plan = physical_plan(corpus_ngram_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    from postgresql_transfer_tool_spark.operators.corpus import (
+        contamination_ngram_overlap,
+    )
+
+    assert has_broadcast_join(contamination_ngram_overlap(spark, sf_dir))
+
+
+def test_domain_mix_sample_is_map_side(spark, sf_dir):
+    # the sampler is a pure filter: zero shuffles, filter at scan speed
+    from postgresql_transfer_tool_spark.operators.curation import domain_mix_sample
+    from postgresql_transfer_tool_spark.plans import count_exchanges
+
+    assert count_exchanges(domain_mix_sample(spark, sf_dir)) == 0
+
+
+def test_q2_broadcasts_dimensions(spark, sf_dir):
+    from postgresql_transfer_tool_spark.operators.tpch_full import q2_min_cost_supplier
+
+    assert has_broadcast_join(q2_min_cost_supplier(spark, sf_dir))
