@@ -312,20 +312,47 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # be oracle-mirrored); the partition/probe/re-rank machinery is the real
 # operator. At 100 TB: centroids broadcast (they are tiny), assignment is
 # one map-side pass, and the corpus shuffles once on cell id — the same
-# single-shuffle shape as the LSH bucket join, with N_CENTROIDS chosen
-# ~sqrt(corpus) in production.
+# single-shuffle shape as the LSH bucket join. The cell count GROWS with
+# the corpus (same adaptive discipline as lsh_bits_for): 2^b cells with
+# b = bit_length((n-1) // TARGET_CELL), clamped — expected cell
+# population stays ≈ TARGET_CELL at any corpus size, so per-query probe
+# cost is flat where a fixed codebook would grow linearly. (Fixed
+# NPROBE over more cells is the standard IVF recall/latency trade; at
+# production scale nprobe rises with latency budget, not with n.)
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 16
+TARGET_CELL = 32
+MIN_CELL_BITS = 4
+MAX_CELL_BITS = 14
 NPROBE = 2
+
+
+def ivf_cells_for(n: int) -> int:
+    """Corpus-adaptive cell count: 2^bit_length((n-1)//TARGET_CELL),
+    clamped to [2^MIN_CELL_BITS, 2^MAX_CELL_BITS]."""
+    bits = ((max(n, 1) - 1) // TARGET_CELL).bit_length()
+    return 1 << min(MAX_CELL_BITS, max(MIN_CELL_BITS, bits))
+
+
+#: SQL mirror of ivf_cells_for over the corpus count — bin()'s length is
+#: bit_length for x >= 1 (cross-checked in test_similarity_scale).
+_SQL_NCELLS = f"""
+params AS (
+  SELECT CAST(POWER(2, LEAST({MAX_CELL_BITS}, GREATEST({MIN_CELL_BITS},
+           length(bin((COUNT(*) - 1) // {TARGET_CELL}))))) AS BIGINT) AS nc
+  FROM q
+)
+"""
 
 
 @query(
     "ann_ivf_topk",
     oracle=f"""
     WITH {_SQL_QUANTIZED},
+    {_SQL_NCELLS},
     cent AS (
-      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q WHERE vec_id < {N_CENTROIDS}
+      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q
+      WHERE vec_id < (SELECT nc FROM params)
     ),
     scored_cells AS (
       SELECT q.vec_id, c.cid,
@@ -365,10 +392,12 @@ NPROBE = 2
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: assign corpus to nearest-centroid cells, probe the
-    query's NPROBE best cells, exact-rerank candidates."""
+    """IVF top-k: assign corpus to nearest-centroid cells (cell count
+    adaptive in corpus size), probe the query's NPROBE best cells,
+    exact-rerank candidates."""
     q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
-    cent = q.filter(F.col("vec_id") < N_CENTROIDS).select(
+    n_centroids = ivf_cells_for(q.count())
+    cent = q.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
         F.col("qe").alias("ce"),
         F.col("nq").alias("ncent"),

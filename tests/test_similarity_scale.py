@@ -121,3 +121,34 @@ def test_bucket_cap_bounds_membership(spark):
     max_bucket = sizes.agg(F.max("count")).collect()[0][0]
     # fixture buckets sit near TARGET_BUCKET; the cap only binds under skew
     assert max_bucket <= BUCKET_CAP
+
+
+def test_ivf_cells_grow_with_corpus():
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        TARGET_CELL,
+        ivf_cells_for,
+    )
+
+    assert ivf_cells_for(500) == 16
+    assert ivf_cells_for(2000) == 64
+    assert ivf_cells_for(10**6) == 1 << 14  # capped
+    # expected cell population stays near TARGET_CELL until the cap
+    for n in [10**3, 10**4, 10**5]:
+        cells = ivf_cells_for(n)
+        assert n / cells <= 2 * TARGET_CELL
+
+
+def test_ivf_cells_match_oracle_formula(duck):
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        MAX_CELL_BITS,
+        MIN_CELL_BITS,
+        TARGET_CELL,
+        ivf_cells_for,
+    )
+
+    for n in [2, 33, 500, 2000, 64_000, 10**7]:
+        sql = (
+            f"SELECT CAST(POWER(2, LEAST({MAX_CELL_BITS}, GREATEST({MIN_CELL_BITS},"
+            f" length(bin(({n} - 1) // {TARGET_CELL}))))) AS BIGINT)"
+        )
+        assert duck.sql(sql).fetchone()[0] == ivf_cells_for(n)
