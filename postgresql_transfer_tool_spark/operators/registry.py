@@ -67,6 +67,8 @@ _PRIORITY = [
     "quantiles_approx", "stratified_sample", "histogram_fixed_buckets",
     # X6 multimodal
     "binary_column_plumbing", "embedding_column_stats", "media_decode_features",
+    # multi-format sources (round 2) — CSV/JSON round-trip parity
+    "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
     # TPC-H extensions
     "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue_ratio",
     "q18_large_volume_customers", "q19_disjunctive_predicates",
@@ -80,11 +82,14 @@ _PRIORITY = [
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
     "merge_upsert_orders", "merge_scd2_customer_balance",
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
+    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
+    # tpch_full tail — derived-extra surface; if the driver's per-round
+    # row budget cuts anywhere, it should cut here, not in the
+    # LLM-pipeline families above
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q11_important_stock",
     "q13_customer_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q20_excess_availability_suppliers",
-    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
 ]
 
 
@@ -112,6 +117,7 @@ def load_all() -> None:
         corpus,
         curation,
     )
+    from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
     ordered = [n for n in _PRIORITY if n in QUERIES] + [
         n for n in QUERIES if n not in _PRIORITY
