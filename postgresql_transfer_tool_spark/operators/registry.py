@@ -83,6 +83,7 @@ _PRIORITY = [
     "merge_upsert_orders", "merge_scd2_customer_balance",
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
     "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
+    "curation_pipeline_funnel",
     # tpch_full tail — derived-extra surface; if the driver's per-round
     # row budget cuts anywhere, it should cut here, not in the
     # LLM-pipeline families above
@@ -116,6 +117,7 @@ def load_all() -> None:
         merge,
         corpus,
         curation,
+        pipeline,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
