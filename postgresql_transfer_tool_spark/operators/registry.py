@@ -83,7 +83,7 @@ _PRIORITY = [
     "merge_upsert_orders", "merge_scd2_customer_balance",
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
     "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
-    "curation_pipeline_funnel",
+    "curation_pipeline_funnel", "mv_incremental_refresh",
     # tpch_full tail — derived-extra surface; if the driver's per-round
     # row budget cuts anywhere, it should cut here, not in the
     # LLM-pipeline families above
@@ -118,6 +118,7 @@ def load_all() -> None:
         corpus,
         curation,
         pipeline,
+        matview,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
