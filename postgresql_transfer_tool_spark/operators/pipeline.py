@@ -132,9 +132,19 @@ _SQL_GRAMS = f"""CASE WHEN ntoks >= {_NGRAM} THEN
     """,
 )
 def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One corpus scan computes every per-document feature; the five
-    stages are filters/anti-joins over the materialized feature
-    relation; output is the per-stage survival funnel."""
+    """One corpus scan computes every per-document feature; stage
+    membership becomes per-doc boolean FLAGS (windows + one broadcast
+    join — stages never re-aggregate the relation separately); ONE
+    aggregation emits all six funnel stages via stack().
+
+    Stage-flag algebra notes:
+    - contamination is doc-intrinsic (shares a 5-gram with the bench
+      split), so the flag can be computed once for every doc;
+    - the budget cumsum runs over ALL docs ordered (quality desc,
+      doc_id) with non-sampled docs contributing 0 tokens — at every
+      sampled row it equals the oracle's cumsum over sampled rows only,
+      so the <= budget cut selects identical documents.
+    """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
@@ -178,48 +188,75 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    dedup = (
-        feat.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    qual = dedup.filter(F.col("quality") >= _QUALITY_MIN)
     bench = (
         feat.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("grams").alias("bgram"))
         .distinct()
     )
     contaminated = (
-        qual.select("doc_id", F.explode("grams").alias("gram"))
+        feat.select("doc_id", F.explode("grams").alias("gram"))
         .join(F.broadcast(bench), F.col("gram") == F.col("bgram"))
         .select("doc_id")
         .distinct()
+        .withColumn("is_contam", F.lit(True))
     )
-    clean = qual.filter(F.col("doc_id") % _BENCH_MOD != 0).join(
-        contaminated, "doc_id", "left_anti"
-    )
-    sampled = clean.filter(F.col("bucket") < F.col("rate_pct"))
+
+    wdedup = Window.partitionBy("h").orderBy("doc_id")
     wbudget = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    budgeted = sampled.withColumn(
-        "cum_tokens", F.sum("ntoks").over(wbudget)
-    ).filter(F.col("cum_tokens") <= _PIPE_BUDGET)
+    flagged = (
+        feat.join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn("is_dedup", F.row_number().over(wdedup) == 1)
+        .withColumn(
+            "is_qual", F.col("is_dedup") & (F.col("quality") >= _QUALITY_MIN)
+        )
+        .withColumn(
+            "is_clean",
+            F.col("is_qual")
+            & (F.col("doc_id") % _BENCH_MOD != 0)
+            & ~F.coalesce("is_contam", F.lit(False)),
+        )
+        .withColumn(
+            "is_sampled", F.col("is_clean") & (F.col("bucket") < F.col("rate_pct"))
+        )
+        .withColumn(
+            "cum_tokens",
+            F.sum(F.when(F.col("is_sampled"), F.col("ntoks")).otherwise(0)).over(
+                wbudget
+            ),
+        )
+        .withColumn(
+            "is_budgeted",
+            F.col("is_sampled") & (F.col("cum_tokens") <= _PIPE_BUDGET),
+        )
+    )
 
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("ntoks"), F.lit(0)).alias("n_tokens"),
-        ).select("stage", "n_docs", "n_tokens")
+    def n_and_toks(flag: str) -> list[F.Column]:
+        c = F.col(flag).cast("long")
+        return [
+            F.sum(c).alias(f"n_{flag}"),
+            F.sum(c * F.col("ntoks")).alias(f"t_{flag}"),
+        ]
 
-    return (
-        stage("a_raw", feat)
-        .unionAll(stage("b_dedup", dedup))
-        .unionAll(stage("c_quality", qual))
-        .unionAll(stage("d_decontaminated", clean))
-        .unionAll(stage("e_sampled", sampled))
-        .unionAll(stage("f_budgeted", budgeted))
+    one = flagged.agg(
+        F.count("*").alias("n_raw"),
+        F.sum("ntoks").alias("t_raw"),
+        *n_and_toks("is_dedup"),
+        *n_and_toks("is_qual"),
+        *n_and_toks("is_clean"),
+        *n_and_toks("is_sampled"),
+        *n_and_toks("is_budgeted"),
+    )
+    return one.select(
+        F.expr(
+            """stack(6,
+              'a_raw', n_raw, t_raw,
+              'b_dedup', n_is_dedup, t_is_dedup,
+              'c_quality', n_is_qual, t_is_qual,
+              'd_decontaminated', n_is_clean, t_is_clean,
+              'e_sampled', n_is_sampled, t_is_sampled,
+              'f_budgeted', n_is_budgeted, t_is_budgeted
+            ) AS (stage, n_docs, n_tokens)"""
+        )
     )
