@@ -5,6 +5,14 @@ skew; salting is the explicit tool for *aggregation* hot keys and for
 joins where one key dominates (the classic NULL-key or power-law-user
 case in a 100 TB event table).
 
+AQE's rule also has structural preconditions salting doesn't (verified
+in test_skew.py::test_aqe_splits_skewed_join_partition): it splits a
+skewed reduce partition along map-output boundaries (a single-mapper
+side is unsplittable), and both join children must read directly from
+their own shuffle — an aggregation between the shuffle and the join
+(e.g. a distinct-ed dim) defeats the rule's plan-pattern match. Where
+those preconditions fail, the salted forms below are the fallback.
+
 Two-phase salted aggregation: groupBy(key, salt) partial → groupBy(key)
 final. Correct for any commutative/associative aggregate (count, sum,
 min, max — and exact decimal sums, so the engine's bit-stable aggregate

@@ -78,6 +78,46 @@ def read_table_as(
     )
 
 
+#: name of the column PERMISSIVE mode parks unparseable raw records in
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_with_quarantine(
+    spark: SparkSession, path: str, fmt: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-on-read over dirty text data: returns (clean, quarantine).
+
+    A 100 TB ingest MUST NOT die on row 73 billion — PERMISSIVE parsing
+    routes unparseable records into a corrupt-record column; we split
+    the scan into the clean frame (contract schema) and a quarantine
+    frame carrying the raw bytes for repair/audit. The reference's
+    analog is its per-object try/except skip-and-log (K8,
+    ``transfer_data_script.py:72-74``) — this is the row-level version,
+    distributed, with the failures *kept* instead of logged away.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"quarantine read supports csv/json, not {fmt!r}")
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.read.options(**_text_options(fmt))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .format(fmt)
+        .schema(with_corrupt)
+        .load(path)
+        # Spark requires caching/materializing before filtering on the
+        # corrupt column (it is populated only while parsing runs)
+        .cache()
+    )
+    from pyspark.sql import functions as F
+
+    clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, quarantine
+
+
 def convert_table(
     spark: SparkSession, sf_dir: str, table: str, out_path: str, fmt: str
 ) -> DataFrame:

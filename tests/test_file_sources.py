@@ -102,3 +102,48 @@ def test_csv_timestamp_keeps_micros(spark, tmp_path):
     write_table_as(df, path, "csv")
     back = read_table_as(spark, path, "csv", schema)
     assert _sorted_rows(back, "id") == _sorted_rows(df, "id")
+
+
+def test_json_quarantine_splits_corrupt_rows(spark, tmp_path):
+    from postgresql_transfer_tool_spark.sources.files import read_with_quarantine
+
+    p = tmp_path / "dirty_json"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20.25}\n'
+        '{"id": "not a number", "v": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    clean, quarantine = read_with_quarantine(spark, str(p), "json", schema)
+    assert sorted(tuple(r) for r in clean.collect()) == [(1, 10.5), (2, 20.25)]
+    bad = [r[0] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("NOT JSON" in b for b in bad)
+
+
+def test_csv_quarantine_splits_corrupt_rows(spark, tmp_path):
+    from postgresql_transfer_tool_spark.sources.files import read_with_quarantine
+
+    p = tmp_path / "dirty_csv"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "id,v\n1,10.5\nnot_a_number,oops\n2,20.25\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    clean, quarantine = read_with_quarantine(spark, str(p), "csv", schema)
+    assert sorted(tuple(r) for r in clean.collect()) == [(1, 10.5), (2, 20.25)]
+    assert [r[0] for r in quarantine.collect()] == ["not_a_number,oops"]
+
+
+def test_quarantine_rejects_binary_formats(spark, tmp_path):
+    from postgresql_transfer_tool_spark.sources.files import read_with_quarantine
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="quarantine"):
+        read_with_quarantine(spark, str(tmp_path), "parquet", schema)

@@ -52,3 +52,62 @@ def test_salt_is_deterministic(spark, sf_dir):
     a = {r["event_id"]: r["_salt"] for r in with_salt(e, 8).collect()}
     b = {r["event_id"]: r["_salt"] for r in with_salt(e, 8).collect()}
     assert a == b
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Runtime skew mitigation: AQE must detect the planted hot key and
+    split its shuffle partition (plan shows the skew marker) — the
+    no-code-change path that complements explicit salting at 100 TB.
+
+    Two preconditions this test documents (both bite in production):
+    - the skewed side must arrive from MULTIPLE mappers — AQE splits a
+      skewed reduce partition along map-output boundaries, so a
+      single-file scan (one mapper) is unsplittable; hence the
+      repartition(16) standing in for a many-task scan;
+    - BOTH join children must read directly from their own shuffle
+      (Sort over ShuffleQueryStage). An aggregation directly under the
+      join (e.g. `.distinct()`) absorbs the child's exchange and the
+      skew rule's pattern no longer matches — one reason explicit
+      salting (functions/skew.py) still earns its keep. The dim side
+      is localCheckpoint'd to cut that lineage.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").repartition(16).select(
+            # plant skew: ~90% of rows share join key 0
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+                .otherwise(F.col("o_orderkey"))
+                .alias("k")
+            )
+            .distinct()
+            .localCheckpoint()  # cut the agg lineage under the join
+        )
+        joined = li.join(dim, "k")
+        n = len(joined.collect())
+        assert n == li.count()  # dim holds every key exactly once
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "skewed" in final, final  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
