@@ -35,6 +35,7 @@ HEADLINE = [
     "text_quality_score",
     "sessionization_gap_30m",
     "count_per_table",
+    "curation_pipeline_funnel",
 ]
 
 

@@ -33,6 +33,7 @@ import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: compaction target ~128 MB — the classic HDFS/parquet sweet spot:
 #: large enough to amortize footers/opens, small enough to parallelize
@@ -77,6 +78,68 @@ def sort_on_write(
     (
         df.repartitionByRange(n_files, key)
         .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+#: bits per dimension in the z-value (two dims → 2*bits total)
+ZORDER_BITS = 16
+
+
+def _zvalue(cols: list[str], bits: int = ZORDER_BITS) -> Column:
+    """Interleave the bits of two quantized rank columns into a Morton
+    (z-order) key — JVM-side expression, no Python in the row path."""
+    assert len(cols) == 2, "z-order implemented for 2 dimensions"
+    x, y = cols
+    return F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), 0L, (acc, i) ->
+              acc + shiftleft((shiftright({x}, i) & 1), 2*i)
+                  + shiftleft((shiftright({y}, i) & 1), 2*i + 1))"""
+    )
+
+
+def zorder_on_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Persist ``df`` clustered on the Morton interleave of two numeric
+    columns: every output file covers a small rectangle of the 2-d key
+    space, so range predicates on EITHER column (or both) skip files.
+    Single-key sort gives perfect skipping on one column and none on
+    the other; z-order trades a little of the first for a lot of the
+    second — the standard multi-dimensional clustering choice
+    (Delta/Iceberg OPTIMIZE ZORDER) expressed in plain Spark.
+
+    Each dimension is affinely quantized to ``bits``-bit ranks from its
+    own min/max (one tiny pre-aggregation), then the interleaved key
+    drives the same range-partition + local-sort write as
+    ``sort_on_write``. The z column is dropped from the stored data.
+    """
+    c1, c2 = cols
+    mm = df.agg(
+        F.min(c1).alias("min1"),
+        F.max(c1).alias("max1"),
+        F.min(c2).alias("min2"),
+        F.max(c2).alias("max2"),
+    ).first()
+    top = (1 << bits) - 1
+
+    def rank(col: str, lo: object, hi: object) -> Column:
+        span = (hi - lo) or 1
+        return ((F.col(col) - F.lit(lo)) * top / F.lit(span)).cast("long")
+
+    z = df.withColumn("_zx", rank(c1, mm["min1"], mm["max1"])).withColumn(
+        "_zy", rank(c2, mm["min2"], mm["max2"])
+    )
+    (
+        z.withColumn("_z", _zvalue(["_zx", "_zy"], bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_zx", "_zy", "_z")
         .write.mode("overwrite")
         .parquet(path)
     )

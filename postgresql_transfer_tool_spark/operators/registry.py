@@ -84,6 +84,7 @@ _PRIORITY = [
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
     "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
     "curation_pipeline_funnel", "mv_incremental_refresh",
+    "window_value_functions",
     # tpch_full tail — derived-extra surface; if the driver's per-round
     # row budget cuts anywhere, it should cut here, not in the
     # LLM-pipeline families above

@@ -155,3 +155,52 @@ def rank_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)
+             OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value/distribution window functions (FIRST/LAST/NTH_VALUE,
+    PERCENT_RANK, CUME_DIST) with a unique (o_orderdate, o_orderkey)
+    tie-break so every frame — and therefore every emitted double — is
+    engine-deterministic. o_totalprice passes through unaggregated, so
+    no decimal discipline is needed; LAST_VALUE gets an explicit
+    whole-partition frame (the default frame ends at CURRENT ROW in
+    both engines, which would make it just the current row's value)."""
+    part = Window.partitionBy("o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    whole = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.first("o_totalprice").over(part).alias("first_price"),
+            F.last("o_totalprice").over(whole).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(part).alias("second_price"),
+            F.percent_rank().over(part).alias("pct_rank"),
+            F.cume_dist().over(part).alias("cume"),
+        )
+    )

@@ -68,3 +68,39 @@ def test_sorted_layout_query_parity(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, probe.collect())) == sorted(
         map(tuple, probe_sorted.collect())
     )
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-key sort: the sorted layout prunes perfectly on
+    its key and not at all on the other; z-order prunes on BOTH."""
+    from postgresql_transfer_tool_spark.functions.layout import zorder_on_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "keysort")
+    zorder_on_write(li, z_path, ("l_orderkey", "l_partkey"), n_files=16)
+    sort_on_write(li, s_path, "l_orderkey", n_files=16)
+
+    stats = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    ok_lo, ok_hi, pk_lo, pk_hi = stats
+    # ~1/8 span probes on each dimension
+    ok_probe = (ok_lo, ok_lo + (ok_hi - ok_lo) // 8)
+    pk_probe = (pk_lo, pk_lo + (pk_hi - pk_lo) // 8)
+
+    def frac(path, col, probe):
+        return overlap_fraction(file_key_ranges(path, col), *probe)
+
+    # secondary-dimension probe: sorted layout cannot skip anything
+    assert frac(s_path, "l_partkey", pk_probe) == 1.0
+    # ...z-order skips a real fraction of files on that same probe
+    assert frac(z_path, "l_partkey", pk_probe) <= 0.75
+    # and still skips on the first dimension too
+    assert frac(z_path, "l_orderkey", ok_probe) <= 0.75
+    # parity: clustering must not change the data
+    z_rows = spark.read.parquet(z_path).count()
+    assert z_rows == li.count()
