@@ -67,23 +67,26 @@ _PRIORITY = [
     "quantiles_approx", "stratified_sample", "histogram_fixed_buckets",
     # X6 multimodal
     "binary_column_plumbing", "embedding_column_stats", "media_decode_features",
-    # multi-format sources (round 2) — CSV/JSON round-trip parity
-    "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
-    # TPC-H extensions
+    # round-1 oracle fixes (HUGEINT casts) — need fresh driver rows
+    "json_schema_promotion", "sessionization_gap_30m",
+    # TPC-H extensions (VERDICT: no round-1 rows)
     "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue_ratio",
     "q18_large_volume_customers", "q19_disjunctive_predicates",
     "q16_supplier_count_by_part_attrs", "q21_multi_supplier_orders",
     "q22_dormant_rich_customers",
-    # custom pandas + analytic stragglers without round-1 rows
-    "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
-    # round-2 oracle fixes (HUGEINT casts) — need fresh driver rows
-    "json_schema_promotion", "sessionization_gap_30m",
-    # round-2 additions — need first driver rows
-    "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
+    # flagship composed pipeline + MV maintenance (round 2)
+    "curation_pipeline_funnel", "mv_incremental_refresh",
+    # multi-format sources (round 2) — CSV/JSON round-trip parity
+    "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
+    # curation trio
+    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
+    # merge + corpus families
     "merge_upsert_orders", "merge_scd2_customer_balance",
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
-    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
-    "curation_pipeline_funnel", "mv_incremental_refresh",
+    # remaining round-2 additions
+    "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
+    # custom pandas + analytic stragglers without round-1 rows
+    "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions",
     # tpch_full tail — derived-extra surface; if the driver's per-round
     # row budget cuts anywhere, it should cut here, not in the
