@@ -152,3 +152,26 @@ def test_ivf_cells_match_oracle_formula(duck):
             f" length(bin(({n} - 1) // {TARGET_CELL}))))) AS BIGINT)"
         )
         assert duck.sql(sql).fetchone()[0] == ivf_cells_for(n)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Quality bound, not just oracle parity: IVF with NPROBE=2 probed
+    cells must recover a healthy fraction of the exact top-k neighbor
+    pairs (first-centroid assignment is crude; recall cannot be ~1.0,
+    but an IVF whose recall collapses is mis-built)."""
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert exact, "brute-force baseline returned nothing — vacuous"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
