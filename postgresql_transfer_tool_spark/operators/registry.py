@@ -87,7 +87,7 @@ _PRIORITY = [
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
-    "window_value_functions",
+    "window_value_functions", "analyze_table_stats", "not_in_null_semantics",
     # tpch_full tail — derived-extra surface; if the driver's per-round
     # row budget cuts anywhere, it should cut here, not in the
     # LLM-pipeline families above
@@ -123,6 +123,7 @@ def load_all() -> None:
         curation,
         pipeline,
         matview,
+        stats,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 

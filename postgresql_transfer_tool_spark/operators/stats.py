@@ -1,0 +1,131 @@
+"""Table statistics (ANALYZE) — the input every cost-based decision eats.
+
+The engine's broadcast/shuffle/skew choices all key off relation sizes
+and key cardinalities; a 100 TB deployment runs this per table/partition
+on a schedule (Spark's own ``ANALYZE TABLE ... COMPUTE STATISTICS FOR
+COLUMNS`` feeds the same numbers to Catalyst's CBO). One pass computes
+every column's null count, exact NDV, and min/max — all
+partial-aggregable, so the scan parallelizes and merges like any other
+aggregate. Output is long-form (one row per column) so the relation is
+stable as schemas evolve.
+
+NULL-semantics companion: ``not_in_null_semantics`` pins the
+three-valued-logic corner every engine must agree on — ``x NOT IN
+(subquery with NULL)`` is never TRUE — because a migration tool that
+"validates" with NOT IN and gets engine-specific answers corrupts its
+orphan checks (the reference's FK validation domain, C4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+#: columns profiled by the registered query (orders table)
+_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "analyze_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS ndv,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` in ONE scan: the Spark side
+    computes all columns' stats in a single aggregation (the oracle's
+    UNION ALL re-scans per column — fine for DuckDB, wrong at scale)
+    and unpivots with stack(). min/max stringify so one long-form
+    relation carries mixed column types."""
+    aggs = []
+    for c in _COLS:
+        aggs += [
+            F.count("*").alias(f"n_{c}"),
+            (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nulls_{c}, ndv_{c}, min_{c}, max_{c}" for c in _COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_COLS)}, {stack_args})"
+            " AS (col, n_rows, n_nulls, ndv, min_v, max_v)"
+        )
+    )
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey <= 20
+    ),
+    keys_with_null AS (
+      SELECT o_custkey AS k FROM orders WHERE o_custkey <= 10
+      UNION ALL SELECT NULL
+    )
+    SELECT
+      (SELECT COUNT(*) FROM probe
+       WHERE c_custkey NOT IN (SELECT k FROM keys_with_null)) AS n_not_in_with_null,
+      (SELECT COUNT(*) FROM probe
+       WHERE c_custkey NOT IN (SELECT k FROM keys_with_null WHERE k IS NOT NULL))
+        AS n_not_in_clean,
+      (SELECT COUNT(*) FROM probe
+       WHERE c_custkey IN (SELECT k FROM keys_with_null)) AS n_in_with_null
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic parity: NOT IN over a set containing NULL is
+    never TRUE (count 0); the NULL-filtered variant behaves like the
+    anti-join the engine's FK orphan check uses. Expressed via
+    spark.sql so the null-aware anti-join planning path itself is
+    exercised, exactly as a SQL user would hit it."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_nn")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_nn")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey FROM c_nn WHERE c_custkey <= 20
+        ),
+        keys_with_null AS (
+          SELECT o_custkey AS k FROM o_nn WHERE o_custkey <= 10
+          UNION ALL SELECT NULL
+        )
+        SELECT
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey NOT IN (SELECT k FROM keys_with_null)) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey NOT IN (SELECT k FROM keys_with_null WHERE k IS NOT NULL))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM probe
+           WHERE c_custkey IN (SELECT k FROM keys_with_null)) AS n_in_with_null
+        """
+    )
