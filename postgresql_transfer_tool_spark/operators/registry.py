@@ -124,6 +124,7 @@ def load_all() -> None:
         pipeline,
         matview,
         stats,
+        semantic,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 

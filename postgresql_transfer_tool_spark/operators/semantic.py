@@ -1,0 +1,226 @@
+"""Semantic & segment-level deduplication — X2 extensions (SURVEY.md §2.8).
+
+Two corpus-dedup operators beyond the exact/MinHash/SimHash family in
+``operators/dedup.py``:
+
+- ``dedup_semantic_clusters`` — SemDeDup-style (Abbas et al. 2023,
+  arXiv:2303.09540) semantic dedup: partition the embedding space into
+  nearest-centroid cells, then search for near-dup pairs ONLY within a
+  cell. Candidate generation is linear in the corpus (one broadcast
+  assignment pass + one shuffle on the cell id); the quadratic pairing
+  is bounded to ~TARGET_CELL rows per cell. This is the scale path that
+  replaces the exact all-pairs ``dedup_embedding_cosine`` at 100 TB,
+  trading bounded recall (pairs straddling a cell boundary are missed —
+  measured in tests/test_semantic.py) for linear cost.
+- ``text_segment_dedup`` — CCNet/Dolma-style paragraph dedup adapted to
+  the fixture corpus (no newlines): each document is segmented into
+  consecutive SEG_WORDS-word chunks, chunks are md5-hashed, and every
+  document reports the fraction of its chunks that occur elsewhere in
+  the corpus. One shuffle keyed on the 128-bit chunk hash — the exact
+  shape production paragraph-dedup pipelines use; nothing quadratic.
+
+Exactness: embeddings go through the quantized-integer cosine recipe
+(see operators/similarity.py); segment stats are integer counts with a
+single final IEEE division — both bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+from .similarity import (
+    DIM,
+    _SQL_DOT,
+    _SQL_NCELLS,
+    _SQL_QUANTIZED,
+    _spark_dot,
+    _spark_quantized,
+    ivf_cells_for,
+)
+
+#: same near-dup bar as the exact all-pairs baseline so recall is
+#: directly comparable (dedup.COSINE_NEARDUP_THRESHOLD)
+SEMANTIC_THRESHOLD = 0.45
+
+#: multi-probe width: every vector joins its top-ASSIGN_PROBES cells, so
+#: a near-dup pair is found unless the two vectors share NONE of their
+#: probe cells — the standard recall lever for cell-partitioned dedup
+#: (cost scales linearly: ~ASSIGN_PROBES² candidate inflation, still
+#: O(n·TARGET_CELL), never quadratic in n)
+ASSIGN_PROBES = 2
+
+#: words per segment for the paragraph-dedup analogue
+SEG_WORDS = 10
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_SQL_QUANTIZED},
+    {_SQL_NCELLS},
+    cent AS (
+      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q
+      WHERE vec_id < (SELECT nc FROM params)
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range({DIM}),
+                                i -> q.qe[i+1] * c.ce[i+1])) AS DOUBLE)
+                          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.ncent AS DOUBLE)))
+                          DESC, c.cid) AS crk
+        FROM q, cent c
+      ) t WHERE crk <= {ASSIGN_PROBES}
+    ),
+    cand AS (
+      SELECT sa.vec_id AS doc_a, sb.vec_id AS doc_b,
+             MIN(sa.cluster_id) AS cluster_id
+      FROM assigned sa
+      JOIN assigned sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+      GROUP BY sa.vec_id, sb.vec_id
+    )
+    SELECT * FROM (
+      SELECT p.cluster_id, p.doc_a, p.doc_b,
+             CAST({_SQL_DOT} AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM cand p
+      JOIN q a ON a.vec_id = p.doc_a
+      JOIN q b ON b.vec_id = p.doc_b
+    ) s WHERE cosine >= {SEMANTIC_THRESHOLD}
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid clustering, then within-cluster
+    cosine near-dup pairs.
+
+    Centroids are the quantized embeddings of the lowest ``nc`` vec_ids
+    (``nc`` corpus-adaptive via :func:`ivf_cells_for` — expected cell
+    population stays ~TARGET_CELL regardless of corpus size, so the
+    within-cell pairing is O(n·TARGET_CELL·ASSIGN_PROBES²), linear in
+    n). Assignment is a broadcast-centroid map pass: every vector joins
+    its top-ASSIGN_PROBES cells by cosine (ties to the lowest centroid
+    id) — multi-probe assignment recovers pairs that straddle a single
+    cell boundary (recall measured against the exact all-pairs baseline
+    in tests/test_semantic.py). Candidate pairs dedupe on (doc_a, doc_b)
+    BEFORE the exact dot product, so shared-by-both-probes pairs cost
+    one verification. Pairing shuffles once on the cell id, the dedupe
+    once on the pair key; at 100 TB no stage is quadratic in the corpus
+    and nothing lands on the driver. Real deployments would swap the
+    deterministic centroid choice for k-means iterations — the dataflow
+    (broadcast assign + cell-local pairing) is identical.
+    """
+    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    nc = ivf_cells_for(q.count())
+    cent = q.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("ncent"),
+    )
+    cdot = _spark_dot("qe", "ce")
+    ccos = cdot.cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= ASSIGN_PROBES)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    )
+    cand = (
+        assigned.select(F.col("vec_id").alias("doc_a"), "cluster_id")
+        .join(
+            assigned.select(F.col("vec_id").alias("doc_b"), "cluster_id"),
+            "cluster_id",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    cosine = _spark_dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        cand.join(
+            q.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("qe").alias("qa"),
+                F.col("nq").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("qe").alias("qb"),
+                F.col("nq").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select("cluster_id", "doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_THRESHOLD)
+    )
+
+
+@query(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range((len(toks) + {SEG_WORDS - 1}) // {SEG_WORDS}),
+                    i -> md5(array_to_string(
+                           list_slice(toks, i * {SEG_WORDS} + 1, i * {SEG_WORDS} + {SEG_WORDS}),
+                           ' ')))) AS h
+      FROM t
+    ), occ AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS occ FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           CAST(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM occ GROUP BY doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-segment fraction (paragraph-dedup shape).
+
+    Documents are cut into consecutive SEG_WORDS-word chunks; a chunk is
+    "duplicated" when its md5 occurs more than once corpus-wide (within-
+    document repeats count — they flag boilerplate just as cross-document
+    repeats do). One shuffle on the chunk hash (window count), one
+    aggregation back to the document: the plan is linear in corpus size
+    and skew-free (md5 keys are uniform). Documents are never empty
+    (split of "" still yields one element), so the segment sequence is
+    always non-degenerate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int((size(toks) + {SEG_WORDS - 1}) / {SEG_WORDS}) - 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i * {SEG_WORDS} + 1, {SEG_WORDS}))))"
+            )
+        ).alias("h"),
+    )
+    occ = segs.select(
+        "doc_id", F.count("*").over(Window.partitionBy("h")).alias("occ")
+    )
+    dup = F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+    return occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        dup.alias("n_dup_segments"),
+        (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+    )

@@ -1,0 +1,59 @@
+"""Semantic-cluster dedup and segment dedup — behavioral guarantees.
+
+The oracle-parity gate lives in test_oracle_diff.py; these tests pin the
+properties parity can't see: precision/recall of the cell-partitioned
+candidate generation vs the exact all-pairs baseline, and segment-dedup
+fraction semantics over the planted near-duplicate documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_transfer_tool_spark.operators.dedup import dedup_embedding_cosine
+from postgresql_transfer_tool_spark.operators.semantic import (
+    SEG_WORDS,
+    dedup_semantic_clusters,
+    text_segment_dedup,
+)
+
+
+def test_semantic_pairs_subset_of_exact_with_bounded_recall(spark, sf_dir):
+    # Every emitted pair is exact-verified, so precision is 1.0 by
+    # construction (subset of the all-pairs baseline); multi-probe cell
+    # assignment must keep recall usable even on borderline-cosine pairs.
+    exact = {(r.doc_a, r.doc_b) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    sem = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_semantic_clusters(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    assert sem <= exact, f"false positives: {sorted(sem - exact)[:5]}"
+    assert exact, "fixture should contain near-dup embedding pairs"
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} below bound (found {len(sem)}/{len(exact)})"
+
+
+def test_segment_dedup_fraction_semantics(spark, sf_dir):
+    res = text_segment_dedup(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(res) == docs.count(), "one row per document"
+    for r in res:
+        assert r.n_segments >= 1
+        assert 0 <= r.n_dup_segments <= r.n_segments
+        assert abs(r.dup_frac - r.n_dup_segments / r.n_segments) < 1e-12
+    # the fixture plants near-duplicate documents (TESTDATA.md), which
+    # share 10-word chunks verbatim — segment dedup must surface them
+    assert any(r.n_dup_segments > 0 for r in res)
+
+
+def test_segment_count_matches_token_count(spark, sf_dir):
+    # n_segments must equal ceil(tokens / SEG_WORDS) for every document
+    res = {r.doc_id: r.n_segments for r in text_segment_dedup(spark, sf_dir).collect()}
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    )
+    for r in toks:
+        expect = (r.n + SEG_WORDS - 1) // SEG_WORDS
+        assert res[r.doc_id] == expect, (r.doc_id, res[r.doc_id], expect)
