@@ -85,6 +85,7 @@ _PRIORITY = [
     "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
     # remaining round-2 additions
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
+    "dedup_semantic_clusters", "text_segment_dedup",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions", "analyze_table_stats", "not_in_null_semantics",

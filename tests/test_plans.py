@@ -110,3 +110,43 @@ def test_q2_broadcasts_dimensions(spark, sf_dir):
     from postgresql_transfer_tool_spark.operators.tpch_full import q2_min_cost_supplier
 
     assert has_broadcast_join(q2_min_cost_supplier(spark, sf_dir))
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    # At 100 TB a shuffle join of a huge fact against a selectively
+    # filtered dim should not shuffle fact rows that can never match:
+    # Catalyst's runtime bloom filter builds a bloom over the dim's join
+    # keys and injects a might_contain() filter on the fact side BEFORE
+    # its shuffle. Local fixture sizes sit below the production
+    # thresholds, so the test lowers them to prove the plan shape the
+    # cluster would get (broadcast disabled to force the shuffle join
+    # that bloom injection targets).
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        assert "might_contain" in physical_plan(joined)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
