@@ -114,7 +114,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroid choice for k-means iterations — the dataflow
     (broadcast assign + cell-local pairing) is identical.
     """
-    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    # the quantized relation feeds the corpus count, the centroid set,
+    # and both pair sides — materialize once (same memoization pattern
+    # as dedup.py's shingle chain) instead of re-quantizing per branch
+    q = (
+        _spark_quantized(spark, sf_dir)
+        .select("vec_id", "qe", "nq")
+        .localCheckpoint(eager=True)
+    )
     nc = ivf_cells_for(q.count())
     cent = q.filter(F.col("vec_id") < nc).select(
         F.col("vec_id").alias("cid"),
@@ -126,12 +133,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
     )
     cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    # assignment is self-joined for pairing — checkpoint the (vec_id,
+    # cluster_id) relation so the broadcast-assign pass runs once
     assigned = (
         q.join(F.broadcast(cent))
         .select("vec_id", "cid", ccos.alias("ccos"))
         .withColumn("crk", F.row_number().over(cw))
         .filter(F.col("crk") <= ASSIGN_PROBES)
         .select("vec_id", F.col("cid").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     cand = (
         assigned.select(F.col("vec_id").alias("doc_a"), "cluster_id")
