@@ -163,6 +163,108 @@ def spark_to_pg(dt: T.DataType) -> str:
     return pg
 
 
+# ---------------------------------------------------------------------------
+# Schema-compatibility validation. The reference README claims "Schema
+# Validation" (README.md:3,9) but ships only existence checks (SURVEY.md
+# §2.9); this is the real type-compatibility checker: given a reflected
+# source schema and an existing target schema, classify every column so
+# a transfer can refuse (or warn) BEFORE moving 100 TB into a target
+# that silently truncates.
+# ---------------------------------------------------------------------------
+
+#: safe implicit promotions, source → wider target
+_WIDENING: dict[type, tuple[type, ...]] = {
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType, T.DoubleType, T.DecimalType),
+    T.ShortType: (T.IntegerType, T.LongType, T.DoubleType, T.DecimalType),
+    T.IntegerType: (T.LongType, T.DoubleType, T.DecimalType),
+    T.LongType: (T.DecimalType,),
+    T.FloatType: (T.DoubleType,),
+    T.DateType: (T.TimestampType, T.TimestampNTZType),
+}
+
+
+def _column_verdict(src: T.DataType, dst: T.DataType) -> str:
+    if src == dst:
+        return "equal"
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        widen = (
+            dst.precision >= src.precision
+            and dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+        return "widening" if widen else "narrowing"
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _column_verdict(src.elementType, dst.elementType)
+    for wider in _WIDENING.get(type(src), ()):
+        if isinstance(dst, wider):
+            if isinstance(dst, T.DecimalType):
+                # the integer must fit the decimal's integral digits
+                need = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}[
+                    type(src)
+                ]
+                if dst.precision - dst.scale < need:
+                    return "narrowing"
+            return "widening"
+    for wider in _WIDENING.get(type(dst), ()):
+        if isinstance(src, wider):
+            return "narrowing"
+    return "incompatible"
+
+
+def schema_compat(
+    source: T.StructType, target: T.StructType
+) -> list[dict[str, str]]:
+    """Column-by-column compatibility report for loading ``source`` rows
+    into an existing ``target`` table.
+
+    One dict per column: ``{column, verdict, source, target}`` with
+    verdict ∈ ``equal | widening | narrowing | incompatible | missing
+    (absent in target) | extra (target-only) | nullability (source
+    nullable, target NOT NULL)``. Narrowing/incompatible/missing/
+    nullability make the pair unloadable (see :func:`is_loadable`);
+    ``extra`` target columns are fine iff nullable (reported so callers
+    can decide). Nested Array element types recurse; everything else
+    compares structurally.
+    """
+    report: list[dict[str, str]] = []
+    tgt = {f.name: f for f in target.fields}
+    for f in source.fields:
+        t = tgt.pop(f.name, None)
+        if t is None:
+            report.append(
+                {"column": f.name, "verdict": "missing", "source": f.dataType.simpleString(), "target": ""}
+            )
+            continue
+        verdict = _column_verdict(f.dataType, t.dataType)
+        if verdict in ("equal", "widening") and f.nullable and not t.nullable:
+            verdict = "nullability"
+        report.append(
+            {
+                "column": f.name,
+                "verdict": verdict,
+                "source": f.dataType.simpleString(),
+                "target": t.dataType.simpleString(),
+            }
+        )
+    for f in tgt.values():
+        report.append(
+            {
+                "column": f.name,
+                "verdict": "extra" if f.nullable else "nullability",
+                "source": "",
+                "target": f.dataType.simpleString(),
+            }
+        )
+    return report
+
+
+def is_loadable(report: list[dict[str, str]]) -> bool:
+    """True when every source column lands losslessly (equal/widening)
+    and no target constraint (NOT NULL extra/narrower column) can reject
+    rows."""
+    return all(r["verdict"] in ("equal", "widening", "extra") for r in report)
+
+
 def create_table_ddl(
     schema: T.StructType,
     table: str,

@@ -135,3 +135,72 @@ def test_property_roundtrip_pg_spark_pg():
         assert pg_to_spark(pg2) == spark_t
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# schema_compat — the §2.9 "Schema Validation" checker
+# ---------------------------------------------------------------------------
+
+
+def _st(*fields):
+    return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+def test_schema_compat_equal_and_widening():
+    from postgresql_transfer_tool_spark.types import is_loadable, schema_compat
+
+    src = _st(("a", T.IntegerType(), True), ("b", T.FloatType(), True))
+    dst = _st(("a", T.LongType(), True), ("b", T.DoubleType(), True))
+    rep = {r["column"]: r["verdict"] for r in schema_compat(src, dst)}
+    assert rep == {"a": "widening", "b": "widening"}
+    assert is_loadable(schema_compat(src, dst))
+    assert is_loadable(schema_compat(src, src))
+
+
+def test_schema_compat_narrowing_and_incompatible():
+    from postgresql_transfer_tool_spark.types import is_loadable, schema_compat
+
+    src = _st(("a", T.LongType(), True), ("b", T.StringType(), True))
+    dst = _st(("a", T.IntegerType(), True), ("b", T.DateType(), True))
+    rep = {r["column"]: r["verdict"] for r in schema_compat(src, dst)}
+    assert rep == {"a": "narrowing", "b": "incompatible"}
+    assert not is_loadable(schema_compat(src, dst))
+
+
+def test_schema_compat_decimal_rules():
+    from postgresql_transfer_tool_spark.types import schema_compat
+
+    # wider precision AND integral digits → widening; fewer integral → narrowing
+    src = _st(("d", T.DecimalType(10, 2), True), ("i", T.LongType(), True))
+    good = _st(("d", T.DecimalType(12, 2), True), ("i", T.DecimalType(19, 0), True))
+    bad = _st(("d", T.DecimalType(12, 6), True), ("i", T.DecimalType(18, 4), True))
+    assert [r["verdict"] for r in schema_compat(src, good)] == ["widening", "widening"]
+    # 12-6=6 integral < 10-2=8 → narrowing; 18-4=14 < 19 → narrowing
+    assert [r["verdict"] for r in schema_compat(src, bad)] == ["narrowing", "narrowing"]
+
+
+def test_schema_compat_missing_extra_nullability():
+    from postgresql_transfer_tool_spark.types import is_loadable, schema_compat
+
+    src = _st(("a", T.IntegerType(), True), ("gone", T.StringType(), True))
+    dst = _st(
+        ("a", T.IntegerType(), False),          # source nullable → NOT NULL target
+        ("extra_ok", T.StringType(), True),     # nullable extra: fine
+        ("extra_bad", T.StringType(), False),   # NOT NULL extra: rejects every row
+    )
+    rep = {r["column"]: r["verdict"] for r in schema_compat(src, dst)}
+    assert rep == {
+        "a": "nullability",
+        "gone": "missing",
+        "extra_ok": "extra",
+        "extra_bad": "nullability",
+    }
+    assert not is_loadable(schema_compat(src, dst))
+
+
+def test_schema_compat_array_recursion():
+    from postgresql_transfer_tool_spark.types import schema_compat
+
+    src = _st(("v", T.ArrayType(T.IntegerType()), True))
+    dst = _st(("v", T.ArrayType(T.LongType()), True))
+    assert schema_compat(src, dst)[0]["verdict"] == "widening"
