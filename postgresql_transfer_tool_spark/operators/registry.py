@@ -86,6 +86,7 @@ _PRIORITY = [
     # remaining round-2 additions
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
     "dedup_semantic_clusters", "text_segment_dedup",
+    "cohort_retention", "active_users_rolling", "funnel_user_conversion",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions", "analyze_table_stats", "not_in_null_semantics",
@@ -126,6 +127,7 @@ def load_all() -> None:
         matview,
         stats,
         semantic,
+        product_analytics,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
