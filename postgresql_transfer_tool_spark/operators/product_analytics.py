@@ -22,7 +22,7 @@ Scale shapes (100 TB event streams):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -69,21 +69,28 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic day-N retention: users grouped by first-activity day, the
     fraction still active at each day offset within RETENTION_DAYS.
 
-    cohort (groupBy user) and activity join co-partitioned on user_id;
-    the cohort-size relation is tiny (≤ one row per calendar day) and
-    broadcasts into the final ratio join.
+    The cohort day attaches via MIN() OVER (PARTITION BY user_id) — one
+    shuffle on user_id, no cohort self-join — and the cohort size needs
+    no separate branch: every user is by definition active at offset 0,
+    so n_cohort ≡ n_active(day_offset=0), read back with a window over
+    the (tiny) retention grid. The event log is scanned exactly once.
+    (The oracle spells the same semantics relationally.)
     """
-    activity = _activity(spark, sf_dir)
-    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    act = _activity(spark, sf_dir).withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     ret = (
-        cohort.join(activity, "user_id")
-        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        act.withColumn("day_offset", F.datediff("day", "cohort_day"))
         .filter(F.col("day_offset") <= RETENTION_DAYS)
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
-    return ret.join(F.broadcast(sizes), "cohort_day").select(
+    return ret.withColumn(
+        "n_cohort",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(
+            Window.partitionBy("cohort_day")
+        ),
+    ).select(
         "cohort_day",
         "day_offset",
         "n_active",
@@ -114,22 +121,28 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU plus exact ROLLING_DAYS-day rolling distinct active users.
 
     Sliding COUNT(DISTINCT) doesn't compose as a window aggregate, so
-    the exact form fans the (already day-deduplicated) activity relation
-    out to the ≤ROLLING_DAYS calendar days it contributes to — a bounded
-    ×7 expansion of a relation that is tiny next to the raw event log —
-    then aggregates per day. The day dimension broadcasts. At extreme
-    scale the sketch alternative is per-day HLLs merged over the window
-    (approx.py shows the HLL path).
+    the exact form fans each (user, day) activity row out to the
+    ≤ROLLING_DAYS window-end days it contributes to — an EXPLODE of a
+    date sequence, not a theta join (the naive BETWEEN join compiles to
+    a nested-loop; the explode is map-side) — then aggregates per day.
+    A semi-join against the (tiny, broadcast) observed-day dimension
+    drops window ends past the calendar. The expansion is ×7 of a
+    relation already orders of magnitude smaller than the event log. At
+    extreme scale the sketch alternative is per-day HLLs merged over
+    the window (approx.py shows the HLL path).
     """
     activity = _activity(spark, sf_dir)
-    days = activity.select("day").distinct()
-    joined = F.broadcast(days.select(F.col("day").alias("d"))).join(
-        activity,
-        (F.col("day") >= F.date_sub(F.col("d"), ROLLING_DAYS - 1))
-        & (F.col("day") <= F.col("d")),
-    )
+    days = activity.select(F.col("day").alias("d")).distinct()
+    fanned = activity.withColumn(
+        "d",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_DAYS - 1}), interval 1 day)"
+            )
+        ),
+    ).join(F.broadcast(days), "d", "left_semi")
     return (
-        joined.groupBy("d")
+        fanned.groupBy("d")
         .agg(
             F.countDistinct(
                 F.when(F.col("day") == F.col("d"), F.col("user_id"))
@@ -171,36 +184,50 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase strictly after that click, counted per user.
 
     Order matters (a click before any view doesn't count), which is what
-    separates a funnel from three filters. Every stage is a groupBy on
-    user_id; successive stages join co-partitioned on the same key, so
-    the whole funnel is one partitioning of the user space. The final
-    single-row aggregate collapses map-side.
+    separates a funnel from three filters. The whole funnel is THREE
+    CHAINED WINDOW AGGREGATES over the same user_id partitioning — each
+    stage's first-qualifying timestamp feeds the next stage's predicate
+    — so the event log is scanned once and shuffled once; the per-user
+    collapse reuses the same partitioning (no further exchange) and the
+    final single-row aggregate folds map-side. (The oracle spells the
+    identical semantics as per-stage groupBy + join, which is what this
+    plan would degenerate to with 3 scans at 100 TB.)
     """
-    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    first_view = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    )
-    first_click = (
-        events.filter(F.col("event_type") == "click")
-        .join(first_view, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    first_purchase = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(first_click, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        first_view.join(first_click, "user_id", "left")
-        .join(first_purchase, "user_id", "left")
-        .agg(
-            F.count("*").alias("n_users"),
-            F.count("t_view").alias("n_view"),
-            F.count("t_click").alias("n_view_click"),
-            F.count("t_purchase").alias("n_full_funnel"),
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
     )
