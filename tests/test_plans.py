@@ -150,3 +150,28 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_scan_single_user_shuffle(spark, sf_dir):
+    # the ordered funnel must be one scan of the event log + chained
+    # windows over one user_id partitioning — never per-stage rescans
+    import re
+
+    from postgresql_transfer_tool_spark.operators.product_analytics import (
+        funnel_user_conversion,
+    )
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    plan = physical_plan(funnel_user_conversion(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_rolling_distinct_avoids_nested_loop(spark, sf_dir):
+    # the sliding-window fan-out must be an explode + hash semi-join,
+    # not a BETWEEN theta join (nested-loop at scale)
+    from postgresql_transfer_tool_spark.operators.product_analytics import (
+        active_users_rolling,
+    )
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    assert "BroadcastNestedLoop" not in physical_plan(active_users_rolling(spark, sf_dir))
