@@ -1,0 +1,45 @@
+"""Behavioral invariants for the product-analytics family.
+
+Oracle parity (test_oracle_diff.py) proves Spark ≡ DuckDB; these prove
+the shared semantics are the RIGHT ones — funnel stage monotonicity,
+retention bounds, rolling-window dominance — properties that would
+still hold if both engines were wrong together.
+"""
+
+from __future__ import annotations
+
+from postgresql_transfer_tool_spark.operators.product_analytics import (
+    RETENTION_DAYS,
+    active_users_rolling,
+    cohort_retention,
+    funnel_user_conversion,
+)
+
+
+def test_funnel_stage_monotonicity(spark, sf_dir):
+    row = funnel_user_conversion(spark, sf_dir).collect()[0]
+    assert row.n_users >= row.n_view >= row.n_view_click >= row.n_full_funnel >= 0
+    assert row.n_users > 0
+
+
+def test_retention_bounds_and_day_zero(spark, sf_dir):
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.day_offset <= RETENTION_DAYS
+        assert 0 < r.n_active <= r.n_cohort
+        assert 0.0 < r.retention <= 1.0
+    # every user is active on their cohort day → day-0 retention is 1.0
+    day0 = [r for r in rows if r.day_offset == 0]
+    assert day0 and all(r.retention == 1.0 for r in day0)
+
+
+def test_rolling_window_dominates_dau(spark, sf_dir):
+    rows = active_users_rolling(spark, sf_dir).collect()
+    assert rows
+    by_day = sorted(rows, key=lambda r: r.day)
+    for r in by_day:
+        assert 0 <= r.dau <= r.wau_7d
+    # the 7-day window over a contiguous fixture must strictly exceed a
+    # single day somewhere (there are multiple active days)
+    assert any(r.wau_7d > r.dau for r in by_day)
