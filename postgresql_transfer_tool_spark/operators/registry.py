@@ -87,6 +87,7 @@ _PRIORITY = [
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
     "dedup_semantic_clusters", "text_segment_dedup",
     "cohort_retention", "active_users_rolling", "funnel_user_conversion",
+    "ann_pq_topk",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions", "analyze_table_stats", "not_in_null_semantics",

@@ -472,3 +472,187 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "true_label", "neighbor_label")
         .agg(F.count("*").alias("votes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path.
+#
+# IVF bounds WORK per query (probe a few cells); hyperplane LSH bounds
+# CANDIDATES; PQ bounds MEMORY: each DIM-dim vector compresses to
+# PQ_M one-byte codes (64 ints → 8 bytes here), so a 100 TB embedding
+# corpus's index fits in cluster RAM and ADC scoring reads codes, not
+# vectors. Codebooks are deterministic (subvectors of the lowest
+# PQ_K vec_ids — a real deployment k-means-trains them; the dataflow is
+# identical), so encoding and scoring are exact integer arithmetic and
+# the whole pipeline is oracle-mirrorable:
+#
+#   encode:  code[v][m] = argmin_k ||sub(v,m) - codeword(m,k)||²
+#   ADC:     approx_dot(q, v) = Σ_m  dot(sub(q,m), codeword(m, code[v][m]))
+#   rerank:  top PQ_CAND by approx dot → exact cosine → TOP_K
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16       # codewords per subspace
+PQ_CAND = 50    # ADC candidates kept for exact re-rank
+
+
+#: (vec_id, m, sv) subvector relation shared by corpus, codebook, queries
+_SQL_SUB = f"""
+sub AS (
+  SELECT vec_id, m, list_slice(qe, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM q CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) ms
+)
+"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_SQL_QUANTIZED},
+    {_SQL_SUB},
+    cb AS (
+      SELECT m, vec_id AS k, sv AS cw FROM sub WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_sum(list_transform(range({PQ_SUBDIM}),
+                            i -> (s.sv[i+1] - c.cw[i+1]) * (s.sv[i+1] - c.cw[i+1]))),
+                          c.k) AS erk
+        FROM sub s JOIN cb c ON c.m = s.m
+      ) t WHERE erk = 1
+    ),
+    qdots AS (
+      SELECT s.vec_id AS query_id, s.m, c.k,
+             list_sum(list_transform(range({PQ_SUBDIM}),
+                      i -> s.sv[i+1] * c.cw[i+1])) AS pd
+      FROM sub s JOIN cb c ON c.m = s.m
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT d.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(d.pd) AS BIGINT) AS adot
+      FROM enc e JOIN qdots d ON d.m = e.m AND d.k = e.code
+      WHERE e.vec_id <> d.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adot DESC, neighbor_id) AS ark
+        FROM adc
+      ) t WHERE ark <= {PQ_CAND}
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT c.query_id, c.neighbor_id,
+             CAST({_SQL_DOT} AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.query_id
+               ORDER BY CAST({_SQL_DOT} AS DOUBLE)
+                        / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+                        DESC, c.neighbor_id) AS rk
+      FROM cand c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.neighbor_id
+    ) t WHERE rk <= {TOP_K}
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k: encode the corpus to PQ_M-byte codes, score queries
+    against codes with asymmetric distance (ADC), exact-rerank the top
+    PQ_CAND.
+
+    Scale shape: the codebook (PQ_M×PQ_K subvectors) broadcasts;
+    encoding is a broadcast join + per-(vector, subspace) argmin — one
+    shuffle of the (vec_id, m) relation, linear in n and embarrassingly
+    parallel. ADC joins the code table against the (tiny, broadcast)
+    query partial-dot table on (m, code) — the corpus's full vectors are
+    only touched for the PQ_CAND re-rank rows per query. At 100 TB the
+    vectors live in cold storage and the hot working set is n·PQ_M
+    bytes of codes.
+    """
+    q = (
+        _spark_quantized(spark, sf_dir)
+        .select("vec_id", "qe", "nq")
+        .localCheckpoint(eager=True)
+    )
+    sub = q.select(
+        "vec_id",
+        "qe",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(qe, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    l2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    ew = Window.partitionBy("vec_id", "m").orderBy(F.col("dist"), F.col("k"))
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", l2.alias("dist"))
+        .withColumn("erk", F.row_number().over(ew))
+        .filter(F.col("erk") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    pd = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qdots = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(F.col("vec_id").alias("query_id"), "m", "k", pd.alias("pd"))
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qdots),
+            (enc.m == qdots.m) & (enc.code == qdots.k),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adot"))
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    cand = (
+        adc.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    cosine = _spark_dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qe").alias("qa"),
+                F.col("nq").alias("na"),
+            ),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qe").alias("qb"),
+                F.col("nq").alias("nb"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= TOP_K)
+    )
