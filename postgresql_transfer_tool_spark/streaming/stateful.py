@@ -9,6 +9,13 @@ across micro-batches.
 At scale: state is partitioned by user_id across executors (RocksDB/HDFS
 state store in production configs); each micro-batch touches only the
 keys present in that batch.
+
+(Spark 4's successor API, ``transformWithStateInPandas`` /
+``StatefulProcessor`` with typed ValueState, expresses the same operator;
+its Python driver worker needs a working ``google.protobuf`` install,
+which this container lacks, so the engine standardizes on
+``applyInPandasWithState`` — the dataflow and state partitioning are
+identical.)
 """
 
 from __future__ import annotations

@@ -204,3 +204,37 @@ def test_schema_compat_array_recursion():
     src = _st(("v", T.ArrayType(T.IntegerType()), True))
     dst = _st(("v", T.ArrayType(T.LongType()), True))
     assert schema_compat(src, dst)[0]["verdict"] == "widening"
+
+
+def test_schema_compat_widening_narrowing_duality():
+    """Property: a widening verdict one way must be narrowing the other
+    way, equal and incompatible are symmetric, and NO pair may be safe
+    (equal/widening) in both directions unless identical — the checker
+    can't let a lossy round-trip look clean. (Both directions CAN be
+    narrowing: int ↔ decimal(10,2) loses integral digits one way and the
+    fraction the other.)"""
+    from hypothesis import given, strategies as st
+
+    from postgresql_transfer_tool_spark.types import _column_verdict
+
+    scalars = st.sampled_from(
+        [
+            T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+            T.FloatType(), T.DoubleType(), T.StringType(), T.DateType(),
+            T.TimestampType(), T.TimestampNTZType(), T.BooleanType(),
+            T.DecimalType(10, 2), T.DecimalType(12, 2), T.DecimalType(12, 6),
+            T.DecimalType(19, 0),
+        ]
+    )
+
+    @given(scalars, scalars)
+    def check(a, b):
+        fwd, rev = _column_verdict(a, b), _column_verdict(b, a)
+        assert (fwd == "equal") == (rev == "equal"), (a, b)
+        assert (fwd == "incompatible") == (rev == "incompatible"), (a, b)
+        if fwd == "widening":
+            assert rev == "narrowing", (a, b)
+        if a != b:
+            assert not (fwd in ("equal", "widening") and rev in ("equal", "widening")), (a, b)
+
+    check()
