@@ -65,6 +65,13 @@ def partitioned_read_options(
         "numPartitions": str(num_partitions),
         "fetchsize": str(fetch_size),
         "pushDownPredicate": "true",
+        # server-side aggregation/LIMIT/TABLESAMPLE where the plan allows:
+        # COUNT(*)/MAX(id) HWM probes (A1-A4) then move zero rows over the
+        # wire instead of the whole table — at 100 TB the difference
+        # between a catalog query and a full scan
+        "pushDownAggregate": "true",
+        "pushDownLimit": "true",
+        "pushDownTableSample": "true",
     }
 
 

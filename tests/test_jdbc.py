@@ -23,6 +23,10 @@ def test_partitioned_read_options():
     assert opts["partitionColumn"] == "o_orderkey"
     assert opts["numPartitions"] == "32"
     assert opts["pushDownPredicate"] == "true"
+    # aggregate/limit/sample pushdown: HWM probes must run server-side
+    assert opts["pushDownAggregate"] == "true"
+    assert opts["pushDownLimit"] == "true"
+    assert opts["pushDownTableSample"] == "true"
     assert int(opts["fetchsize"]) >= 1000  # ≥ the reference's chunk_size
 
 
