@@ -65,3 +65,47 @@ def test_asof_pandas_matches_window_composition(spark, sf_dir):
         for r in asof_join_pandas(spark, sf_dir).collect()
     }
     assert via_window == via_pandas
+
+
+def test_udtf_segmentation_matches_jvm_expression(spark, sf_dir):
+    """Python UDTFs (Spark 3.5+/4) are the lateral-table escape hatch for
+    variable-arity row expansion — but they're Python row-path, so the
+    engine's production segmenter (semantic.text_segment_dedup) uses the
+    JVM transform/slice expression instead. This differential pins the
+    two implementations to identical output, so the fast path provably
+    computes the UDTF semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.operators.semantic import SEG_WORDS
+
+    @udtf(returnType="seg_idx int, seg string")
+    class SegmentUDTF:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            for i in range(0, len(toks), SEG_WORDS):
+                yield i // SEG_WORDS, " ".join(toks[i : i + SEG_WORDS])
+
+    spark.udtf.register("segments_udtf", SegmentUDTF)
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("seg_docs")
+    via_udtf = {
+        (r.doc_id, r.seg_idx, r.seg)
+        for r in spark.sql(
+            "SELECT d.doc_id, s.seg_idx, s.seg FROM seg_docs d, LATERAL segments_udtf(d.text) s"
+        ).collect()
+    }
+    via_jvm = {
+        (r.doc_id, r.seg_idx, r.seg)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int((size(split(trim(text), '\\\\s+')) + {SEG_WORDS - 1}) / {SEG_WORDS}) - 1),"
+                    f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * {SEG_WORDS} + 1, {SEG_WORDS})))"
+                )
+            ).alias("seg_idx", "seg"),
+        ).collect()
+    }
+    assert via_udtf == via_jvm
