@@ -16,8 +16,8 @@ Scale shapes (100 TB event streams):
   co-partitioned on the same key so AQE plans them without extra
   exchanges;
 - the rolling window fans the day-level activity out ×7 (bounded, exact
-  sliding distinct); at extreme scale the HLL-sketch-merge variant
-  (approx.py) replaces it.
+  sliding distinct); the HLL-sketch-merge variant
+  (active_users_rolling_hll) replaces it at extreme scale.
 """
 
 from __future__ import annotations
@@ -129,7 +129,7 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops window ends past the calendar. The expansion is ×7 of a
     relation already orders of magnitude smaller than the event log. At
     extreme scale the sketch alternative is per-day HLLs merged over
-    the window (approx.py shows the HLL path).
+    the window (:func:`active_users_rolling_hll`).
     """
     activity = _activity(spark, sf_dir)
     days = activity.select(F.col("day").alias("d")).distinct()
@@ -230,4 +230,54 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_full_funnel"),
+    )
+
+
+@query("active_users_rolling_hll", oracle=None)  # sketch estimates are
+# engine-specific (Apache DataSketches HLL); parity vs DuckDB is
+# impossible by construction — the repo-side test bounds the estimate
+# error against the exact rolling counts instead
+def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge rolling actives — the shape that replaces
+    :func:`active_users_rolling` when even the (user, day) relation is
+    too big to fan out ×ROLLING_DAYS.
+
+    One pass builds a constant-size HLL sketch PER DAY
+    (``hll_sketch_agg`` — mergeable, partial-aggregable); the rolling
+    union is then ``hll_union_agg`` over the ≤ROLLING_DAYS sketches in
+    each window — work and state proportional to #days × sketch size
+    (KB), completely independent of user cardinality. This is how DAU/
+    WAU/MAU dashboards run at 100 TB: sketches persist per day and any
+    window is a cheap union, never a rescan.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
+        )
+    )
+    fanned = daily.withColumn(
+        "d",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_DAYS - 1}), interval 1 day)"
+            )
+        ),
+    ).join(
+        F.broadcast(daily.select(F.col("day").alias("d")).distinct()),
+        "d",
+        "left_semi",
+    )
+    return (
+        fanned.groupBy("d")
+        .agg(
+            F.max(F.when(F.col("day") == F.col("d"), F.col("dau"))).alias("dau"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                f"wau_{ROLLING_DAYS}d_estimate"
+            ),
+        )
+        .withColumnRenamed("d", "day")
     )

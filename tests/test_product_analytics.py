@@ -43,3 +43,24 @@ def test_rolling_window_dominates_dau(spark, sf_dir):
     # the 7-day window over a contiguous fixture must strictly exceed a
     # single day somewhere (there are multiple active days)
     assert any(r.wau_7d > r.dau for r in by_day)
+
+
+def test_rolling_hll_tracks_exact_counts(spark, sf_dir):
+    """The sketch-merge rolling actives must agree with the exact path:
+    DAU (still exact countDistinct) matches identically; the HLL union
+    estimate stays within the lgK=14 error envelope (±2% is generous —
+    at fixture cardinality the sketch is effectively exact)."""
+    from postgresql_transfer_tool_spark.operators.product_analytics import (
+        active_users_rolling,
+        active_users_rolling_hll,
+    )
+
+    exact = {r.day: (r.dau, r.wau_7d) for r in active_users_rolling(spark, sf_dir).collect()}
+    est = {
+        r.day: (r.dau, r.wau_7d_estimate)
+        for r in active_users_rolling_hll(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for day, (dau, wau) in exact.items():
+        assert est[day][0] == dau
+        assert abs(est[day][1] - wau) / wau <= 0.02, (day, est[day][1], wau)
