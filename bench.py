@@ -36,6 +36,9 @@ HEADLINE = [
     "sessionization_gap_30m",
     "count_per_table",
     "curation_pipeline_funnel",
+    "dedup_semantic_clusters",
+    "ann_pq_topk",
+    "funnel_user_conversion",
 ]
 
 

@@ -204,3 +204,49 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(part).alias("cume"),
         )
     )
+
+
+@query(
+    "rolling_hour_peak_value",
+    oracle="""
+    WITH rolled AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(14,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+             ) AS hour_sum
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(MAX(hour_sum) AS VARCHAR) AS DOUBLE) AS peak_hour_value,
+           COUNT(*) AS n_events
+    FROM rolled GROUP BY user_id
+    """,
+)
+def rolling_hour_peak_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event's trailing-1-hour value sum per
+    user, reduced to the user's peak hour (burst detection — the
+    time-series read of the reference's event feed).
+
+    A RANGE frame on integer epoch-microseconds bounds the frame by
+    EVENT TIME, not row count — ROWS BETWEEN would silently change
+    meaning wherever event density varies. One shuffle on user_id; the
+    frame sum is decimal (order-independent, exact), so the peak is
+    bit-stable across partitionings and engines. Ties in ts within a
+    user fold into the same RANGE frame on both engines, which is why
+    RANGE (not ROWS + tie-ordering) is the cross-engine-deterministic
+    choice.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rolled = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.sum(F.col("value").cast("decimal(14,4)")).over(w).alias("hour_sum"),
+    )
+    return rolled.groupBy("user_id").agg(
+        F.max("hour_sum").cast("double").alias("peak_hour_value"),
+        F.count("*").alias("n_events"),
+    )
