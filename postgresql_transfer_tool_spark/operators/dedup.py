@@ -605,9 +605,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .similarity import _spark_quantized
+    from .similarity import _spark_quantized_materialized
 
-    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
     threshold = COSINE_NEARDUP_THRESHOLD
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -37,7 +37,7 @@ from .similarity import (
     _SQL_NCELLS,
     _SQL_QUANTIZED,
     _spark_dot,
-    _spark_quantized,
+    _spark_quantized_materialized,
     ivf_cells_for,
 )
 
@@ -115,13 +115,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast assign + cell-local pairing) is identical.
     """
     # the quantized relation feeds the corpus count, the centroid set,
-    # and both pair sides — materialize once (same memoization pattern
-    # as dedup.py's shingle chain) instead of re-quantizing per branch
-    q = (
-        _spark_quantized(spark, sf_dir)
-        .select("vec_id", "qe", "nq")
-        .localCheckpoint(eager=True)
-    )
+    # and both pair sides — the session-level memoized materialization
+    # (similarity._spark_quantized_materialized) serves all of them
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
     nc = ivf_cells_for(q.count())
     cent = q.filter(F.col("vec_id") < nc).select(
         F.col("vec_id").alias("cid"),

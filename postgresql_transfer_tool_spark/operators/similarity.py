@@ -46,6 +46,24 @@ def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", qe.alias("qe"), norm.alias("nq"))
 
 
+#: quantized relation memo, keyed by (applicationId, sf_dir): every
+#: vector operator (brute force, LSH, IVF, PQ, kNN, embedding-cosine
+#: dedup, semantic clusters) starts from the identical quantize pass —
+#: one distributed materialization per session instead of one per query
+#: (same pattern as dedup._SHINGLE_CACHE; the memo holds plan handles,
+#: nothing driver-side).
+_QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _spark_quantized_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _QUANT_CACHE.get(key)
+    if cached is None:
+        cached = _spark_quantized(spark, sf_dir).localCheckpoint(eager=False)
+        _QUANT_CACHE[key] = cached
+    return cached
+
+
 _SQL_QUANTIZED = f"""
 q AS (
   SELECT vec_id, label, {_QUANT_SQL} AS qe,
@@ -88,7 +106,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged against. At 100 TB the corpus side stays partitioned and the
     (small) query set broadcasts — the cross product never shuffles the
     corpus; top-k folds into a per-partition window."""
-    q = _spark_quantized(spark, sf_dir)
+    q = _spark_quantized_materialized(spark, sf_dir)
     a = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qe").alias("qa"),
@@ -221,7 +239,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate (vec_a, vec_b, n_bands) pairs sharing ≥1 full band
     signature, bucket-capped. Exposed separately so tests can assert
     sub-quadratic candidate growth across scale factors."""
-    q = _spark_quantized(spark, sf_dir)
+    q = _spark_quantized_materialized(spark, sf_dir)
     bits = lsh_bits_for(q.count())
     bucketed = q.select(
         "vec_id", "qe", "nq", _band_sigs_udf(bits)("qe").alias("sigs")
@@ -395,7 +413,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: assign corpus to nearest-centroid cells (cell count
     adaptive in corpus size), probe the query's NPROBE best cells,
     exact-rerank candidates."""
-    q = _spark_quantized(spark, sf_dir).select("vec_id", "qe", "nq")
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
     n_centroids = ivf_cells_for(q.count())
     cent = q.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
@@ -576,11 +594,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors live in cold storage and the hot working set is n·PQ_M
     bytes of codes.
     """
-    q = (
-        _spark_quantized(spark, sf_dir)
-        .select("vec_id", "qe", "nq")
-        .localCheckpoint(eager=True)
-    )
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
     sub = q.select(
         "vec_id",
         "qe",
