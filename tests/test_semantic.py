@@ -57,3 +57,59 @@ def test_segment_count_matches_token_count(spark, sf_dir):
     for r in toks:
         expect = (r.n + SEG_WORDS - 1) // SEG_WORDS
         assert res[r.doc_id] == expect, (r.doc_id, res[r.doc_id], expect)
+
+
+def test_segment_dedup_property_vs_python_reference(spark):
+    """Engine vs pure-Python reference over adversarial synthetic docs:
+    repeated chunks, odd whitespace, sub-SEG_WORDS tails, identical
+    documents. Guards the tokenize/segment/hash pipeline's edge behavior
+    beyond what the fixture corpus exercises."""
+    import hashlib
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    docs_strategy = st.lists(
+        st.lists(words, min_size=1, max_size=35).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=12,
+    )
+
+    def reference(texts):
+        segs_per_doc = {}
+        counts = Counter()
+        for i, t in enumerate(texts):
+            toks = t.strip().split()
+            segs = [
+                hashlib.md5(
+                    " ".join(toks[j : j + SEG_WORDS]).encode()
+                ).hexdigest()
+                for j in range(0, len(toks), SEG_WORDS)
+            ]
+            segs_per_doc[i] = segs
+            counts.update(segs)
+        out = {}
+        for i, segs in segs_per_doc.items():
+            dup = sum(1 for h in segs if counts[h] > 1)
+            out[i] = (len(segs), dup)
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t, "en", "syn", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+            got = {
+                r.doc_id: (r.n_segments, r.n_dup_segments)
+                for r in text_segment_dedup(spark, d).collect()
+            }
+        assert got == reference(texts)
+
+    check()
