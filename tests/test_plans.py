@@ -175,3 +175,27 @@ def test_rolling_distinct_avoids_nested_loop(spark, sf_dir):
     from postgresql_transfer_tool_spark.plans import physical_plan
 
     assert "BroadcastNestedLoop" not in physical_plan(active_users_rolling(spark, sf_dir))
+
+
+def test_semantic_dedup_no_parquet_rescan(spark, sf_dir):
+    # quantize + assignment materialize once (memo + checkpoint); the
+    # pairing plan must read checkpointed RDDs, not re-scan parquet
+    import re
+
+    from postgresql_transfer_tool_spark.operators.semantic import (
+        dedup_semantic_clusters,
+    )
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    plan = physical_plan(dedup_semantic_clusters(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0
+
+
+def test_pq_broadcasts_codebook_and_querydots(spark, sf_dir):
+    # PQ's joins against the codebook and the query partial-dot table
+    # must broadcast — shuffling the corpus code relation against a
+    # 128-row dim would be the scale mistake
+    from postgresql_transfer_tool_spark.operators.similarity import ann_pq_topk
+    from postgresql_transfer_tool_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(ann_pq_topk(spark, sf_dir))
