@@ -130,3 +130,113 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.floor(F.col("value") / 50).cast("bigint").alias("bucket"))
         .agg(F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — built from relational primitives
+# (md5-derived row hashes), so unlike the engine-native HLL/quantile
+# sketches it is deterministic and FULLY oracle-mirrorable. The sketch
+# is a CMS_DEPTH × CMS_WIDTH counter matrix: depth-many independent
+# hash rows, each a groupBy — one shuffle of (row, bucket) pairs,
+# constant-size result regardless of corpus size, mergeable by addition
+# (the map-side combine IS the merge). Estimation: point lookups
+# min-over-rows, the classic CMS upper-bound estimate.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP = 10
+
+#: bucket for hash row i: md5-prefix of "i:word" mod width — identical
+#: integer on both engines (same recipe as the dedup MinHash hashes)
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || w), 1, 8) AS BIGINT)"
+    f" % {CMS_WIDTH}"
+)
+
+
+def _cms_bucket_spark():
+    """Bucket from the `i` (hash row) and `w` (word) columns."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    exact AS (
+      SELECT w, COUNT(*) AS exact_n FROM w GROUP BY w
+    ),
+    top AS (
+      SELECT w, exact_n FROM (
+        SELECT w, exact_n,
+               ROW_NUMBER() OVER (ORDER BY exact_n DESC, w) AS rk
+        FROM exact
+      ) t WHERE rk <= {CMS_TOP}
+    ),
+    sketch AS (
+      SELECT i, {_CMS_BUCKET_SQL.format(i="i")} AS bucket, COUNT(*) AS c
+      FROM w CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS i) rows_
+      GROUP BY 1, 2
+    )
+    SELECT t.w AS word, t.exact_n,
+           MIN(s.c) AS cms_estimate
+    FROM top t
+    JOIN (SELECT i, bucket, c FROM sketch) s
+      ON s.bucket = {_CMS_BUCKET_SQL.format(i="s.i").replace("|| w", "|| t.w")}
+    GROUP BY t.w, t.exact_n
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a relational Count-Min sketch: estimate the
+    counts of the exact top-CMS_TOP words from the CMS_DEPTH×CMS_WIDTH
+    counter matrix (min over rows — always ≥ the true count; the error
+    bound is tested against the exact counts in test_approx.py).
+
+    At 100 TB only the constant-size sketch survives aggregation — the
+    word relation is consumed map-side into (row, bucket) partial
+    counts. The exact top-k here exists to *grade* the sketch; a pure
+    production pipeline keeps just the sketch and a candidate set.
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    )
+    exact = words.groupBy("w").agg(F.count("*").alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rk") <= CMS_TOP)
+        .drop("rk")
+    )
+    sketch = (
+        words.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
+        .select("i", _cms_bucket_spark().alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probe = top.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+    ).withColumn("bucket", _cms_bucket_spark())
+    return (
+        probe.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy(F.col("w").alias("word"), "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -55,3 +55,16 @@ def test_stratified_sample_proportions(spark, sf_dir):
         if k in sampled:
             expected = totals[k] * frac
             assert 0.5 * expected <= sampled[k] <= 1.5 * expected, (k, sampled[k], expected)
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
+    """CMS point estimates are one-sided: always ≥ the true count, and
+    within the eps·N additive envelope (eps ≈ e/width; at fixture word
+    volume collisions stay well under 10% of the true top-word counts)."""
+    from postgresql_transfer_tool_spark.operators.approx import heavy_hitters_cms
+
+    rows = heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, (r.word, r.cms_estimate, r.exact_n)
+        assert r.cms_estimate <= r.exact_n * 1.10, (r.word, r.cms_estimate, r.exact_n)
