@@ -162,3 +162,66 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("v").cast("double") / F.count("*")).alias("centroid_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the LM-pretraining layout step: concatenate
+# documents (in deterministic doc_id order) and cut the stream into
+# fixed-token training sequences. Packing is inherently sequential, so
+# the scale-correct form packs WITHIN a shard (here: source) — the
+# cumulative sum is a per-source window, parallelism = #shards, and no
+# global ordering ever materializes. Pack assignment uses the
+# concat-then-split rule: a document belongs to the pack where its
+# first token lands (floor(preceding_tokens / PACK)); documents longer
+# than the budget span packs, exactly as a token stream would.
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 512
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+               // {PACK_TOKENS} AS pack_id
+      FROM toks
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-budget training sequences per shard.
+
+    One shuffle on `source`, one window cumsum inside each shard; the
+    per-(shard, pack) summary is a co-partitioned groupBy. Integer
+    token counts end-to-end — bit-exact against the oracle, stable
+    under any parallelism because the packing order (doc_id) is total
+    within a shard.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
