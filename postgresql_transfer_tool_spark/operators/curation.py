@@ -225,3 +225,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "domain_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,9)) AS s
+      FROM counts
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(s) OVER () AS VARCHAR) AS DOUBLE) AS mix_weight
+    FROM scaled
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights: weight ∝ tokens^α with
+    α=1/2 (down-weights huge domains, up-weights small ones — the
+    standard pretraining-mix temperature step).
+
+    α=1/2 is deliberate: sqrt is IEEE correctly-rounded on every engine,
+    where pow(x, 0.7) is libm-dependent and would break bit-parity. The
+    normalizer sums the sqrt values through DECIMAL (order-independent),
+    so weights are stable under any partitioning; per-domain stats are
+    one partial-aggregable groupBy over token counts.
+    """
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    scaled = counts.withColumn(
+        "s", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(24,9)")
+    )
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("s").cast("double")
+            / F.sum("s").over(Window.partitionBy()).cast("double")
+        ).alias("mix_weight"),
+    )
