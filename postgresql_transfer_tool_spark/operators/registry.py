@@ -87,7 +87,9 @@ _PRIORITY = [
     "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
     "dedup_semantic_clusters", "text_segment_dedup",
     "cohort_retention", "active_users_rolling", "funnel_user_conversion",
-    "ann_pq_topk",
+    "ann_pq_topk", "heavy_hitters_cms", "sequence_packing",
+    "domain_mix_weights", "rolling_hour_peak_value", "region_nation_listagg",
+    "active_users_rolling_hll",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions", "analyze_table_stats", "not_in_null_semantics",
