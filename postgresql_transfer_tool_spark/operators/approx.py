@@ -211,9 +211,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. The exact top-k here exists to *grade* the sketch; a pure
     production pipeline keeps just the sketch and a candidate set.
     """
+    # the word relation feeds both the exact branch and the sketch branch
+    # — materialize once instead of scanning + re-tokenizing per branch
     words = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .localCheckpoint(eager=False)
     )
     exact = words.groupBy("w").agg(F.count("*").alias("exact_n"))
     top = (

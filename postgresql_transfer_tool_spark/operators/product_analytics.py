@@ -250,6 +250,9 @@ def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAU/MAU dashboards run at 100 TB: sketches persist per day and any
     window is a cheap union, never a rescan.
     """
+    # one scan builds the per-day sketches; materialize so the semi-join
+    # day dimension (derived from the same relation) doesn't re-run the
+    # events scan + sketch aggregation a second time
     daily = (
         load_table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
@@ -258,6 +261,7 @@ def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("dau"),
             F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"),
         )
+        .localCheckpoint(eager=False)
     )
     fanned = daily.withColumn(
         "d",
@@ -267,7 +271,7 @@ def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).join(
-        F.broadcast(daily.select(F.col("day").alias("d")).distinct()),
+        F.broadcast(daily.select(F.col("day").alias("d"))),
         "d",
         "left_semi",
     )

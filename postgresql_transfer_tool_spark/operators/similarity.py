@@ -51,7 +51,10 @@ def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup, semantic clusters) starts from the identical quantize pass —
 #: one distributed materialization per session instead of one per query
 #: (same pattern as dedup._SHINGLE_CACHE; the memo holds plan handles,
-#: nothing driver-side).
+#: nothing driver-side). Contract shared with that cache: an sf_dir's
+#: contents are immutable within a Spark application — rewriting the
+#: fixture parquet in place would keep serving the old checkpointed data
+#: (clear the dict or restart the session after regenerating fixtures).
 _QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

@@ -65,10 +65,13 @@ def partitioned_read_options(
         "numPartitions": str(num_partitions),
         "fetchsize": str(fetch_size),
         "pushDownPredicate": "true",
-        # server-side aggregation/LIMIT/TABLESAMPLE where the plan allows:
-        # COUNT(*)/MAX(id) HWM probes (A1-A4) then move zero rows over the
-        # wire instead of the whole table — at 100 TB the difference
-        # between a catalog query and a full scan
+        # server-side aggregation/LIMIT/TABLESAMPLE pushdown. NOTE: these
+        # are honored only by the DSv2 path (a JDBCTableCatalog-registered
+        # table); the V1 `format("jdbc")` reader used by read_table ignores
+        # them (it pushes predicates + column pruning only). They are set
+        # here so the same option dict drives a catalog-registered table,
+        # where COUNT(*)/MAX(id) HWM probes (A1-A4) run server-side and
+        # move zero rows over the wire.
         "pushDownAggregate": "true",
         "pushDownLimit": "true",
         "pushDownTableSample": "true",

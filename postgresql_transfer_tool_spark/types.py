@@ -194,6 +194,10 @@ def _column_verdict(src: T.DataType, dst: T.DataType) -> str:
         )
         return "widening" if widen else "narrowing"
     if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        # element nullability is part of the contract: nullable elements
+        # into a containsNull=False target would violate the target schema
+        if src.containsNull and not dst.containsNull:
+            return "narrowing"
         return _column_verdict(src.elementType, dst.elementType)
     for wider in _WIDENING.get(type(src), ()):
         if isinstance(dst, wider):

@@ -83,7 +83,12 @@ def test_udtf_segmentation_matches_jvm_expression(spark, sf_dir):
     @udtf(returnType="seg_idx int, seg string")
     class SegmentUDTF:
         def eval(self, text: str):
-            toks = text.strip().split()
+            import re as _re
+
+            # re.split mirrors Spark's split() exactly, including the
+            # empty-text edge (both yield [''] for ''), where str.split()
+            # would yield [] and diverge
+            toks = _re.split(r"\s+", text.strip())
             for i in range(0, len(toks), SEG_WORDS):
                 yield i // SEG_WORDS, " ".join(toks[i : i + SEG_WORDS])
 

@@ -191,8 +191,10 @@ def test_append_mode_refuses_narrowing_target(spark, sf_dir, tmp_path):
         for i in res.schema_issues
     )
     assert not r.ok
-    # the incompatible target is untouched
-    assert spark.read.parquet(path).count() == res.source_rows or True
+    # the incompatible target is untouched (pre-flight runs before any write)
+    untouched = spark.read.parquet(path)
+    assert untouched.count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert dict(untouched.dtypes)["r_regionkey"] == "smallint"
 
 
 def test_append_mode_rejects_bad_mode(spark, sf_dir, tmp_path):

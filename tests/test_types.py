@@ -238,3 +238,16 @@ def test_schema_compat_widening_narrowing_duality():
             assert not (fwd in ("equal", "widening") and rev in ("equal", "widening")), (a, b)
 
     check()
+
+
+def test_schema_compat_array_element_nullability():
+    from postgresql_transfer_tool_spark.types import is_loadable, schema_compat
+
+    src = _st(("v", T.ArrayType(T.IntegerType(), containsNull=True), True))
+    dst = _st(("v", T.ArrayType(T.IntegerType(), containsNull=False), True))
+    rep = schema_compat(src, dst)
+    assert rep[0]["verdict"] == "narrowing"
+    assert not is_loadable(rep)
+    # the reverse direction (non-null elements into nullable slots) is safe
+    rev = schema_compat(dst, src)[0]["verdict"]
+    assert rev in ("equal", "widening")
