@@ -131,7 +131,9 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme scale the sketch alternative is per-day HLLs merged over
     the window (:func:`active_users_rolling_hll`).
     """
-    activity = _activity(spark, sf_dir)
+    # the day dimension derives from the same activity relation the
+    # fan-out consumes — materialize once so the event log scans once
+    activity = _activity(spark, sf_dir).localCheckpoint(eager=False)
     days = activity.select(F.col("day").alias("d")).distinct()
     fanned = activity.withColumn(
         "d",
