@@ -90,6 +90,8 @@ _PRIORITY = [
     "ann_pq_topk", "heavy_hitters_cms", "sequence_packing",
     "domain_mix_weights", "rolling_hour_peak_value", "region_nation_listagg",
     "active_users_rolling_hll",
+    # transfer verification (round 3): checksum + keyed snapshot diff
+    "table_content_checksums", "snapshot_diff_orders",
     # custom pandas + analytic stragglers without round-1 rows
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
     "window_value_functions", "analyze_table_stats", "not_in_null_semantics",
@@ -131,6 +133,7 @@ def load_all() -> None:
         stats,
         semantic,
         product_analytics,
+        diff,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
