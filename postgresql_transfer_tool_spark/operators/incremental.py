@@ -163,3 +163,50 @@ def sessionization_gap_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "event_time_hopping_window",
+    oracle=f"""
+    WITH hops AS (
+      SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                            - CAST(k AS BIGINT) * 900000000) AS window_start,
+             user_id, value
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dd("SUM(CAST(value AS DECIMAL(14,4)))")} AS total_value
+    FROM hops GROUP BY window_start
+    """,
+)
+def event_time_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: hopping (sliding) event-time window — 1-hour windows advancing
+    every 15 minutes, the streaming-native form (``F.window(ts, len,
+    slide)`` works identically under ``readStream``). Each event lands in
+    exactly window/slide = 4 windows; the oracle makes that explicit by
+    cross-joining the 4 hop offsets against epoch-aligned 15-minute
+    buckets (same 1970-epoch origin Spark uses). At 100 TB the 4×
+    row amplification happens inside the partial aggregation (map-side
+    combine collapses it before the shuffle), so the exchange carries
+    only (window, partial-agg) rows, not 4× the events."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 14, 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

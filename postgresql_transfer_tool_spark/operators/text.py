@@ -389,3 +389,73 @@ def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_ws).alias("n_whitespace"),
         F.sum(F.length("text")).alias("n_chars_total"),
     )
+
+
+#: Winnowing parameters (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+#: Algorithms for Document Fingerprinting", SIGMOD 2003): character
+#: k-grams over whitespace-stripped text, minimum hash per window of w
+#: consecutive k-gram hashes. Guarantee: any shared substring of length
+#: >= K + W - 1 produces at least one shared fingerprint.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             lower(regexp_replace(text, '\\s+', '', 'g')) AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(s) - {WINNOW_K} + 2),
+                            i -> CAST('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 8)
+                                      AS BIGINT)) AS hs
+      FROM t
+      WHERE length(s) >= {WINNOW_K + WINNOW_W - 1}
+    ), m AS (
+      SELECT doc_id, hs,
+             list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                           j -> list_min(hs[j : j + {WINNOW_W} - 1]))) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           len(hs) AS n_grams,
+           len(fps) AS n_fingerprints,
+           CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+    FROM m
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03): md5-prefix hashes of
+    character {K}-grams, minimum per sliding window of {W} hashes,
+    deduplicated. Entirely map-side array expressions — no explode, no
+    shuffle — so at 100 TB fingerprint extraction runs at scan speed and
+    only the (doc_id, fingerprint-set summary) survives. The distinct
+    min-hash set is the plagiarism/overlap signature; two docs sharing a
+    substring of >= K+W-1 chars share >= 1 fingerprint.
+    Reference analog: none (driver-mandated extension surface, X4)."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", r"\s+", "")).alias("s"),
+    )
+    docs = docs.filter(F.length("s") >= k + w - 1)
+    hs = F.expr(
+        f"transform(sequence(1, length(s) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10) AS bigint))"
+    )
+    docs = docs.select("doc_id", hs.alias("hs"))
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {w} + 1),"
+        f" j -> array_min(slice(hs, j, {w}))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "fp_checksum"
+        ),
+    )
