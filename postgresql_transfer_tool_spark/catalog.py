@@ -139,6 +139,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(table_path(sf_dir, name))
             if dict(df.dtypes).get("ts") == "bigint":
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+                # Round-2 fixtures carry µs TIMESTAMP_NTZ instead of NANOS.
+                # Normalize to TIMESTAMP (LTZ): every downstream operator
+                # (unix_micros, withWatermark, window) expects it, and under
+                # the engine's UTC session the instant is unchanged — DuckDB
+                # reads the same column as naive-UTC, so oracles agree.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df

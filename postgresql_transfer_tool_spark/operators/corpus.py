@@ -214,3 +214,116 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("bgram") > 0).alias("is_contaminated"),
         )
     )
+
+
+from .relational import dd
+
+#: Unit separator (\x1f) joins bigram halves -- cannot appear inside
+#: whitespace-split tokens, unlike a space which could collide with
+#: tokens produced from runs of mixed whitespace.
+_US = "\x1f"
+
+#: Documents whose mean conditional bigram probability falls below this
+#: are "low-fluency" (boilerplate/gibberish under the corpus's own LM).
+_LM_LOW = 0.05
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= 2
+    ), bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || chr(31) || toks[i+1])) AS bg
+      FROM t
+    ), c12 AS (
+      SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg
+    ), c1 AS (
+      SELECT split_part(bg, chr(31), 1) AS w1, COUNT(*) AS c1
+      FROM bg GROUP BY 1
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                  AS DECIMAL(11,10)) AS p
+      FROM bg b
+      JOIN c12 ON b.bg = c12.bg
+      JOIN c1 ON split_part(b.bg, chr(31), 1) = c1.w1
+    ), per_doc AS (
+      SELECT doc_id, source,
+             {dd("SUM(p)")} / COUNT(*) AS doc_score
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {dd("SUM(CAST(CAST(doc_score AS VARCHAR) AS DECIMAL(12,10)))")} / COUNT(*)
+             AS avg_score,
+           CAST(SUM(CASE WHEN doc_score < {_LM_LOW} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_fluency
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score (perplexity-filter proxy,
+    the CCNet/KenLM-style quality gate): P(w2|w1) = c(w1,w2)/c(w1.)
+    estimated from the corpus itself, each document scored by its mean
+    conditional probability, aggregated per source with a low-fluency
+    count.
+
+    Division-only probabilities (no logs -- libm log() is not
+    bit-portable across engines; ranking is preserved) and decimal
+    quantization before every reaggregation keep the result
+    hash-identical to the oracle. Re-quantizing a *computed* double
+    (doc_score) goes double->VARCHAR->decimal: both engines print the
+    same shortest-round-trip digits for the same double and round the
+    same digit string half-up, whereas direct double->decimal casts can
+    disagree by one quantum at rounding boundaries (observed at sf0.001).
+
+    Scale: the bigram-count join keys on the bigram itself -- high
+    cardinality, naturally balanced, AQE splits stragglers; the context
+    (unigram) table is vocabulary-sized and broadcasts. Two shuffles of
+    the token stream total; no Python in the row path.
+    Reference analog: none (driver-mandated extension surface, X4)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks) - 1),"
+                   " i -> concat(toks[i-1], chr(31), toks[i]))")
+        ).alias("bg"),
+    )
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy(F.split_part("bg", F.lit(_US), F.lit(1)).alias("w1")).agg(
+        F.count("*").alias("c1")
+    )
+    p = (F.col("c12").cast("double") / F.col("c1").cast("double")).cast(
+        "decimal(11,10)"
+    )
+    scored = (
+        bg.join(c12, "bg")
+        .join(
+            F.broadcast(c1),
+            F.split_part("bg", F.lit(_US), F.lit(1)) == F.col("w1"),
+        )
+        .select("doc_id", "source", p.alias("p"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        (F.sum("p").cast("double") / F.count("*")).alias("doc_score")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(
+                F.col("doc_score").cast("string").cast("decimal(12,10)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("avg_score"),
+        F.sum(
+            F.when(F.col("doc_score") < _LM_LOW, 1).otherwise(0)
+        ).alias("n_low_fluency"),
+    )
