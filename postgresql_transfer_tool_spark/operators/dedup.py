@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+from .text import WINNOW_CTES_SQL, winnow_fps_df
 
 # ---------------------------------------------------------------------------
 # Shared shingling + hashing (identical formulas on both engines).
@@ -700,4 +701,98 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
+    )
+
+
+#: Winnowing-overlap candidate generation: fingerprints appearing in more
+#: than this many documents are boilerplate and dropped before pairing —
+#: this caps every join bucket at WINNOW_DF_CAP rows, so the per-bucket
+#: pairing is O(cap²) regardless of corpus size.
+WINNOW_DF_CAP = 10
+#: Minimum shared fingerprints for a candidate pair.
+WINNOW_MIN_SHARED = 3
+
+
+@query(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+    WITH {WINNOW_CTES_SQL},
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    df AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp),
+    kept AS (
+      SELECT f.doc_id, f.fp FROM fp f
+      JOIN df ON f.fp = df.fp WHERE df.df <= {WINNOW_DF_CAP}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_fps FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / (sa.n_fps + sb.n_fps - n_shared) AS fp_jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidates by shared winnowing fingerprints
+    (SIGMOD'03 §4: two documents sharing a run of >= K+W-1 characters
+    share a fingerprint) — the content-overlap complement to the
+    token-shingle MinHash path.
+
+    Scale shape: fingerprint extraction is map-only (text.winnow_fps_df);
+    the explode shuffles (doc_id, fp) pairs keyed by 64-bit fingerprint;
+    the document-frequency cap ({WINNOW_DF_CAP}) drops boilerplate
+    fingerprints so every equi-join bucket holds <= cap rows — the same
+    bounded-bucket argument as the banded MinHash-LSH pipeline, with no
+    O(n²) anywhere. Jaccard over fingerprint sets is exact on the kept
+    fingerprints (division-only double, bit-portable)."""
+    # Same double-checkpoint as _spark_shingles_materialized: cut lineage
+    # BEFORE the explode (CollapseProject would re-evaluate the md5-heavy
+    # fps array per output element — O(grams²) per doc) and AFTER it (the
+    # relation feeds df-counts, both self-join sides, and per-doc sizes).
+    pre = (
+        winnow_fps_df(spark, sf_dir)
+        .select("doc_id", "fps")
+        .localCheckpoint(eager=False)
+    )
+    fp = pre.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint(
+        eager=False
+    )
+    df_counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = fp.join(
+        df_counts.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"
+    )
+    sz = kept.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n_fps") + F.col("sb.n_fps") - F.col("n_shared"))
+            ).alias("fp_jaccard"),
+        )
     )

@@ -91,7 +91,7 @@ _PRIORITY = [
     "domain_mix_weights", "rolling_hour_peak_value", "region_nation_listagg",
     "active_users_rolling_hll",
     "text_winnowing_fingerprint", "event_time_hopping_window",
-    "text_bigram_lm_score",
+    "text_bigram_lm_score", "dedup_winnowing_overlap",
     # transfer verification (round 3): checksum + keyed snapshot diff
     "table_content_checksums", "snapshot_diff_orders",
     # custom pandas + analytic stragglers without round-1 rows

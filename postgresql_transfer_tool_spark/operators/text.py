@@ -399,11 +399,10 @@ def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 5
 WINNOW_W = 4
 
-
-@query(
-    "text_winnowing_fingerprint",
-    oracle=f"""
-    WITH t AS (
+#: Shared oracle CTE chain ``t → g → m`` ending in (doc_id, hs, fps) —
+#: reused by dedup.py's winnowing-overlap oracle so both engines' SQL
+#: derives fingerprints identically.
+WINNOW_CTES_SQL = f"""t AS (
       SELECT doc_id,
              lower(regexp_replace(text, '\\s+', '', 'g')) AS s
       FROM documents
@@ -419,7 +418,34 @@ WINNOW_W = 4
              list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
                            j -> list_min(hs[j : j + {WINNOW_W} - 1]))) AS fps
       FROM g
+    )"""
+
+
+def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, fps): per-document k-gram hash array and distinct
+    winnowing fingerprint set. Map-side only — no shuffle."""
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", r"\s+", "")).alias("s"),
     )
+    docs = docs.filter(F.length("s") >= k + w - 1)
+    hs = F.expr(
+        f"transform(sequence(1, length(s) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10) AS bigint))"
+    )
+    docs = docs.select("doc_id", hs.alias("hs"))
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {w} + 1),"
+        f" j -> array_min(slice(hs, j, {w}))))"
+    )
+    return docs.select("doc_id", "hs", fps.alias("fps"))
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH {WINNOW_CTES_SQL}
     SELECT doc_id,
            len(hs) AS n_grams,
            len(fps) AS n_fingerprints,
@@ -436,26 +462,11 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hash set is the plagiarism/overlap signature; two docs sharing a
     substring of >= K+W-1 chars share >= 1 fingerprint.
     Reference analog: none (driver-mandated extension surface, X4)."""
-    k, w = WINNOW_K, WINNOW_W
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.regexp_replace("text", r"\s+", "")).alias("s"),
-    )
-    docs = docs.filter(F.length("s") >= k + w - 1)
-    hs = F.expr(
-        f"transform(sequence(1, length(s) - {k} + 1),"
-        f" i -> cast(conv(substring(md5(substring(s, i, {k})), 1, 8), 16, 10) AS bigint))"
-    )
-    docs = docs.select("doc_id", hs.alias("hs"))
-    fps = F.expr(
-        f"array_distinct(transform(sequence(1, size(hs) - {w} + 1),"
-        f" j -> array_min(slice(hs, j, {w}))))"
-    )
-    return docs.select(
+    return winnow_fps_df(spark, sf_dir).select(
         "doc_id",
         F.size("hs").alias("n_grams"),
-        F.size(fps).alias("n_fingerprints"),
-        F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+        F.size("fps").alias("n_fingerprints"),
+        F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
             "fp_checksum"
         ),
     )
