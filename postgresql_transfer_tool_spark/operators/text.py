@@ -421,11 +421,12 @@ WINNOW_CTES_SQL = f"""t AS (
     )"""
 
 
-def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs, fps): per-document k-gram hash array and distinct
-    winnowing fingerprint set. Map-side only — no shuffle."""
+def winnow_fps_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, fps) from any (doc_id, text) relation: per-document
+    k-gram hash array and distinct winnowing fingerprint set. Map-side
+    only — no shuffle."""
     k, w = WINNOW_K, WINNOW_W
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = docs.select(
         "doc_id",
         F.lower(F.regexp_replace("text", r"\s+", "")).alias("s"),
     )
@@ -440,6 +441,11 @@ def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" j -> array_min(slice(hs, j, {w}))))"
     )
     return docs.select("doc_id", "hs", fps.alias("fps"))
+
+
+def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints of the fixture ``documents`` table."""
+    return winnow_fps_from(load_table(spark, sf_dir, "documents"))
 
 
 @query(
