@@ -1,0 +1,46 @@
+"""Scale behavior of the winnowing-overlap candidate path.
+
+The document-frequency cap (WINNOW_DF_CAP) is the structural guarantee:
+after dropping fingerprints shared by more than `cap` documents, every
+equi-join bucket holds <= cap rows, so per-fingerprint pair fan-out is
+<= cap·(cap-1)/2 regardless of corpus size. These tests pin:
+
+1. the cap actually bounds the kept relation's per-fingerprint count;
+2. candidate-pair growth between sf0.001 (500 docs) and sf0.01
+   (5000 docs) is sub-quadratic: docs grew 10×, an uncapped all-pairs
+   design would grow pairs ~100×, the capped design must stay well
+   under that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_transfer_tool_spark.operators.dedup import (
+    WINNOW_DF_CAP,
+    dedup_winnowing_overlap,
+)
+from postgresql_transfer_tool_spark.operators.text import winnow_fps_df
+
+
+def _kept_bucket_sizes(spark, sf_dir):
+    fp = winnow_fps_df(spark, sf_dir).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    return counts.filter(F.col("df") <= WINNOW_DF_CAP)
+
+
+def test_df_cap_bounds_join_buckets(spark, sf_dir):
+    kept = _kept_bucket_sizes(spark, sf_dir)
+    mx = kept.agg(F.max("df")).collect()[0][0]
+    assert mx is not None and mx <= WINNOW_DF_CAP
+
+
+def test_candidate_growth_subquadratic(spark):
+    n_small = dedup_winnowing_overlap(spark, "/root/testdata/sf0.001").count()
+    n_big = dedup_winnowing_overlap(spark, "/root/testdata/sf0.01").count()
+    assert n_small > 0  # the fixture contains near-duplicates
+    # 10× the docs; all-pairs would be ~100×. Require < 30× (pairs are
+    # expected to scale ~linearly with the number of duplicated docs).
+    assert n_big < 30 * max(n_small, 1), (n_small, n_big)
