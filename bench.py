@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "ann_pq_topk",
     "funnel_user_conversion",
+    "dedup_winnowing_overlap",
+    "text_bigram_lm_score",
 ]
 
 

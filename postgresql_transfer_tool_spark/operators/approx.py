@@ -243,3 +243,46 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("word"), "exact_n")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+#: Deterministic per-stratum sample size for the hash-rank sampler.
+HASH_SAMPLE_K = 5
+
+
+@query(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) t WHERE rk <= {HASH_SAMPLE_K}
+    """,
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by cryptographic hash rank: per
+    language stratum, the {HASH_SAMPLE_K} documents with the smallest
+    md5(doc_id). Unlike RNG-based sampling (``stratified_sample``,
+    rows-only — seed semantics are engine-specific), the hash rank is
+    identical in every engine and every run, so this variant is
+    oracle-exact AND reproducible — the property production pipelines
+    want for holdout/eval splits. Uniformity comes from md5's avalanche,
+    not a seeded RNG.
+
+    Scale: one hash-partitioned exchange on the stratum key; per-stratum
+    top-k is a partial `TakeOrdered` inside each partition (no global
+    sort). Skewed strata parallelize poorly by definition — for heavy
+    strata, pre-aggregate with a per-partition top-k (the rank only
+    needs the k smallest hashes of each partition) before the exchange."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HASH_SAMPLE_K)
+        .select("lang", "doc_id", "rk")
+    )

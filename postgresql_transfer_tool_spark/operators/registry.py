@@ -92,6 +92,7 @@ _PRIORITY = [
     "active_users_rolling_hll",
     "text_winnowing_fingerprint", "event_time_hopping_window",
     "text_bigram_lm_score", "dedup_winnowing_overlap",
+    "stratified_sample_hash",
     # transfer verification (round 3): checksum + keyed snapshot diff
     "table_content_checksums", "snapshot_diff_orders",
     # custom pandas + analytic stragglers without round-1 rows
