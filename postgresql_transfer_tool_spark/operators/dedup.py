@@ -764,9 +764,12 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     df_counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    # Checkpoint the capped relation too: it feeds both self-join sides
+    # and the per-doc size aggregate — without the cut, the df-cap
+    # shuffle join re-runs once per consumer branch.
     kept = fp.join(
         df_counts.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"
-    )
+    ).localCheckpoint(eager=False)
     sz = kept.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
