@@ -166,3 +166,28 @@ def streaming_dedup_events(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_hopping_counts(
+    spark: SparkSession, landing_dir: str, query_name: str = "hopping_counts"
+):
+    """Hopping-window variant of :func:`streaming_event_counts`: 1-hour
+    windows sliding every 15 minutes (each event lands in 4 windows).
+    Identical plan to the batch ``event_time_hopping_window`` operator —
+    the slide parameter of ``F.window`` is streaming-native, and the 4×
+    row amplification collapses in the partial aggregate exactly as in
+    batch."""
+    schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

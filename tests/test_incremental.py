@@ -148,3 +148,35 @@ def test_streaming_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert len(ids) == n_distinct
     assert len(set(ids)) == n_distinct
+
+
+def test_streaming_hopping_window_matches_batch(spark, sf_dir, tmp_path):
+    """The hopping (1h/15min) streaming aggregation converges to the
+    batch event_time_hopping_window counts (restricted to the same
+    no-filter window set)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.streaming.incremental import (
+        streaming_hopping_counts,
+    )
+
+    landing = str(tmp_path / "landing_hop")
+    prepare_landing(spark, sf_dir, landing)
+    q = streaming_hopping_counts(spark, landing, "t_stream_hop")
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["window_start"]: r["n_events"]
+            for r in spark.sql("SELECT * FROM t_stream_hop").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["ws"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert streamed == batch

@@ -1,0 +1,42 @@
+"""Opt-in oracle sweep at sf0.1 — 100× the default test fixture, 10× the
+driver's correctness gate. Catches scale-dependent divergence the small
+fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
+under larger groups).
+
+Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
+0/133 failed (round 2, 2026-08-13).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from postgresql_transfer_tool_spark.operators import registry
+from postgresql_transfer_tool_spark.testing import compare_query, duckdb_connection
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SWEEP_SF01"),
+    reason="set SPARK_GRAFT_SWEEP_SF01=1 to run the sf0.1 oracle sweep",
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb_connection(SF01)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_matches_oracle_at_sf01(spark, duck01, name):
+    res = compare_query(
+        spark, duck01, name, registry.QUERIES[name],
+        registry.ORACLES.get(name), SF01,
+    )
+    assert res.ok, f"{name}: " + "; ".join(res.problems)
