@@ -78,6 +78,7 @@ _PRIORITY = [
     "curation_pipeline_funnel", "mv_incremental_refresh",
     # multi-format sources (round 2) — CSV/JSON round-trip parity
     "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
+    "source_orc_roundtrip_lineitem",
     # curation trio
     "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
     # merge + corpus families

@@ -240,3 +240,37 @@ def source_json_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(q6).alias("sum_q6"),
         )
     )
+
+
+@query(
+    "source_orc_roundtrip_lineitem",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dd("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")} AS total_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 over an ORC source: lineitem (the widest/biggest fixture) lands
+    as ORC and must aggregate bit-identically to the parquet original.
+    ORC is the third columnar interchange format next to parquet — same
+    pushdown/pruning machinery applies (predicate pushdown via ORC
+    min/max stripes), so the scan-layer guarantees carry over."""
+    import pyspark.sql.functions as F
+
+    path = _converted_path(spark, sf_dir, "lineitem", "orc")
+    schema = load_table(spark, sf_dir, "lineitem").schema
+    return (
+        read_table_as(spark, path, "orc", schema)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice", 18, 2).alias("total_price"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+    )
