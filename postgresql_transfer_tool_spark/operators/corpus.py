@@ -280,6 +280,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shortest-round-trip digits for the same double and round the
     same digit string half-up, whereas direct double->decimal casts can
     disagree by one quantum at rounding boundaries (observed at sf0.001).
+    Domain contract (tests/test_quantization_property.py): engines agree
+    for x == 0 or x >= 10^-(scale-1); DuckDB 1.0.0 mis-rounds values
+    whose digits all fall below the scale. Count-ratio scores sit far
+    inside the agreeing domain.
 
     Scale: the bigram-count join keys on the bigram itself -- high
     cardinality, naturally balanced, AQE splits stragglers; the context
