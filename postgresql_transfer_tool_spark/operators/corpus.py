@@ -331,3 +331,169 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_score") < _LM_LOW, 1).otherwise(0)
         ).alias("n_low_fluency"),
     )
+
+
+#: KMV sketch size (k minimum hash values per set).
+KMV_K = 64
+#: suppliers compared pairwise (8 -> 28 pairs; catalogs are ~30% of the
+#: part space each, so pairwise Jaccard is genuinely partial).
+KMV_SUPPLIERS = 8
+
+
+@query(
+    "supplier_part_overlap_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_suppkey AS sk,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      FROM lineitem WHERE l_suppkey <= {KMV_SUPPLIERS}
+    ), sizes AS (
+      SELECT sk, COUNT(*) AS n_parts FROM h GROUP BY sk
+    ), kmv AS (
+      SELECT sk, h FROM (
+        SELECT sk, h,
+               ROW_NUMBER() OVER (PARTITION BY sk ORDER BY h) AS rk
+        FROM h
+      ) r WHERE rk <= {KMV_K}
+    ), pairs AS (
+      SELECT a.sk AS sa, b.sk AS sb
+      FROM sizes a JOIN sizes b ON a.sk < b.sk
+    ), ux AS (
+      SELECT sa, sb, h FROM (
+        SELECT p.sa, p.sb, k.h,
+               ROW_NUMBER() OVER (PARTITION BY p.sa, p.sb ORDER BY k.h) AS rk
+        FROM pairs p
+        JOIN kmv k ON k.sk = p.sa OR k.sk = p.sb
+        GROUP BY p.sa, p.sb, k.h
+      ) u WHERE rk <= {KMV_K}
+    ), ux_sz AS (
+      SELECT sa, sb, COUNT(*) AS n_ux FROM ux GROUP BY sa, sb
+    ), both_cnt AS (
+      SELECT x.sa, x.sb, COUNT(*) AS n_both
+      FROM ux x
+      JOIN kmv ka ON ka.sk = x.sa AND ka.h = x.h
+      JOIN kmv kb ON kb.sk = x.sb AND kb.h = x.h
+      GROUP BY x.sa, x.sb
+    ), inter AS (
+      SELECT a.sk AS sa, b.sk AS sb, COUNT(*) AS n_inter
+      FROM h a JOIN h b ON a.h = b.h AND a.sk < b.sk
+      GROUP BY 1, 2
+    )
+    SELECT p.sa AS supp_a, p.sb AS supp_b,
+           sa_s.n_parts AS n_parts_a, sb_s.n_parts AS n_parts_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa_s.n_parts + sb_s.n_parts - COALESCE(i.n_inter, 0))
+             AS exact_jaccard,
+           CAST(COALESCE(b.n_both, 0) AS DOUBLE) / u.n_ux AS kmv_jaccard
+    FROM pairs p
+    JOIN sizes sa_s ON sa_s.sk = p.sa
+    JOIN sizes sb_s ON sb_s.sk = p.sb
+    JOIN ux_sz u ON u.sa = p.sa AND u.sb = p.sb
+    LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    LEFT JOIN both_cnt b ON b.sa = p.sa AND b.sb = p.sb
+    """,
+)
+def supplier_part_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise catalog overlap between suppliers (distinct-part sets
+    from lineitem): exact Jaccard AND the k-minimum-values sketch
+    estimate (Beyer et al., SIGMOD 2007) side by side — the
+    theta-sketch set-intersection use case re-expressed relationally.
+    KMV is the mergeable-sketch answer to distinct-set overlap at
+    100 TB: each partition keeps its k smallest member hashes per set,
+    merges are constant-size min-merges, and the pairwise estimate
+    J ≈ |X ∩ A_k ∩ B_k| / |X| (X = k smallest of the merged sketch;
+    exact when the union fits in k) needs only the sketches — never a
+    member-level join. The exact path (full hash-set intersection) is
+    the calibration baseline, same role as ``ndv_exact`` next to
+    ``ndv_approx``; tests/test_approx.py bounds the estimator error.
+    Hashes are the shared md5 prefix, so sketch contents are
+    bit-identical across engines (deterministic, no RNG).
+    Reference analog: none (driver-mandated extension surface, X5)."""
+    from pyspark.sql.window import Window
+
+    h = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= KMV_SUPPLIERS)
+        .select(
+            F.col("l_suppkey").alias("sk"),
+            F.conv(
+                F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = h.groupBy("sk").agg(F.count("*").alias("n_parts"))
+    rk = F.row_number().over(Window.partitionBy("sk").orderBy("h"))
+    kmv = (
+        h.withColumn("rk", rk).filter(F.col("rk") <= KMV_K).select("sk", "h")
+    ).localCheckpoint(eager=False)
+    pairs = (
+        sizes.alias("a")
+        .join(sizes.alias("b"), F.col("a.sk") < F.col("b.sk"))
+        .select(
+            F.col("a.sk").alias("sa"),
+            F.col("b.sk").alias("sb"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+    ku = (
+        pairs.select("sa", "sb")
+        .join(
+            F.broadcast(kmv),
+            (F.col("sk") == F.col("sa")) | (F.col("sk") == F.col("sb")),
+        )
+        .select("sa", "sb", "h")
+        .distinct()
+    )
+    urk = F.row_number().over(Window.partitionBy("sa", "sb").orderBy("h"))
+    ux = ku.withColumn("rk", urk).filter(F.col("rk") <= KMV_K).drop("rk")
+    ux_sz = ux.groupBy("sa", "sb").agg(F.count("*").alias("n_ux"))
+    ka, kb = kmv.alias("ka"), kmv.alias("kb")
+    both = (
+        ux.alias("x")
+        .join(
+            F.broadcast(ka),
+            (F.col("ka.sk") == F.col("x.sa")) & (F.col("ka.h") == F.col("x.h")),
+        )
+        .join(
+            F.broadcast(kb),
+            (F.col("kb.sk") == F.col("x.sb")) & (F.col("kb.h") == F.col("x.h")),
+        )
+        .groupBy(F.col("x.sa").alias("sa"), F.col("x.sb").alias("sb"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    inter = (
+        h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.sk") < F.col("y.sk")),
+        )
+        .groupBy(F.col("x.sk").alias("sa"), F.col("y.sk").alias("sb"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        pairs.join(ux_sz, ["sa", "sb"])
+        .join(inter, ["sa", "sb"], "left")
+        .join(both, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("supp_a"),
+            F.col("sb").alias("supp_b"),
+            "n_parts_a",
+            "n_parts_b",
+            n_inter.alias("n_inter"),
+            (
+                n_inter.cast("double")
+                / (F.col("n_parts_a") + F.col("n_parts_b") - n_inter)
+            ).alias("exact_jaccard"),
+            (
+                F.coalesce(F.col("n_both"), F.lit(0)).cast("double")
+                / F.col("n_ux")
+            ).alias("kmv_jaccard"),
+        )
+    )

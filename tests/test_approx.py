@@ -68,3 +68,23 @@ def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.exact_n, (r.word, r.cms_estimate, r.exact_n)
         assert r.cms_estimate <= r.exact_n * 1.10, (r.word, r.cms_estimate, r.exact_n)
+
+
+def test_kmv_overlap_estimator_error_bound(spark, sf_dir):
+    """KMV Jaccard estimate vs exact: |err| within ~3 binomial std errs
+    of the k=64 sketch (and exact when the union fits inside k)."""
+    from postgresql_transfer_tool_spark.operators.corpus import (
+        KMV_K,
+        supplier_part_overlap_kmv,
+    )
+
+    rows = supplier_part_overlap_kmv(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        j, est = r["exact_jaccard"], r["kmv_jaccard"]
+        union = r["n_parts_a"] + r["n_parts_b"] - r["n_inter"]
+        if union <= KMV_K:
+            assert est == j, r  # sketch holds the whole union: exact
+        else:
+            se = (j * (1 - j) / KMV_K) ** 0.5
+            assert abs(est - j) <= max(3 * se, 3 / KMV_K), r
