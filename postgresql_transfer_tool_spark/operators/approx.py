@@ -286,3 +286,68 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HASH_SAMPLE_K)
         .select("lang", "doc_id", "rk")
     )
+
+
+#: KMV NDV sketch size (larger than the overlap sketch: NDV error is
+#: ~1/sqrt(k), so k=256 gives ~6% relative error).
+NDV_KMV_K = 256
+
+
+@query(
+    "ndv_kmv_customers",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      FROM orders
+    ), ranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM h
+    ), kth AS (
+      SELECT MAX(h) AS h_k, COUNT(*) AS k_eff FROM ranked
+      WHERE rk <= {NDV_KMV_K}
+    )
+    SELECT (SELECT COUNT(*) FROM h) AS ndv_exact,
+           CASE WHEN k_eff < {NDV_KMV_K} THEN CAST(k_eff AS DOUBLE)
+                ELSE (CAST(k_eff AS DOUBLE) - 1)
+                     / (CAST(h_k AS DOUBLE) / 4294967296.0)
+           END AS ndv_kmv
+    FROM kth
+    """,
+)
+def ndv_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers: exact count next to the k-minimum-
+    values estimate NDV ≈ (k-1)/u_k with u_k the k-th smallest hash
+    normalized to [0,1) (Beyer et al., SIGMOD 2007). Complement to
+    ``ndv_approx`` (HLL): the HLL sketch is engine-native and can only
+    be rows-only-checked, while KMV is built from relational primitives
+    (md5 + top-k), so the approximate answer itself is deterministic and
+    oracle-verified bit-for-bit. At 100 TB the sketch is a per-partition
+    k-smallest merge — constant memory, one narrow aggregation; the
+    division-only estimate stays bit-portable.
+    Reference analog: none (driver-mandated extension surface, X5)."""
+    h = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # k smallest via orderBy+limit — compiles to TakeOrderedAndProject
+    # (per-partition top-k, one merge), never a single-partition window.
+    ranked = h.orderBy("h").limit(NDV_KMV_K)
+    kth = ranked.agg(
+        F.max("h").alias("h_k"), F.count("*").alias("k_eff")
+    )
+    exact = h.agg(F.count("*").alias("ndv_exact"))
+    est = F.when(
+        F.col("k_eff") < NDV_KMV_K, F.col("k_eff").cast("double")
+    ).otherwise(
+        (F.col("k_eff").cast("double") - 1)
+        / (F.col("h_k").cast("double") / F.lit(4294967296.0))
+    )
+    return exact.join(kth).select("ndv_exact", est.alias("ndv_kmv"))
