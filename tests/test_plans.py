@@ -199,3 +199,50 @@ def test_pq_broadcasts_codebook_and_querydots(spark, sf_dir):
     from postgresql_transfer_tool_spark.plans import has_broadcast_join
 
     assert has_broadcast_join(ann_pq_topk(spark, sf_dir))
+
+
+def test_winnowing_fingerprint_is_map_only(spark, sf_dir):
+    # Fingerprint extraction must run at scan speed: zero exchanges,
+    # scan reads only (doc_id, text).
+    from postgresql_transfer_tool_spark.operators.text import (
+        text_winnowing_fingerprint,
+    )
+    from postgresql_transfer_tool_spark.plans import count_exchanges
+
+    df = text_winnowing_fingerprint(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+
+
+def test_ndv_kmv_uses_distributed_topk(spark, sf_dir):
+    # The k-smallest selection must compile to TakeOrderedAndProject
+    # (per-partition top-k + merge), never a single-partition window.
+    from postgresql_transfer_tool_spark.operators.approx import ndv_kmv_customers
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    plan = physical_plan(ndv_kmv_customers(spark, sf_dir))
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+
+
+def test_hash_sampler_group_limit_pushdown(spark, sf_dir):
+    # The per-stratum rank must be cut BEFORE the exchange: Spark's
+    # WindowGroupLimit (partial) keeps only k rows per stratum per
+    # partition, so the shuffle carries O(k · strata · partitions) rows,
+    # not the table. Scan pruned to the two consumed columns.
+    from postgresql_transfer_tool_spark.operators.approx import stratified_sample_hash
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    df = stratified_sample_hash(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert_read_schema_only(df, "documents", {"doc_id", "lang"})
+
+
+def test_bigram_lm_broadcasts_context_table(spark, sf_dir):
+    # The vocabulary-sized unigram context table must broadcast; the
+    # bigram-count join shuffles on the high-cardinality bigram key.
+    from postgresql_transfer_tool_spark.operators.corpus import text_bigram_lm_score
+
+    df = text_bigram_lm_score(spark, sf_dir)
+    assert has_broadcast_join(df)
