@@ -423,10 +423,17 @@ WINNOW_CTES_SQL = f"""t AS (
 
 def winnow_fps_from(docs: DataFrame) -> DataFrame:
     """(doc_id, hs, fps) from any (doc_id, text) relation: per-document
-    k-gram hash array and distinct winnowing fingerprint set. Map-side
-    only — no shuffle."""
+    k-gram hash array and distinct winnowing fingerprint set.
+
+    The hash work itself is map-side; the leading repartition spreads
+    the CPU-heavy md5 stage across all cores when the input arrives as
+    one file = one split (the fixture layout — same justification as
+    the shingle pipeline, dedup.py). On a real lake the scan has as many
+    splits as the file layout provides and the exchange coalesces to a
+    no-op under AQE."""
     k, w = WINNOW_K, WINNOW_W
-    docs = docs.select(
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism).select(
         "doc_id",
         F.lower(F.regexp_replace("text", r"\s+", "")).alias("s"),
     )

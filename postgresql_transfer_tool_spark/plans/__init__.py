@@ -52,9 +52,17 @@ def assert_read_schema_only(df: DataFrame, table_fragment: str, columns: set[str
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
+    """Number of shuffle-exchange NODES in the physical plan (formatted
+    explain prints each node twice — tree line + detail header — so we
+    count only the `(N) Exchange` detail headers)."""
+    import re
+
     plan = physical_plan(df)
-    return sum(1 for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln.strip()) and "Reused" not in ln
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -202,15 +202,18 @@ def test_pq_broadcasts_codebook_and_querydots(spark, sf_dir):
 
 
 def test_winnowing_fingerprint_is_map_only(spark, sf_dir):
-    # Fingerprint extraction must run at scan speed: zero exchanges,
-    # scan reads only (doc_id, text).
+    # Fingerprint extraction is map-side work: the ONLY exchange is the
+    # explicit round-robin repartition that spreads the md5-heavy stage
+    # across cores (fixture = 1 file = 1 split); no aggregation shuffle.
+    # Scan reads only (doc_id, text).
     from postgresql_transfer_tool_spark.operators.text import (
         text_winnowing_fingerprint,
     )
-    from postgresql_transfer_tool_spark.plans import count_exchanges
+    from postgresql_transfer_tool_spark.plans import count_exchanges, physical_plan
 
     df = text_winnowing_fingerprint(spark, sf_dir)
-    assert count_exchanges(df) == 0
+    assert count_exchanges(df) == 1
+    assert "RoundRobinPartitioning" in physical_plan(df)
     assert_read_schema_only(df, "documents", {"doc_id", "text"})
 
 
