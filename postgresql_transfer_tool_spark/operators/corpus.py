@@ -31,8 +31,12 @@ _SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
 
 
 def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition first: the fixture ships one file = one split, and the
+    # tokenize/explode stages downstream are CPU-bound (same pattern as
+    # dedup.py's shingle pipeline; a real lake scan has natural splits).
     return (
         load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
         .filter(F.size("toks") > 0)
     )
@@ -290,9 +294,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unigram) table is vocabulary-sized and broadcasts. Two shuffles of
     the token stream total; no Python in the row path.
     Reference analog: none (driver-mandated extension surface, X4)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
-    ).filter(F.size("toks") >= 2)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+    )
     bg = docs.select(
         "doc_id",
         "source",
