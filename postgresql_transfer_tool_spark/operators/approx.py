@@ -213,8 +213,13 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # the word relation feeds both the exact branch and the sketch branch
     # — materialize once instead of scanning + re-tokenizing per branch
+    # repartition first: one file = one split in the fixtures, and both
+    # the tokenize/explode and the 4x-per-word sketch hashing downstream
+    # are CPU-bound (localCheckpoint preserves partitioning, so without
+    # this the whole CMS runs in a single task).
     words = (
         load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .localCheckpoint(eager=False)
     )

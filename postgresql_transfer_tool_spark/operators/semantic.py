@@ -209,8 +209,10 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split of "" still yields one element), so the segment sequence is
     always non-degenerate.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     )
     segs = docs.select(
         "doc_id",
