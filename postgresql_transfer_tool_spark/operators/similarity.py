@@ -36,7 +36,12 @@ _QUANT_SQL = "list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000
 
 
 def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition first: one file = one split in the fixtures, and every
+    # consumer (dot-product joins, centroid assignment, PQ coding) is
+    # CPU-bound; the checkpoint downstream preserves this partitioning.
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     qe = F.transform(
         "embedding", lambda v: F.round(v.cast("double") * 1000000).cast("bigint")
     )
