@@ -294,6 +294,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unigram) table is vocabulary-sized and broadcasts. Two shuffles of
     the token stream total; no Python in the row path.
     Reference analog: none (driver-mandated extension surface, X4)."""
+    # checkpoint the repartitioned doc relation: the bigram stream is
+    # derived from it in four plan branches (bg, c12, c1, scored) — the
+    # cut stops each branch re-running the scan+repartition, while the
+    # materialization stays doc-sized (pre-explode).
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -301,6 +305,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
         )
         .filter(F.size("toks") >= 2)
+        .localCheckpoint(eager=False)
     )
     bg = docs.select(
         "doc_id",
