@@ -44,3 +44,28 @@ def test_candidate_growth_subquadratic(spark):
     # 10× the docs; all-pairs would be ~100×. Require < 30× (pairs are
     # expected to scale ~linearly with the number of duplicated docs).
     assert n_big < 30 * max(n_small, 1), (n_small, n_big)
+
+
+def test_recall_vs_minhash_near_dups(spark, sf_dir):
+    """Cross-detector recall floor: winnowing overlap (char-level
+    fingerprints, document-frequency-capped) recovers most of the pairs
+    the verified MinHash path (token-level shingles) confirms. Full
+    agreement is NOT the contract — heavily-replicated content loses its
+    fingerprints to the DF cap by design, and 5-char grams and word
+    shingles weight overlap differently — but a recall collapse would
+    mean the fingerprint pipeline broke. Measured 22/28 (0.79) on the
+    round-2 fixture; floor set at 0.7."""
+    from postgresql_transfer_tool_spark.operators.dedup import dedup_minhash_lsh
+
+    mh = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.7
+    ]
+    assert mh, "fixture should contain verified near-duplicates"
+    wo = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_winnowing_overlap(spark, sf_dir).collect()
+    }
+    recall = sum(1 for p in mh if p in wo) / len(mh)
+    assert recall >= 0.7, (recall, len(mh))
