@@ -83,8 +83,27 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    # checkpoint partial timings every few queries: if the harness kills
+    # a long run mid-way, BENCH_FULL.json still holds everything timed
+    # so far (marked partial) instead of nothing.
+    def _flush(partial: bool) -> None:
+        snap = {
+            "metric": "total_query_wall_clock",
+            "value": round(sum(t for t in timings.values() if t >= 0), 4),
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": sf_from_dir(sf_dir),
+            "n_queries": len(timings),
+            "n_failed": sum(1 for t in timings.values() if t < 0),
+            "partial": partial,
+        }
+        tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
+
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         fn = qs[name]
         try:
             fn(spark, sf_dir).collect()  # warmup: JVM JIT + file cache
@@ -94,24 +113,15 @@ def main() -> None:
         except Exception as exc:  # never let one query kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        if i % 5 == 4:
+            _flush(partial=True)
     try:
         timings["transfer_pipeline"] = bench_transfer(spark, sf_dir)
     except Exception as exc:
         print(f"bench: transfer_pipeline failed: {exc}", file=sys.stderr)
         timings["transfer_pipeline"] = -1.0
+    _flush(partial=False)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    sf = sf_from_dir(sf_dir)
-    full = {
-        "metric": "total_query_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n_queries": len(timings),
-        "n_failed": sum(1 for t in timings.values() if t < 0),
-    }
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=2, sort_keys=True)
     headline = {n: timings[n] for n in [*HEADLINE, "transfer_pipeline"] if n in timings}
     print(
         json.dumps(
@@ -120,9 +130,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": headline,
-                "sf": sf,
+                "sf": sf_from_dir(sf_dir),
                 "n_queries": len(timings),
-                "n_failed": full["n_failed"],
+                "n_failed": sum(1 for t in timings.values() if t < 0),
                 "full_table": "BENCH_FULL.json",
             }
         )
