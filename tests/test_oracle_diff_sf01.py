@@ -4,7 +4,8 @@ fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
 under larger groups).
 
 Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
-0/133 failed (round 2, 2026-08-13).
+0/136 failed (round 2, 2026-08-13, incl. winnowing/KMV/ORC/hopping
+additions and the single-split parallelism changes).
 """
 
 from __future__ import annotations
