@@ -129,3 +129,68 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE c_custkey IN (SELECT k FROM keys_with_null)) AS n_in_with_null
         """
     )
+
+
+@query(
+    "corr_quantity_price",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(l_quantity AS DECIMAL(8,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+             AS pearson_r
+    FROM m
+    """,
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quantity and extended price per
+    return flag — the ANALYZE-style column-correlation statistic a
+    cost-based optimizer consumes (and the engine-portable alternative
+    to ``F.corr``, whose streaming covariance accumulation is
+    order-dependent). The five moments are exact decimal sums (one
+    aggregation pass, map-side combined); the closing formula is a
+    fixed sequence of correctly-rounded double ops — multiply, subtract,
+    sqrt, divide in identical order in both engines — on
+    identical decimal inputs, so the result is bit-identical. At 100 TB
+    this is one narrow shuffle of five accumulators per group."""
+    from .relational import dd as _dd  # noqa: F401  (doc cross-ref)
+
+    x = F.col("l_quantity").cast("decimal(8,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    def d(c):  # decimal → double via VARCHAR (correctly-rounded, portable)
+        return F.col(c).cast("string").cast("double")
+
+    nd = F.col("n").cast("double")
+    r = (nd * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(nd * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(nd * d("syy") - d("sy") * d("sy"))
+    )
+    return m.select("l_returnflag", "n", r.alias("pearson_r"))
