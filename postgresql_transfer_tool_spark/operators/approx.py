@@ -356,3 +356,65 @@ def ndv_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("h_k").cast("double") / F.lit(4294967296.0))
     )
     return exact.join(kth).select("ndv_exact", est.alias("ndv_kmv"))
+
+
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk
+      FROM cents
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM cents GROUP BY event_type
+    ), targets AS (
+      SELECT s.event_type, q.q, (q.q * s.n + 9) // 10 AS target_rk
+      FROM sizes s CROSS JOIN (SELECT unnest(range(1, 10)) AS q) q
+    )
+    SELECT t.event_type, t.q AS decile,
+           CAST(r.v AS DOUBLE) / 10000 AS boundary
+    FROM targets t
+    JOIN ranked r ON r.event_type = t.event_type AND r.rk = t.target_rk
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram: decile boundaries of ``value`` per
+    event type with percentile_disc semantics (smallest value whose rank
+    reaches ⌈q·n/10⌉), over integer ten-thousandths so no FP
+    interpolation exists to diverge between engines. This is the exact
+    calibration twin of ``quantiles_approx`` (the sketch path production
+    uses at 100 TB): equi-depth boundaries are what ANALYZE histograms
+    store for selectivity estimation. The rank window parallelizes per
+    group; the 9-row-per-group target table broadcasts to pick the
+    boundary rows."""
+    cents = (dec("value", 14, 4) * 10000).cast("bigint").alias("v")
+    e = load_table(spark, sf_dir, "events").select("event_type", cents)
+    ranked = e.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v"))
+        .alias("rk"),
+    )
+    sizes = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    targets = sizes.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("q"), "n"
+    ).select(
+        "event_type",
+        "q",
+        F.expr("(q * n + 9) DIV 10").alias("target_rk"),
+    )
+    r, t = ranked.alias("r"), targets.alias("t")
+    return r.join(
+        F.broadcast(t),
+        (F.col("r.event_type") == F.col("t.event_type"))
+        & (F.col("r.rk") == F.col("t.target_rk")),
+    ).select(
+        F.col("r.event_type").alias("event_type"),
+        F.col("t.q").alias("decile"),
+        (F.col("r.v").cast("double") / 10000).alias("boundary"),
+    )

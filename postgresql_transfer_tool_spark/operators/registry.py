@@ -94,7 +94,7 @@ _PRIORITY = [
     "text_winnowing_fingerprint", "event_time_hopping_window",
     "text_bigram_lm_score", "dedup_winnowing_overlap",
     "stratified_sample_hash", "supplier_part_overlap_kmv", "ndv_kmv_customers",
-    "corr_quantity_price",
+    "corr_quantity_price", "ols_quantity_price", "histogram_equi_depth",
     # transfer verification (round 3): checksum + keyed snapshot diff
     "table_content_checksums", "snapshot_diff_orders",
     # custom pandas + analytic stragglers without round-1 rows

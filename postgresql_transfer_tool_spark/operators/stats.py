@@ -194,3 +194,64 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * d("syy") - d("sy") * d("sy"))
     )
     return m.select("l_returnflag", "n", r.alias("pearson_r"))
+
+
+@query(
+    "ols_quantity_price",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(l_quantity AS DECIMAL(8,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, slope,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+            - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept
+    FROM (
+      SELECT l_returnflag, n, sx, sy,
+             (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+               AS slope
+      FROM m
+    ) s
+    """,
+)
+def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit price ~ quantity per return flag, from the same
+    exact decimal moments as ``corr_quantity_price`` — the distributed
+    regression recipe: one aggregation pass collects (n, Σx, Σy, Σxx,
+    Σxy), the closed-form slope/intercept is a fixed double-op sequence
+    on identical inputs in both engines. No iteration, no driver math —
+    the shuffle carries five accumulators per group at any scale."""
+    x = F.col("l_quantity").cast("decimal(8,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    def d(c):
+        return F.col(c).cast("string").cast("double")
+
+    nd = F.col("n").cast("double")
+    slope = (nd * d("sxy") - d("sx") * d("sy")) / (
+        nd * d("sxx") - d("sx") * d("sx")
+    )
+    s = m.select("l_returnflag", "n", "sx", "sy", slope.alias("slope"))
+    intercept = (d("sy") - F.col("slope") * d("sx")) / nd
+    return s.select("l_returnflag", "n", "slope", intercept.alias("intercept"))
