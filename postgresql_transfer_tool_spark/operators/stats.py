@@ -255,3 +255,62 @@ def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = m.select("l_returnflag", "n", "sx", "sy", slope.alias("slope"))
     intercept = (d("sy") - F.col("slope") * d("sx")) / nd
     return s.select("l_returnflag", "n", "slope", intercept.alias("intercept"))
+
+
+@query(
+    "mcv_orders_columns",
+    oracle="""
+    WITH long AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ), counted AS (
+      SELECT col, val, COUNT(*) AS n FROM long GROUP BY col, val
+    ), tot AS (
+      SELECT col, SUM(n) AS total FROM counted GROUP BY col
+    )
+    SELECT col, val, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac, rk
+    FROM (
+      SELECT c.col, c.val, c.n, t.total,
+             ROW_NUMBER() OVER (PARTITION BY c.col
+                                ORDER BY c.n DESC, c.val) AS rk
+      FROM counted c JOIN tot t ON c.col = t.col
+    ) ranked WHERE rk <= 3
+    """,
+)
+def mcv_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-values statistic (the pg_stats ``most_common_vals`` /
+    ``most_common_freqs`` pair) for the orders enumeration columns —
+    completing the ANALYZE quartet next to NDV, equi-depth histograms,
+    and column correlation. One stack pass puts both columns in long
+    form, one aggregation counts them, and the per-column top-3 rank
+    runs over the already-aggregated (tiny) value table — the scan is
+    read once regardless of how many columns are profiled."""
+    long = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col, val)"
+        )
+    )
+    counted = long.groupBy("col", "val").agg(F.count("*").alias("n"))
+    tot = counted.groupBy("col").agg(F.sum("n").alias("total"))
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("val"))
+    )
+    return (
+        counted.join(F.broadcast(tot), "col")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "col",
+            "val",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "frac"
+            ),
+            "rk",
+        )
+    )
