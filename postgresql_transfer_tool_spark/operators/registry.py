@@ -95,7 +95,7 @@ _PRIORITY = [
     "text_bigram_lm_score", "dedup_winnowing_overlap",
     "stratified_sample_hash", "supplier_part_overlap_kmv", "ndv_kmv_customers",
     "corr_quantity_price", "ols_quantity_price", "histogram_equi_depth",
-    "mcv_orders_columns",
+    "mcv_orders_columns", "moments_value_by_type",
     # transfer verification (round 3): checksum + keyed snapshot diff
     "table_content_checksums", "snapshot_diff_orders",
     # custom pandas + analytic stragglers without round-1 rows

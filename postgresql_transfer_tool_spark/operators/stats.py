@@ -314,3 +314,75 @@ def mcv_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "moments_value_by_type",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(10,4)) AS v,
+             CAST(CAST(value AS DECIMAL(10,4))
+                  * CAST(value AS DECIMAL(10,4)) AS DECIMAL(22,8)) AS v2
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(v) AS s1,
+             SUM(v2) AS s2,
+             SUM(CAST(v2 * v AS DECIMAL(34,12))) AS s3
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n, mean,
+           (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+            - mean * mean) AS variance,
+           (CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+            - 3.0 * mean * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+            + 2.0 * mean * mean * mean)
+           / (sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   - mean * mean)
+              * sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - mean * mean)
+              * sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                     - mean * mean)) AS skewness
+    FROM (
+      SELECT event_type, n, s1, s2, s3,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+      FROM m
+    ) b
+    """,
+)
+def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean / variance / skewness per event type from exact
+    decimal power sums — the one-pass distributed moments recipe
+    (Σx, Σx², Σx³ map-side combined, closed forms in double afterwards).
+    Spark's built-in ``skewness()`` uses a streaming update whose FP
+    error depends on row order; computing from exact sums makes the
+    statistic deterministic AND engine-portable. The σ³ denominator
+    is sd·sd·sd (three correctly-rounded multiplies) — libm pow(x, 3.0)
+    differs by an ulp between engines and is avoided, like log()."""
+    v = F.col("value").cast("decimal(10,4)")
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        v.alias("v"),
+        (v * v).cast("decimal(22,8)").alias("v2"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum((F.col("v2") * F.col("v")).cast("decimal(34,12)")).alias("s3"),
+    )
+    def d(c):
+        return F.col(c).cast("string").cast("double")
+
+    nd = F.col("n").cast("double")
+    b = m.select("event_type", "n", "s1", "s2", "s3", (d("s1") / nd).alias("mean"))
+    mean = F.col("mean")
+    m2 = d("s2") / nd
+    variance = m2 - mean * mean
+    sd = F.sqrt(variance)
+    skew = (d("s3") / nd - F.lit(3.0) * mean * m2
+            + F.lit(2.0) * mean * mean * mean) / (sd * sd * sd)
+    return b.select("event_type", "n", "mean", variance.alias("variance"),
+                    skew.alias("skewness"))
