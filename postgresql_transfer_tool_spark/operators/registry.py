@@ -45,69 +45,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: Names promoted to the front of the registry. The verification driver
-#: checks a bounded prefix of the registered queries per round; round 1
-#: covered the first 50, leaving the X1-X6 surface (dedup/ANN/text/
-#: approx/multimodal) and tpch_extra without a hard correctness row
-#: (VERDICT.md "Next round" #1). Promoting them — plus the two queries
-#: whose oracles were fixed this round — guarantees they get driver
-#: rows; the remainder keeps registration order (all were driver-green
-#: in round 1 and stay covered by tests/test_oracle_diff.py).
+#: checks a bounded ~50-query prefix per round; rounds 1+2 together
+#: covered 98 of 141 registered queries (94 green, 4 declared
+#: rows-only). The round-3 prefix is exactly the 43 queries that have
+#: never received a driver row (VERDICT.md r2 "Next round" #1 — all
+#: oracle-backed and green in the repo's own sf0.001/sf0.1 sweeps),
+#: followed by media_decode_features, whose decode stage gained a real
+#: header parse + DuckDB oracle this round (VERDICT #4). The sampling
+#: family's driver-facing representative is the deterministic
+#: stratified_sample_hash (VERDICT #3), in the never-checked block.
+#: The remainder keeps prior order; all have green rows from r1/r2 and
+#: stay covered by tests/test_oracle_diff.py.
 _PRIORITY = [
-    # X1/X2 dedup family
-    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_survivors",
-    # X3 similarity / ANN
-    "ann_bruteforce_topk", "ann_lsh_bucketed", "knn_label_vote",
-    # X4 text analysis
-    "text_token_stats", "text_quality_score", "text_language_id",
-    "text_fingerprint", "text_bpe_token_count", "text_char_classes",
-    # X5 approx analytics
-    "ndv_exact", "ndv_approx", "median_exact",
-    "quantiles_approx", "stratified_sample", "histogram_fixed_buckets",
-    # X6 multimodal
-    "binary_column_plumbing", "embedding_column_stats", "media_decode_features",
-    # round-1 oracle fixes (HUGEINT casts) — need fresh driver rows
-    "json_schema_promotion", "sessionization_gap_30m",
-    # TPC-H extensions (VERDICT: no round-1 rows)
-    "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue_ratio",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q16_supplier_count_by_part_attrs", "q21_multi_supplier_orders",
-    "q22_dormant_rich_customers",
-    # flagship composed pipeline + MV maintenance (round 2)
-    "curation_pipeline_funnel", "mv_incremental_refresh",
-    # multi-format sources (round 2) — CSV/JSON round-trip parity
-    "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
-    "source_orc_roundtrip_lineitem",
-    # curation trio
-    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
-    # merge + corpus families
-    "merge_upsert_orders", "merge_scd2_customer_balance",
-    "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
-    # remaining round-2 additions
-    "ann_ivf_topk", "text_repetition_ratio", "text_pii_scrub",
-    "dedup_semantic_clusters", "text_segment_dedup",
+    # --- never-driver-checked (round-2 additions), block 1: text/dedup/ANN ---
+    "text_winnowing_fingerprint", "dedup_winnowing_overlap",
+    "text_segment_dedup", "text_bigram_lm_score",
+    "text_repetition_ratio", "text_pii_scrub",
+    "dedup_semantic_clusters", "ann_pq_topk",
+    # sampling — deterministic hash-rank sampler is the driver-facing one
+    "stratified_sample_hash",
+    # sketches + moment statistics (ANALYZE family)
+    "supplier_part_overlap_kmv", "ndv_kmv_customers", "heavy_hitters_cms",
+    "corr_quantity_price", "ols_quantity_price", "moments_value_by_type",
+    "mcv_orders_columns", "histogram_equi_depth", "analyze_table_stats",
+    # product analytics + windows
     "cohort_retention", "active_users_rolling", "funnel_user_conversion",
-    "ann_pq_topk", "heavy_hitters_cms", "sequence_packing",
-    "domain_mix_weights", "rolling_hour_peak_value", "region_nation_listagg",
-    "active_users_rolling_hll",
-    "text_winnowing_fingerprint", "event_time_hopping_window",
-    "text_bigram_lm_score", "dedup_winnowing_overlap",
-    "stratified_sample_hash", "supplier_part_overlap_kmv", "ndv_kmv_customers",
-    "corr_quantity_price", "ols_quantity_price", "histogram_equi_depth",
-    "mcv_orders_columns", "moments_value_by_type",
-    # transfer verification (round 3): checksum + keyed snapshot diff
+    "active_users_rolling_hll", "rolling_hour_peak_value",
+    "window_value_functions", "event_time_hopping_window",
+    # curation/corpus stragglers
+    "sequence_packing", "domain_mix_weights", "region_nation_listagg",
+    # transfer verification: checksum + keyed snapshot diff
     "table_content_checksums", "snapshot_diff_orders",
-    # custom pandas + analytic stragglers without round-1 rows
+    # custom pandas + analytic stragglers
     "pandas_group_outliers", "unpivot_priority_counts", "grouping_sets_sql",
-    "window_value_functions", "analyze_table_stats", "not_in_null_semantics",
-    # tpch_full tail — derived-extra surface; if the driver's per-round
-    # row budget cuts anywhere, it should cut here, not in the
-    # LLM-pipeline families above
+    "not_in_null_semantics",
+    # tpch_full tail (never checked)
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q11_important_stock",
     "q13_customer_order_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q20_excess_availability_suppliers",
+    # --- newly oracle-backed this round (was rows-only) ---
+    "media_decode_features",
+    # --- previously green (r1/r2 rows); keep ordering for stability ---
+    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_survivors",
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "knn_label_vote",
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "text_bpe_token_count", "text_char_classes",
+    "ndv_exact", "ndv_approx", "median_exact",
+    "quantiles_approx", "stratified_sample", "histogram_fixed_buckets",
+    "binary_column_plumbing", "embedding_column_stats",
+    "json_schema_promotion", "sessionization_gap_30m",
+    "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue_ratio",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q16_supplier_count_by_part_attrs", "q21_multi_supplier_orders",
+    "q22_dormant_rich_customers",
+    "curation_pipeline_funnel", "mv_incremental_refresh",
+    "source_csv_roundtrip_orders", "source_json_roundtrip_embeddings",
+    "source_orc_roundtrip_lineitem",
+    "domain_mix_sample", "token_budget_selection", "embedding_label_centroids",
+    "merge_upsert_orders", "merge_scd2_customer_balance",
+    "corpus_ngram_topk", "tfidf_top_terms", "contamination_ngram_overlap",
+    "ann_ivf_topk",
 ]
 
 
