@@ -12,9 +12,10 @@ engine at any parallelism (re-runs and backfills pick identical data —
 the property that makes a sampled corpus reproducible).
 
 Scale: sampling and bucketing are stateless map-side expressions
-(filter at scan speed, no shuffle); token budgeting is one global sort
-expressed as a window over an already-aggregated per-doc relation; the
-centroid step is a single partial-aggregable groupBy on (label, dim).
+(filter at scan speed, no shuffle); token budgeting runs the two-phase
+parallel prefix sum (functions/cumsum.py) over the per-doc summary —
+no serial WindowExec task; the centroid step is a single
+partial-aggregable groupBy on (label, dim).
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.cumsum import running_sum
 from .registry import query
 
 #: engine-portable uniform bucket in [0, 100): md5-prefix → int — the
@@ -100,9 +102,11 @@ _TOKEN_BUDGET = 20_000
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill a fixed token budget from the best-scoring documents
     (score = token count, tie-broken by doc_id): rank, running-sum,
-    cut. One window over the tiny per-doc summary — the heavy text
-    tokenization happens map-side before the sort, so the global
-    window sees only (doc_id, n_tokens) rows."""
+    cut. The heavy tokenization happens map-side; the global running
+    sum is the two-phase parallel prefix sum (functions/cumsum.py) —
+    range-partition on the rank order, per-partition cumsum, broadcast
+    partition-offset add — so no single task ever orders more than one
+    partition's rows even with billions of documents."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
@@ -110,12 +114,15 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
     )
-    w = (
-        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
-        F.col("cum_tokens") <= _TOKEN_BUDGET
+    return (
+        running_sum(
+            scored,
+            [F.col("n_tokens").desc(), F.col("doc_id")],
+            F.col("n_tokens").cast("bigint"),
+            "cum_tokens",
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.cumsum import running_sum
 from .corpus import _NGRAM, _SQL_TOKS
 from .curation import _SQL_BUCKET, _spark_bucket
 from .registry import query
@@ -202,10 +203,7 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     wdedup = Window.partitionBy("h").orderBy("doc_id")
-    wbudget = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    flagged = (
+    staged = (
         feat.join(F.broadcast(contaminated), "doc_id", "left")
         .withColumn("is_dedup", F.row_number().over(wdedup) == 1)
         .withColumn(
@@ -220,16 +218,19 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_sampled", F.col("is_clean") & (F.col("bucket") < F.col("rate_pct"))
         )
-        .withColumn(
-            "cum_tokens",
-            F.sum(F.when(F.col("is_sampled"), F.col("ntoks")).otherwise(0)).over(
-                wbudget
-            ),
-        )
-        .withColumn(
-            "is_budgeted",
-            F.col("is_sampled") & (F.col("cum_tokens") <= _PIPE_BUDGET),
-        )
+    )
+    # Budget stage: two-phase parallel prefix sum (functions/cumsum.py)
+    # over (quality desc, doc_id) — non-sampled docs contribute 0 tokens,
+    # so at every sampled row the running sum equals the oracle's cumsum
+    # over sampled rows only; no serial WindowExec task at any scale.
+    flagged = running_sum(
+        staged,
+        [F.col("quality").desc(), F.col("doc_id")],
+        F.when(F.col("is_sampled"), F.col("ntoks")).otherwise(0).cast("bigint"),
+        "cum_tokens",
+    ).withColumn(
+        "is_budgeted",
+        F.col("is_sampled") & (F.col("cum_tokens") <= _PIPE_BUDGET),
     )
 
     def n_and_toks(flag: str) -> list[F.Column]:

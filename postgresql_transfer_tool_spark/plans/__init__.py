@@ -79,3 +79,41 @@ def has_wholestage_codegen(df: DataFrame) -> bool:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "*(" in plan or "WholeStageCodegen" in plan
+
+
+def _top_level_bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan Arguments line."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window nodes with NO partition spec — each one is a
+    serial single-task bottleneck at scale (WindowExec moves all rows to
+    one partition). A partitioned Window's Arguments line has three
+    top-level bracket groups ``[exprs], [partSpec], [orderSpec]``; an
+    unpartitioned one has two. WindowGroupLimit nodes (partial top-k
+    pushdown) are not WindowExec and are skipped."""
+    import re
+
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    count = 0
+    for i, ln in enumerate(lines):
+        if re.match(r"^\(\d+\) Window(GroupLimit)?\s*$", ln.strip()):
+            if "GroupLimit" in ln:
+                continue
+            for follow in lines[i + 1 : i + 6]:
+                if follow.startswith("Arguments:"):
+                    if _top_level_bracket_groups(follow) < 3:
+                        count += 1
+                    break
+    return count
