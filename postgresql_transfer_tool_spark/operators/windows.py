@@ -8,8 +8,10 @@ PostgreSQL.
 
 Scale note: every window here partitions by a real key (never a global
 ``Window.orderBy`` without partitioning, which would serialize 100 TB
-through one task) — except where a total order is semantically required,
-in which case the input is pre-aggregated to a small set first.
+through one task). Where a total order is semantically required, either
+the input is pre-filtered to a bounded set first (rank_dense_rank_ntile)
+or the computation is re-expressed as the two-phase parallel prefix sum
+(serial_id_generation → functions/cumsum.py).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cumsum import running_sum
 from ..functions.exact import dec
 from .registry import query
 
@@ -89,16 +92,17 @@ def serial_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIGSERIAL-equivalent id assignment (SURVEY.md §1.3): a dense,
     deterministic 1-based id over a stable ordering.
 
-    Scale note: a single unpartitioned ROW_NUMBER serializes — fine for
-    dimension-sized tables; for fact-scale id assignment the engine uses
-    zipWithIndex-free arithmetic: partition offsets + per-partition
-    row_number (see transfer.py assign_serial_ids).
+    Scale: ROW_NUMBER over a global order is a running COUNT, so it runs
+    as the two-phase parallel prefix sum (functions/cumsum.py —
+    range-partition on the order key, per-partition row numbering,
+    broadcast partition-count offsets). No single task ever numbers more
+    than one partition's rows; identical output to the serial window
+    form at any partitioning.
     """
-    w = Window.orderBy("doc_id")
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(F.row_number().over(w).cast("bigint").alias("new_id"), "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return running_sum(
+        docs, [F.col("doc_id")], F.lit(1).cast("bigint"), "new_id"
+    ).select("new_id", "doc_id")
 
 
 @query(

@@ -295,3 +295,12 @@ def test_unpartitioned_window_detector_sees_serial_form(spark, sf_dir):
         "doc_id", F.sum("n_chars").over(w).alias("cum")
     )
     assert unpartitioned_window_count(serial) == 1
+
+
+def test_serial_id_generation_no_serial_window(spark, sf_dir):
+    # BIGSERIAL assignment must run as the two-phase prefix count, not a
+    # global ROW_NUMBER through one task (VERDICT r2 "What's wrong" #2).
+    from postgresql_transfer_tool_spark.operators.windows import serial_id_generation
+    from postgresql_transfer_tool_spark.plans import unpartitioned_window_count
+
+    assert unpartitioned_window_count(serial_id_generation(spark, sf_dir)) == 0
