@@ -31,3 +31,20 @@ def test_decode_partition_parallel(spark, sf_dir):
     decoded = media_decode_pipeline(spark, sf_dir)
     n = decoded.repartition(8).count()
     assert n == 500
+
+
+def test_decode_rejects_bad_magic():
+    import pytest
+
+    from postgresql_transfer_tool_spark.operators.multimodal import _parse_decode
+
+    with pytest.raises(ValueError):
+        _parse_decode(b"JPEG|0020|0020|payload")
+
+
+def test_decode_roundtrips_header():
+    from postgresql_transfer_tool_spark.operators.multimodal import _parse_decode
+
+    w, h, feat = _parse_decode(b"FIMG|0037|0079|" + b"x" * 100)
+    assert (w, h) == (37, 79)
+    assert feat == [100.0, float((ord("x") * 32) % 251), 37.0, 79.0]
