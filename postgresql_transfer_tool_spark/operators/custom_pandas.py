@@ -18,10 +18,18 @@ from .registry import query
 
 
 def _mad_outliers(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Robust outlier count per group: |x - median| > 3 * MAD."""
+    """Robust outlier count per group: |x - median| > 3 * MAD.
+
+    Median and MAD are the DISCRETE (lower-element) quantile — an actual
+    element of the multiset, never an interpolated midpoint. That is
+    what makes the operator oracle-expressible: DuckDB's quantile_disc
+    selects the same element bit-for-bit, and every downstream double op
+    (abs subtract, 3×, compare) is identical IEEE arithmetic on both
+    engines. Interpolating medians (pandas' default 'linear') would
+    reintroduce engine-dependent FP."""
     v = pdf["value"]
-    med = v.median()
-    mad = (v - med).abs().median()
+    med = v.quantile(0.5, interpolation="lower")
+    mad = (v - med).abs().quantile(0.5, interpolation="lower")
     n_out = int(((v - med).abs() > 3 * mad).sum()) if mad > 0 else 0
     return pd.DataFrame(
         {
@@ -34,12 +42,39 @@ def _mad_outliers(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("pandas_group_outliers")  # rows-only: pandas median ≠ SQL quantile FP-wise
+@query(
+    "pandas_group_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             quantile_disc(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    ), madt AS (
+      SELECT e.event_type,
+             quantile_disc(abs(e.value - m.median_value), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    ), outl AS (
+      SELECT e.event_type,
+             CAST(SUM(CASE WHEN abs(e.value - m.median_value) > 3 * t.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM events e
+      JOIN med m USING (event_type) JOIN madt t USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n_events, m.median_value, t.mad,
+           CASE WHEN t.mad > 0 THEN o.n_out ELSE CAST(0 AS BIGINT) END
+             AS n_outliers
+    FROM med m
+    JOIN madt t USING (event_type)
+    JOIN outl o USING (event_type)
+    """,
+)
 def pandas_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust (median/MAD) outlier detection — grouped
-    pandas with one Arrow batch per group. Deterministic (median of a
-    fixed multiset), so the rows-only check is stable; exactness vs a
-    driver-side pandas ground truth is asserted in
+    pandas with one Arrow batch per group. Discrete-quantile semantics
+    make it fully oracle-checked (see _mad_outliers); exactness vs a
+    driver-side pandas ground truth is additionally asserted in
     tests/test_custom_pandas.py."""
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     return e.groupBy("event_type").applyInPandas(

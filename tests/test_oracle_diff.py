@@ -25,9 +25,21 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 
 def test_every_query_has_oracle_or_is_declared_weak(spark):
-    # Rows-only queries are allowed (non-SQL-expressible), but should stay
-    # a small minority; this guard keeps us honest about oracle coverage.
+    # Rows-only queries are allowed (non-SQL-expressible), but each one
+    # must be on this explicit allowlist — every entry is an
+    # engine-native sketch/RNG whose EXACT value is legitimately
+    # engine-specific (each has an error-bound pytest instead, and a
+    # deterministic oracle-checked sibling registered alongside:
+    # ndv_exact/ndv_kmv, median_exact/histogram_equi_depth,
+    # stratified_sample_hash, active_users_rolling).
+    allowed_weak = {
+        "ndv_approx",            # HLL sketch (approx_count_distinct)
+        "quantiles_approx",      # KLL/GK sketch (percentile_approx)
+        "stratified_sample",     # engine RNG (sampleBy)
+        "active_users_rolling_hll",  # HLL rolling distinct
+    }
     weak = set(registry.QUERIES) - set(registry.ORACLES)
-    assert len(weak) <= max(3, len(registry.QUERIES) // 4), (
-        f"too many oracle-less queries: {sorted(weak)}"
+    assert weak <= allowed_weak, (
+        f"oracle-less queries outside the declared sketch/RNG set: "
+        f"{sorted(weak - allowed_weak)}"
     )
