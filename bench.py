@@ -99,7 +99,7 @@ def main() -> None:
         }
         tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(snap, f, indent=1)
+            json.dump(snap, f, indent=2, sort_keys=True)
         os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
 
     timings: dict[str, float] = {}

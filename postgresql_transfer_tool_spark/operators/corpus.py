@@ -250,8 +250,8 @@ _LM_LOW = 0.05
       FROM bg GROUP BY 1
     ), scored AS (
       SELECT b.doc_id, b.source,
-             CAST(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
-                  AS DECIMAL(11,10)) AS p
+             CAST(CAST(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                       AS VARCHAR) AS DECIMAL(11,10)) AS p
       FROM bg b
       JOIN c12 ON b.bg = c12.bg
       JOIN c1 ON split_part(b.bg, chr(31), 1) = c1.w1
@@ -280,7 +280,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable across engines; ranking is preserved) and decimal
     quantization before every reaggregation keep the result
     hash-identical to the oracle. Re-quantizing a *computed* double
-    (doc_score) goes double->VARCHAR->decimal: both engines print the
+    (p and doc_score both) goes double->VARCHAR->decimal: both engines print the
     same shortest-round-trip digits for the same double and round the
     same digit string half-up, whereas direct double->decimal casts can
     disagree by one quantum at rounding boundaries (observed at sf0.001).
@@ -319,8 +319,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = bg.groupBy(F.split_part("bg", F.lit(_US), F.lit(1)).alias("w1")).agg(
         F.count("*").alias("c1")
     )
-    p = (F.col("c12").cast("double") / F.col("c1").cast("double")).cast(
-        "decimal(11,10)"
+    # VARCHAR round-trip before the decimal quantization — the same
+    # discipline as doc_score below: both engines print identical
+    # shortest-round-trip digits for identical doubles and round the
+    # digit string half-up, where a DIRECT double->decimal cast can
+    # disagree by one quantum at rounding boundaries (ADVICE r2).
+    p = (
+        (F.col("c12").cast("double") / F.col("c1").cast("double"))
+        .cast("string")
+        .cast("decimal(11,10)")
     )
     scored = (
         bg.join(c12, "bg")

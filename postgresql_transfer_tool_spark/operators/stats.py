@@ -168,9 +168,10 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed sequence of correctly-rounded double ops — multiply, subtract,
     sqrt, divide in identical order in both engines — on
     identical decimal inputs, so the result is bit-identical. At 100 TB
-    this is one narrow shuffle of five accumulators per group."""
-    from .relational import dd as _dd  # noqa: F401  (doc cross-ref)
+    this is one narrow shuffle of five accumulators per group.
 
+    The oracle's decimal→double conversions use the VARCHAR round-trip
+    (relational.dd) on every moment before the closing arithmetic."""
     x = F.col("l_quantity").cast("decimal(8,2)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
     m = (
