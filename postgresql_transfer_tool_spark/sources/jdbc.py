@@ -9,12 +9,15 @@ non-deterministic, SURVEY.md §4 O1-O2) and writes one INSERT per row
   parallel range scans, each a single server-side cursor (O(N) total);
 - writes: batched inserts (``batchsize``), per-partition connections.
 
-No PostgreSQL is available in the test container, so everything here is
-pure option/SQL construction (unit-tested) plus thin ``spark.read``
-calls that activate when a URL is supplied. Constraint reflection (S1,
-which Spark's JDBC reader does not surface) is implemented as
-``information_schema``/``pg_catalog`` queries shipped through the JDBC
-``query`` option.
+No JDBC jar ships in the test container, so everything here is pure
+option/SQL construction (unit-tested) plus thin ``spark.read`` calls
+that activate when a URL is supplied; the reflection/DDL/sequence SQL
+is additionally executed verbatim against a live throwaway PostgreSQL
+in ``tests/test_pg_integration.py``, and real data movement is
+live-tested through the ``COPY`` bridge (``sources/pgcopy.py``).
+Constraint reflection (S1, which Spark's JDBC reader does not surface)
+is implemented as ``information_schema``/``pg_catalog`` queries shipped
+through the JDBC ``query`` option.
 """
 
 from __future__ import annotations

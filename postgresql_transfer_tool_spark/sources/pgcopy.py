@@ -1,0 +1,308 @@
+"""Live-PostgreSQL bridge over ``COPY`` — the zero-dependency data path.
+
+The JDBC layer (``sources/jdbc.py``) is the cluster-scale path: N
+parallel range scans and batched inserts, one connection per executor
+partition. It needs the PostgreSQL JDBC jar on the Spark classpath.
+This module is the complementary bridge for environments that ship
+server binaries but no JDBC driver (like this test container): it moves
+data through ``psql``'s ``COPY ... TO STDOUT`` / ``COPY ... FROM STDIN``
+in CSV form, which every PostgreSQL installation supports out of the box.
+
+Reference parity: the reference's entire data path is SQLAlchemy
+``SELECT`` + per-row ``INSERT`` (``transfer_data_script.py:107-126``).
+``COPY`` is the bulk form PostgreSQL documents as the fast path — one
+command streams the whole relation — so this bridge is both more
+faithful to "what a PostgreSQL operator would do" and orders of
+magnitude cheaper than the reference's row loop.
+
+Scale honesty (SCALE.md contract):
+
+- ``copy_out``/``read_table`` drive ONE server-side cursor per table —
+  a driver-side bridge, not a distributed scan. At 100 TB use
+  ``jdbc.read_table`` (partitioned ranges). The bridge's own scale axis
+  is per-TABLE parallelism: independent tables stream concurrently.
+- ``write_table`` is per-part-file parallelizable (each Spark output
+  part is one independent ``COPY FROM``); parts load in sorted order so
+  reruns are deterministic. Each ``COPY`` is its own transaction —
+  callers needing all-or-nothing semantics write to a staging table and
+  rename, exactly like the parquet pipeline (``transfer.py`` K5/K6).
+
+CSV conventions (both directions):
+
+- NULL marker is ``\\N`` (never a valid unquoted value otherwise);
+  PostgreSQL quotes a *literal* ``\\N`` on output, but Spark's CSV
+  reader applies ``nullValue`` to quoted fields too — a string column
+  whose value is exactly the two characters ``\\N`` round-trips to NULL.
+  Documented limitation, astronomically unlikely in real data.
+- Quotes are escaped by doubling (PostgreSQL's only CSV style);
+  ``escape='"'`` makes Spark's univocity parser/writer agree.
+- ``multiLine=true`` on read: embedded newlines arrive quoted.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import subprocess
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..types import create_table_ddl, quote_ident, quote_qualified, reflect_schema
+
+#: CSV NULL marker shared by both directions (two characters: \N).
+NULL_MARKER = "\\N"
+
+_PSQL_TIMEOUT = 120
+
+
+class PgCopyError(RuntimeError):
+    """psql exited non-zero; message carries stderr + the SQL."""
+
+
+@dataclass(frozen=True)
+class PgServer:
+    """Connection coordinates for psql. ``host`` may be a Unix-socket
+    directory (how the throwaway test cluster listens)."""
+
+    host: str
+    port: int
+    user: str = "postgres"
+    dbname: str = "postgres"
+
+    def psql_base(self) -> list[str]:
+        return [
+            "psql",
+            "-h", self.host,
+            "-p", str(self.port),
+            "-U", self.user,
+            "-d", self.dbname,
+            "-X", "-q",
+            "-v", "ON_ERROR_STOP=1",
+        ]
+
+
+def run_sql(server: PgServer, sql: str) -> list[tuple[str, ...]]:
+    """Execute one statement, return rows as string tuples (psql --csv,
+    header dropped). The driver-side passthrough every reflection /
+    DDL / setval statement rides."""
+    p = subprocess.run(
+        [*server.psql_base(), "--csv", "-c", sql],
+        capture_output=True, text=True, cwd="/", timeout=_PSQL_TIMEOUT,
+    )
+    if p.returncode != 0:
+        raise PgCopyError(f"psql failed: {p.stderr}\nSQL: {sql}")
+    rows = list(csv.reader(io.StringIO(p.stdout)))
+    return [tuple(r) for r in rows[1:]]
+
+
+# ---------------------------------------------------------------------------
+# schema reflection (S1 live): information_schema.columns → StructType
+# ---------------------------------------------------------------------------
+
+
+def columns_sql(schema: str, table: str) -> str:
+    """Ordered column reflection — (name, pg_type, nullable) rows in
+    table order, the input shape ``types.reflect_schema`` consumes."""
+    return f"""
+    SELECT column_name,
+           CASE WHEN data_type = 'numeric'
+                     AND numeric_precision IS NOT NULL
+                THEN 'numeric(' || numeric_precision || ',' ||
+                     COALESCE(numeric_scale, 0) || ')'
+                WHEN data_type = 'ARRAY'
+                THEN replace(udt_name, '_', '') || '[]'
+                ELSE data_type END,
+           is_nullable
+    FROM information_schema.columns
+    WHERE table_schema = '{schema}' AND table_name = '{table}'
+    ORDER BY ordinal_position
+    """
+
+
+def reflect_table_schema(server: PgServer, schema: str, table: str) -> T.StructType:
+    rows = run_sql(server, columns_sql(schema, table))
+    if not rows:
+        raise PgCopyError(f"no such table: {schema}.{table}")
+    return reflect_schema([(n, t, null == "YES") for n, t, null in rows])
+
+
+# ---------------------------------------------------------------------------
+# read path: COPY TO STDOUT → local CSV → distributed parse/cast
+# ---------------------------------------------------------------------------
+
+
+def copy_out(server: PgServer, schema: str, table: str, dest: str) -> None:
+    """Stream one table to a local CSV file (single server cursor —
+    the bridge's documented driver-side step; the parse/cast below is
+    distributed)."""
+    # FORCE_QUOTE *: every non-NULL value arrives quoted, so the bare
+    # \N marker is the ONLY unquoted token — Spark's reader then cannot
+    # confuse an empty string (arrives as "") with NULL (arrives as \N).
+    sql = (
+        f"COPY {quote_qualified(schema, table)} TO STDOUT "
+        f"(FORMAT csv, NULL '{NULL_MARKER}', FORCE_QUOTE *)"
+    )
+    with open(dest, "wb") as f:
+        p = subprocess.run(
+            [*server.psql_base(), "-c", sql],
+            stdout=f, stderr=subprocess.PIPE, cwd="/", timeout=_PSQL_TIMEOUT,
+        )
+    if p.returncode != 0:
+        raise PgCopyError(f"COPY OUT failed: {p.stderr.decode()}\nSQL: {sql}")
+
+
+def _from_pg_text(field: T.StructField) -> Column:
+    """Cast one all-string CSV column to its reflected Spark type, using
+    PostgreSQL's COPY output conventions (t/f booleans, \\x hex bytea,
+    {a,b,c} arrays)."""
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, T.BooleanType):
+        out = c == "t"  # null-preserving: NULL == 't' is NULL
+    elif isinstance(dt, T.BinaryType):
+        out = F.unhex(c.substr(F.lit(3), F.length(c)))  # strip leading \x
+    elif isinstance(dt, T.ArrayType):
+        if not isinstance(dt.elementType, T.NumericType):
+            raise NotImplementedError(
+                "pgcopy read supports numeric arrays only; "
+                f"{field.name} is {dt.simpleString()}"
+            )
+        elems = F.split(c.substr(F.lit(2), F.length(c) - 2), ",")
+        inner = F.transform(
+            elems, lambda x: F.nullif(x, F.lit("NULL")).cast(dt.elementType)
+        )
+        out = F.when(c == "{}", F.array().cast(dt)).otherwise(inner)
+    elif isinstance(dt, (T.MapType, T.StructType)):
+        raise NotImplementedError(
+            f"pgcopy read keeps json/composite as text; declare {field.name} string"
+        )
+    else:
+        out = c.cast(dt)  # numerics, timestamp, date, string: ANSI cast
+    return out.alias(field.name)
+
+
+def read_table(
+    spark: SparkSession,
+    server: PgServer,
+    schema: str,
+    table: str,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Live full-table scan (S2 over the COPY bridge): reflect the
+    schema, stream the table to scratch CSV, parse distributed with an
+    all-string schema, cast per PostgreSQL text conventions."""
+    st = reflect_table_schema(server, schema, table)
+    fd, path = tempfile.mkstemp(
+        suffix=".csv", prefix=f"pgcopy_{table}_", dir=scratch_dir
+    )
+    os.close(fd)
+    copy_out(server, schema, table, path)
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in st.fields]
+    )
+    raw = (
+        spark.read.schema(raw_schema)
+        .option("nullValue", NULL_MARKER)
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return raw.select(*[_from_pg_text(f) for f in st.fields])
+
+
+# ---------------------------------------------------------------------------
+# write path: distributed CSV parts → COPY FROM STDIN per part
+# ---------------------------------------------------------------------------
+
+
+def _to_pg_text(field: T.StructField) -> Column:
+    """Render one column CSV-safe for COPY FROM, inverse of
+    ``_from_pg_text``. Scalars pass through (Spark writes true/false,
+    ISO timestamps — both COPY-acceptable); containers/binary get
+    PostgreSQL literal syntax."""
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, T.BinaryType):
+        out = F.concat(F.lit("\\x"), F.lower(F.hex(c)))
+    elif isinstance(dt, T.ArrayType):
+        out = F.when(
+            c.isNotNull(),
+            F.concat(
+                F.lit("{"),
+                F.array_join(c.cast("array<string>"), ",", "NULL"),
+                F.lit("}"),
+            ),
+        )
+    elif isinstance(dt, (T.MapType, T.StructType)):
+        out = F.to_json(c)  # lands in json/jsonb columns
+    elif isinstance(dt, T.TimestampType):
+        out = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    else:
+        out = c
+    return out.alias(field.name)
+
+
+def copy_in(server: PgServer, schema: str, table: str, columns: list[str], path: str) -> None:
+    """Load one CSV part via COPY FROM STDIN (one transaction per part)."""
+    collist = ", ".join(quote_ident(c) for c in columns)
+    sql = (
+        f"COPY {quote_qualified(schema, table)} ({collist}) FROM STDIN "
+        f"(FORMAT csv, NULL '{NULL_MARKER}')"
+    )
+    with open(path, "rb") as f:
+        p = subprocess.run(
+            [*server.psql_base(), "-c", sql],
+            stdin=f, capture_output=True, cwd="/", timeout=_PSQL_TIMEOUT,
+        )
+    if p.returncode != 0:
+        raise PgCopyError(f"COPY IN failed: {p.stderr.decode()}\nSQL: {sql}")
+
+
+def write_table(
+    df: DataFrame,
+    server: PgServer,
+    schema: str,
+    table: str,
+    create: bool = True,
+    primary_key: tuple[str, ...] = (),
+    serial_columns: tuple[str, ...] = (),
+    scratch_dir: str | None = None,
+) -> int:
+    """Bulk-load a DataFrame into a live PostgreSQL table (K1/K2 over
+    the COPY bridge): optional CREATE TABLE from the Spark schema
+    (``types.create_table_ddl`` — the same DDL the JDBC path emits),
+    distributed CSV render, then one COPY per part file in sorted order.
+    Returns the number of part files loaded.
+
+    ``quoteAll`` keeps data values quoted so the unquoted NULL marker
+    stays unambiguous; nulls are written as the bare marker."""
+    if create:
+        ddl = create_table_ddl(
+            df.schema, table, target_schema=schema,
+            primary_key=primary_key, serial_columns=serial_columns,
+        )
+        run_sql(server, ddl)
+    out_dir = tempfile.mkdtemp(prefix=f"pgcopy_out_{table}_", dir=scratch_dir)
+    staged = os.path.join(out_dir, "parts")
+    (
+        df.select(*[_to_pg_text(f) for f in df.schema.fields])
+        .write.option("nullValue", NULL_MARKER)
+        .option("emptyValue", '""')
+        .option("escape", '"')
+        .option("quoteAll", "true")
+        .csv(staged)
+    )
+    columns = [f.name for f in df.schema.fields]
+    parts = sorted(
+        os.path.join(staged, p)
+        for p in os.listdir(staged)
+        if p.startswith("part-") and p.endswith(".csv")
+    )
+    for part in parts:
+        copy_in(server, schema, table, columns, part)
+    return len(parts)

@@ -1,0 +1,182 @@
+"""Live end-to-end data movement against a throwaway PostgreSQL via the
+COPY bridge (sources/pgcopy.py) — the reference's actual job (PG→PG
+table transfer) exercised with real bytes, not string-level SQL checks.
+
+Covers live: S2 (full scan), S1 (column reflection), K1/K2 (bulk load +
+DDL), K7 (sequence resync after explicit-id load), and the type fidelity
+corners (quotes/newlines/unicode in text, bytea, numeric, timestamps,
+float arrays, NULL vs empty string)."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+pytestmark = pytest.mark.pg
+
+PORT = 54332
+
+
+def _su_postgres(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True, text=True, cwd="/", timeout=60,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    from postgresql_transfer_tool_spark.sources.pgcopy import PgServer, run_sql
+
+    if not (shutil.which("initdb") and shutil.which("psql") and shutil.which("pg_ctl")):
+        pytest.skip("PostgreSQL binaries not available")
+    base = tempfile.mkdtemp(prefix="pg_copytest_")
+    try:
+        subprocess.run(["chown", "postgres:postgres", base], check=False)
+        r = _su_postgres(f"initdb -D {base}/data -A trust")
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+        r = _su_postgres(
+            f"pg_ctl -D {base}/data -o '-p {PORT} -k {base} -c listen_addresses=' "
+            f"-l {base}/pg.log start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"server start failed: {r.stderr[-200:]}")
+        server = PgServer(host=base, port=PORT)
+        run_sql(server, "CREATE SCHEMA rt")
+        yield server
+        _su_postgres(f"pg_ctl -D {base}/data -m immediate stop")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_weird_strings_roundtrip(spark, pg_server):
+    """Commas, quotes, newlines, backslashes, unicode, empty-vs-NULL —
+    the CSV corners that break naive bridges."""
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_table, run_sql
+
+    vals = [
+        (1, "a,b"),
+        (2, 'he said "hi"'),
+        (3, "line1\nline2"),
+        (4, "back\\slash"),
+        (5, "héllo 世界"),
+        (6, ""),
+        (7, None),
+    ]
+    run_sql(pg_server, "CREATE TABLE rt.weird (id int PRIMARY KEY, s text)")
+    for i, s in vals:
+        if s is None:
+            lit = "NULL"
+        else:
+            lit = "E'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+        run_sql(pg_server, f"INSERT INTO rt.weird VALUES ({i}, {lit})")
+    got = {
+        r["id"]: r["s"] for r in read_table(spark, pg_server, "rt", "weird").collect()
+    }
+    assert got == dict(vals)
+
+
+def test_scalar_types_live_read(spark, pg_server):
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_table, run_sql
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE rt.typed ("
+        " i int, b bigint, r real, d double precision, n numeric(10,2),"
+        " bo boolean, by bytea, ts timestamp, dt date, arr real[])",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO rt.typed VALUES"
+        " (1, 9000000000, 1.5, 2.25, 12345.67, true, '\\xdeadbeef',"
+        "  '2026-03-04 05:06:07.123456', '2026-03-04', '{1.5,NULL,-2.25}'),"
+        " (NULL, NULL, NULL, NULL, NULL, false, NULL, NULL, NULL, '{}')",
+    )
+    rows = sorted(
+        read_table(spark, pg_server, "rt", "typed").collect(),
+        key=lambda r: (r["i"] is None, r["i"]),
+    )
+    full, nulls = rows
+    assert full["i"] == 1 and full["b"] == 9_000_000_000
+    assert full["r"] == 1.5 and full["d"] == 2.25
+    assert float(full["n"]) == 12345.67
+    assert full["bo"] is True and nulls["bo"] is False
+    assert bytes(full["by"]) == b"\xde\xad\xbe\xef"
+    assert full["ts"] == datetime.datetime(2026, 3, 4, 5, 6, 7, 123456)
+    assert full["dt"] == datetime.date(2026, 3, 4)
+    assert full["arr"] == [1.5, None, -2.25]
+    assert nulls["i"] is None and nulls["by"] is None and nulls["arr"] == []
+
+
+def test_orders_write_read_roundtrip(spark, sf_dir, pg_server):
+    """Fixture orders → live PG (CREATE + COPY) → back to Spark; every
+    row and every value must survive both directions."""
+    import os
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        run_sql,
+        write_table,
+    )
+
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    src = load_table(spark, os.path.join(root, "sf0.001"), "orders")
+    n_parts = write_table(
+        src, pg_server, "rt", "orders", primary_key=("o_orderkey",)
+    )
+    assert n_parts >= 1
+    [(cnt,)] = run_sql(pg_server, "SELECT COUNT(*) FROM rt.orders")
+    assert int(cnt) == src.count()
+    back = read_table(spark, pg_server, "rt", "orders").select(*src.columns)
+    a = sorted(src.collect(), key=lambda r: r["o_orderkey"])
+    b = sorted(back.collect(), key=lambda r: r["o_orderkey"])
+    assert a == b
+
+
+def test_embeddings_write_read_roundtrip(spark, sf_dir, pg_server):
+    """Float32 vectors through PG real[] text form and back, bit-exact."""
+    import os
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_table, write_table
+
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    src = load_table(spark, os.path.join(root, "sf0.001"), "embeddings")
+    write_table(src, pg_server, "rt", "embeddings", primary_key=("vec_id",))
+    back = read_table(spark, pg_server, "rt", "embeddings").select(*src.columns)
+    a = sorted(src.collect(), key=lambda r: r["vec_id"])
+    b = sorted(back.collect(), key=lambda r: r["vec_id"])
+    assert a == b
+
+
+def test_serial_load_then_resync(spark, pg_server):
+    """K7 live: bulk-load explicit ids into a BIGSERIAL column, resync
+    the sequence to MAX(id), next insert continues without collision —
+    the exact after-running-script.sql:15-21 behavior."""
+    from postgresql_transfer_tool_spark.sources.jdbc import (
+        serial_sequence_sql,
+        setval_sql,
+    )
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (7, "c")], "id long, val string"
+    )
+    write_table(
+        df, pg_server, "rt", "serial_t",
+        primary_key=("id",), serial_columns=("id",),
+    )
+    [(seq,)] = run_sql(pg_server, serial_sequence_sql("rt", "serial_t", "id"))
+    [(mx,)] = run_sql(pg_server, "SELECT MAX(id) FROM rt.serial_t")
+    run_sql(pg_server, setval_sql(seq, int(mx), is_called=True))
+    run_sql(pg_server, "INSERT INTO rt.serial_t (val) VALUES ('d')")
+    [(new_id,)] = run_sql(
+        pg_server, "SELECT id FROM rt.serial_t WHERE val = 'd'"
+    )
+    assert int(new_id) == 8
