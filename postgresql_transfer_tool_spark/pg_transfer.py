@@ -1,0 +1,234 @@
+"""Live PostgreSQL→PostgreSQL transfer — the reference's flagship job
+(``transfer_data_with_constraints_script.py`` end-to-end) executed
+against real servers through the COPY bridge.
+
+Reference shape (SURVEY.md §3.2): reflect source via SQLAlchemy →
+create target tables without FKs → sequential per-row copy → re-add FK
+constraints → ``after-running-script.sql`` sequence resync. This
+pipeline keeps those phases and their semantics, with the engine's
+physics:
+
+- reflection (S1) runs the same ``information_schema``/``pg_catalog``
+  queries the JDBC layer synthesizes, through a psql passthrough;
+- the copy is ``COPY TO STDOUT`` → distributed parse/cast → rendered
+  CSV parts → ``COPY FROM STDIN`` (sources/pgcopy.py) — bulk form on
+  both ends, vs the reference's one-INSERT-per-row loop;
+- constraints are VALIDATED in Spark before they are ENFORCED on the
+  target: PK/unique/check/FK audits (transfer.py C1-C4, the same
+  functions the parquet pipeline runs) gate the FK DDL — an edge with
+  orphans is reported and *not* applied, instead of failing mid-ALTER
+  (the reference's per-object error isolation, K8);
+- sequence resync (K7) is live ``setval`` to COALESCE(MAX,0)+1 on the
+  target, exactly ``after-running-script.sql:15-21``.
+
+Scale honesty: per-table streams ride the COPY bridge (driver-side
+cursor each; tables run in parallel). On a cluster with the JDBC jar,
+swap ``pgcopy.read_table``/``write_table`` for ``jdbc.read_table``/
+``write_table`` and the orchestration here is unchanged — reflection,
+audits, FK gating, and resync are all source-agnostic.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, replace
+
+from pyspark.sql import SparkSession
+
+from .catalog import ForeignKey, TableInfo
+from .sources.jdbc import (
+    check_constraints_sql,
+    checks_from_rows,
+    foreign_keys_sql,
+    primary_key_sql,
+    serial_sequence_sql,
+    setval_sql,
+    tables_in_schema_sql,
+    unique_constraints_sql,
+    unique_from_rows,
+)
+from .sources.pgcopy import PgServer, read_table, run_sql, write_table
+from .transfer import (
+    TableResult,
+    TransferReport,
+    audit_check,
+    audit_fk_orphans,
+    audit_primary_key,
+    audit_unique,
+    fk_ddl_statement,
+)
+from .types import quote_ident, quote_qualified
+
+
+def serial_columns_sql(schema: str, table: str) -> str:
+    """Columns backed by a sequence default — how ``pg_get_serial_sequence``
+    targets are discovered without SQLAlchemy (S5 companion)."""
+    return f"""
+    SELECT column_name FROM information_schema.columns
+    WHERE table_schema = '{schema}' AND table_name = '{table}'
+      AND column_default LIKE 'nextval(%'
+    ORDER BY ordinal_position
+    """
+
+
+def reflect_pg_catalog(server: PgServer, schema: str) -> dict[str, TableInfo]:
+    """S1 against a live server: assemble ``TableInfo`` per table —
+    PK, UNIQUE, CHECK, FK edges with referential actions, and
+    sequence-backed columns — from the same reflection SQL the JDBC
+    layer ships (``sources/jdbc.py``), executed via psql."""
+    tables = [r[0] for r in run_sql(server, tables_in_schema_sql(schema))]
+    unique = unique_from_rows(
+        [(t, c, col, int(o)) for t, c, col, o in run_sql(server, unique_constraints_sql(schema))]
+    )
+    checks = checks_from_rows(
+        [tuple(r) for r in run_sql(server, check_constraints_sql(schema))]
+    )
+    fks: dict[str, list[ForeignKey]] = {}
+    for table, col, ref_table, ref_col, del_rule, upd_rule in run_sql(
+        server, foreign_keys_sql(schema)
+    ):
+        fks.setdefault(table, []).append(
+            ForeignKey(
+                table, (col,), ref_table, (ref_col,),
+                on_delete=None if del_rule == "NO ACTION" else del_rule,
+                on_update=None if upd_rule == "NO ACTION" else upd_rule,
+            )
+        )
+    out: dict[str, TableInfo] = {}
+    for t in tables:
+        pk = tuple(r[0] for r in run_sql(server, primary_key_sql(schema, t)))
+        serial = tuple(r[0] for r in run_sql(server, serial_columns_sql(schema, t)))
+        out[t] = TableInfo(
+            name=t,
+            schema=schema,
+            primary_key=pk,
+            unique=unique.get(t, ()),
+            checks=checks.get(t, ()),
+            foreign_keys=tuple(fks.get(t, ())),
+            serial_columns=serial,
+        )
+    return out
+
+
+@dataclass
+class PgTransferPipeline:
+    """Schema-to-schema live transfer. ``source`` and ``target`` may be
+    the same server (schema rename migration — the reference's actual
+    deployment shape) or two servers."""
+
+    spark: SparkSession
+    source: PgServer
+    source_schema: str
+    target: PgServer
+    target_schema: str
+    exclude: tuple[str, ...] = ()
+    max_parallel_tables: int = 4
+    scratch_dir: str | None = None
+
+    def run(self) -> TransferReport:
+        report = TransferReport()
+        catalog = reflect_pg_catalog(self.source, self.source_schema)
+        run_sql(
+            self.target,
+            f"CREATE SCHEMA IF NOT EXISTS {quote_ident(self.target_schema)}",
+        )
+
+        # phase 1: plan (P3 exclusion; existence is inherent — the work
+        # list IS the reflected catalog)
+        work: list[str] = []
+        for name in catalog:
+            if name in self.exclude:
+                report.results[name] = TableResult(name, "skipped_excluded")
+            else:
+                work.append(name)
+
+        # phase 2: copy, tables in parallel (each is bridge-stream →
+        # distributed cast → bulk load), with Spark-side C1-C3 audits on
+        # the in-flight relation. Source DataFrames are kept for the FK
+        # audit phase so parents are not re-streamed.
+        dfs: dict[str, object] = {}
+
+        def _copy(name: str) -> TableResult:
+            res = TableResult(name, "copied")
+            info = catalog[name]
+            try:
+                df = read_table(
+                    self.spark, self.source, self.source_schema, name,
+                    scratch_dir=self.scratch_dir,
+                )
+                dfs[name] = df
+                write_table(
+                    df, self.target, self.target_schema, name,
+                    primary_key=info.primary_key,
+                    serial_columns=info.serial_columns,
+                    scratch_dir=self.scratch_dir,
+                )
+                res.source_rows = df.count()
+                [(cnt,)] = run_sql(
+                    self.target,
+                    f"SELECT COUNT(*) FROM "
+                    f"{quote_qualified(self.target_schema, name)}",
+                )
+                res.target_rows = int(cnt)
+                if res.target_rows != res.source_rows:
+                    raise RuntimeError(
+                        f"row-count mismatch {res.source_rows} != {res.target_rows}"
+                    )
+                if info.primary_key:
+                    res.pk_violations = audit_primary_key(df, info.primary_key)
+                for cols in info.unique:
+                    res.unique_violations[", ".join(cols)] = audit_unique(df, cols)
+                for check in info.checks:
+                    res.check_violations[check] = audit_check(df, check)
+            except Exception as exc:  # per-table error isolation (K8)
+                res.status = "failed"
+                res.error = f"{type(exc).__name__}: {exc}"
+            return res
+
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
+            for res in pool.map(_copy, work):
+                report.results[res.table] = res
+
+        # phase 3: FK audit gates FK enforcement — an edge with orphans
+        # is recorded but its ALTER TABLE is not attempted (it would
+        # fail wholesale; the reference's per-object DO-block isolation)
+        for name, res in report.results.items():
+            if res.status != "copied":
+                continue
+            info = catalog[name]
+            for fk in info.foreign_keys:
+                parent_res = report.results.get(fk.ref_table)
+                if parent_res is None or parent_res.status != "copied":
+                    continue
+                orphans = audit_fk_orphans(dfs[name], dfs[fk.ref_table], fk)
+                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = orphans
+                ddl = fk_ddl_statement(replace(info, schema=self.target_schema), fk)
+                if orphans == 0:
+                    run_sql(self.target, ddl)
+                    report.fk_ddl.append(ddl)
+
+        # phase 4: live sequence resync (K7) — setval to
+        # COALESCE(MAX,0)+1 with is_called=false, so the next INSERT
+        # draws exactly next_sequence_value (after-running-script.sql:15-21)
+        for name, res in report.results.items():
+            if res.status != "copied":
+                continue
+            info = catalog[name]
+            for col in info.serial_columns:
+                try:
+                    [(seq,)] = run_sql(
+                        self.target,
+                        serial_sequence_sql(self.target_schema, name, col),
+                    )
+                    [(mx,)] = run_sql(
+                        self.target,
+                        f"SELECT COALESCE(MAX({quote_ident(col)}), 0) FROM "
+                        f"{quote_qualified(self.target_schema, name)}",
+                    )
+                    nxt = int(mx) + 1
+                    run_sql(self.target, setval_sql(seq, nxt, is_called=False))
+                    res.next_sequence_value = nxt
+                except Exception as exc:  # K8: resync failure isolates
+                    res.error = f"sequence resync failed: {exc}"
+
+        return report

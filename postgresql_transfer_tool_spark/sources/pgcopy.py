@@ -279,8 +279,9 @@ def write_table(
     distributed CSV render, then one COPY per part file in sorted order.
     Returns the number of part files loaded.
 
-    ``quoteAll`` keeps data values quoted so the unquoted NULL marker
-    stays unambiguous; nulls are written as the bare marker."""
+    Nulls are written as the bare unquoted marker (``quoteAll`` would
+    quote the marker itself, turning NULLs into literal strings);
+    empty strings are written as ``""`` so COPY keeps them distinct."""
     if create:
         ddl = create_table_ddl(
             df.schema, table, target_schema=schema,
@@ -294,7 +295,6 @@ def write_table(
         .write.option("nullValue", NULL_MARKER)
         .option("emptyValue", '""')
         .option("escape", '"')
-        .option("quoteAll", "true")
         .csv(staged)
     )
     columns = [f.name for f in df.schema.fields]

@@ -246,38 +246,11 @@ class TransferPipeline:
                 return
             tdf = self.spark.read.parquet(table_path(self.target_dir, name))
             if info.primary_key:
-                pk = list(info.primary_key)
-                audit = (
-                    tdf.groupBy(*pk)
-                    .count()
-                    .agg(
-                        F.count_if(
-                            (F.col("count") > 1) & ~_any_null(pk)
-                        ).alias("dup_groups"),
-                        F.coalesce(
-                            F.sum(F.when(_any_null(pk), F.col("count"))), F.lit(0)
-                        ).alias("null_rows"),
-                    )
-                    .collect()[0]
-                )
-                res.pk_violations = int(audit["dup_groups"]) + int(audit["null_rows"])
-            # C2 — UNIQUE constraints (reference rebuilds UniqueConstraint,
-            # transfer_data_with_constraints_script.py:84-87); one
-            # hash-aggregate on the constraint columns per constraint.
+                res.pk_violations = audit_primary_key(tdf, info.primary_key)
             for cols in info.unique:
-                n = (
-                    tdf.groupBy(*cols)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .count()
-                )
-                res.unique_violations[", ".join(cols)] = int(n)
-            # C3 — CHECK constraints (…:88-90): the reflected boolean
-            # expression evaluates JVM-side; NULL (unknown) does not
-            # violate, matching SQL CHECK semantics.
+                res.unique_violations[", ".join(cols)] = audit_unique(tdf, cols)
             for check in info.checks:
-                n = tdf.filter(~F.coalesce(F.expr(check), F.lit(True))).count()
-                res.check_violations[check] = int(n)
+                res.check_violations[check] = audit_check(tdf, check)
             for fk in info.foreign_keys:
                 if fk.ref_table not in report.results or (
                     report.results[fk.ref_table].status != "copied"
@@ -285,14 +258,10 @@ class TransferPipeline:
                     continue
                 parent = self.spark.read.parquet(
                     table_path(self.target_dir, fk.ref_table)
-                ).select(*fk.ref_columns)
-                child = tdf.select(*fk.columns).na.drop()
-                orphans = child.join(
-                    parent,
-                    [child[c] == parent[r] for c, r in zip(fk.columns, fk.ref_columns)],
-                    "left_anti",
-                ).count()
-                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = orphans
+                )
+                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = audit_fk_orphans(
+                    tdf, parent, fk
+                )
                 report.fk_ddl.append(fk_ddl_statement(info, fk))
             if info.serial_columns:  # phase 4 (K7/A4), error-isolated (K8)
                 try:
@@ -326,3 +295,54 @@ def _any_null(cols: list[str]):
     for c in cols[1:]:
         cond = cond | F.col(c).isNull()
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Constraint audits (C1-C4) as standalone functions — shared by the
+# parquet pipeline above and the live PG→PG pipeline (pg_transfer.py).
+# Each is one distributed pass; none moves rows to the driver.
+# ---------------------------------------------------------------------------
+
+
+def audit_primary_key(tdf, pk_cols) -> int:
+    """C1 in one aggregation pass: grouping on the PK puts NULL keys in
+    their own groups, so duplicate groups and null-key rows fall out of
+    a single groupBy."""
+    pk = list(pk_cols)
+    audit = (
+        tdf.groupBy(*pk)
+        .count()
+        .agg(
+            F.count_if((F.col("count") > 1) & ~_any_null(pk)).alias("dup_groups"),
+            F.coalesce(
+                F.sum(F.when(_any_null(pk), F.col("count"))), F.lit(0)
+            ).alias("null_rows"),
+        )
+        .collect()[0]
+    )
+    return int(audit["dup_groups"]) + int(audit["null_rows"])
+
+
+def audit_unique(tdf, cols) -> int:
+    """C2 — one hash-aggregate per UNIQUE constraint (reference rebuilds
+    UniqueConstraint, transfer_data_with_constraints_script.py:84-87)."""
+    return int(tdf.groupBy(*cols).count().filter(F.col("count") > 1).count())
+
+
+def audit_check(tdf, check: str) -> int:
+    """C3 — the reflected boolean expression evaluates JVM-side; NULL
+    (unknown) does not violate, matching SQL CHECK semantics (…:88-90)."""
+    return int(tdf.filter(~F.coalesce(F.expr(check), F.lit(True))).count())
+
+
+def audit_fk_orphans(child_df, parent_df, fk) -> int:
+    """C4 — orphan count for one FK edge as a distributed anti-join."""
+    parent = parent_df.select(*fk.ref_columns)
+    child = child_df.select(*fk.columns).na.drop()
+    return int(
+        child.join(
+            parent,
+            [child[c] == parent[r] for c, r in zip(fk.columns, fk.ref_columns)],
+            "left_anti",
+        ).count()
+    )

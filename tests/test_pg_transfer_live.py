@@ -1,0 +1,206 @@
+"""Live PG→PG transfer pipeline (pg_transfer.py) against a throwaway
+in-container PostgreSQL — the reference's flagship flow
+(transfer_data_with_constraints_script.py + after-running-script.sql)
+with real data movement: reflect → bulk copy → audit-gated FK DDL →
+live sequence resync."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+pytestmark = pytest.mark.pg
+
+PORT = 54333
+
+
+def _su_postgres(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True, text=True, cwd="/", timeout=60,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    from postgresql_transfer_tool_spark.sources.pgcopy import PgServer, run_sql
+
+    if not (shutil.which("initdb") and shutil.which("psql") and shutil.which("pg_ctl")):
+        pytest.skip("PostgreSQL binaries not available")
+    base = tempfile.mkdtemp(prefix="pg_transfer_")
+    try:
+        subprocess.run(["chown", "postgres:postgres", base], check=False)
+        r = _su_postgres(f"initdb -D {base}/data -A trust")
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+        r = _su_postgres(
+            f"pg_ctl -D {base}/data -o '-p {PORT} -k {base} -c listen_addresses=' "
+            f"-l {base}/pg.log start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"server start failed: {r.stderr[-200:]}")
+        server = PgServer(host=base, port=PORT)
+        run_sql(server, "CREATE SCHEMA src")
+        run_sql(
+            server,
+            "CREATE TABLE src.region ("
+            " r_regionkey int PRIMARY KEY,"
+            " r_name text NOT NULL,"
+            " CONSTRAINT uq_region_name UNIQUE (r_name))",
+        )
+        run_sql(
+            server,
+            "CREATE TABLE src.nation ("
+            " n_nationkey bigserial PRIMARY KEY,"
+            " n_name text,"
+            " n_regionkey int NOT NULL REFERENCES src.region(r_regionkey)"
+            "   ON DELETE CASCADE ON UPDATE RESTRICT,"
+            " n_comment text,"
+            " CONSTRAINT ck_nation_nonneg CHECK (n_regionkey >= 0))",
+        )
+        run_sql(
+            server,
+            "INSERT INTO src.region VALUES"
+            " (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA')",
+        )
+        run_sql(
+            server,
+            "INSERT INTO src.nation (n_name, n_regionkey, n_comment) VALUES"
+            " ('ALGERIA', 0, E'multi\\nline, \"quoted\"'),"
+            " ('BRAZIL', 1, NULL),"
+            " ('CHINA', 2, ''),"
+            " ('JAPAN', 2, 'häïku')",
+        )
+        yield server
+        _su_postgres(f"pg_ctl -D {base}/data -m immediate stop")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def report(spark, pg_server):
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+
+    return PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="src",
+        target=pg_server, target_schema="tgt",
+    ).run()
+
+
+def test_transfer_ok_and_counts(report):
+    assert report.ok, {n: (r.status, r.error) for n, r in report.results.items()}
+    assert report.results["region"].source_rows == 3
+    assert report.results["region"].target_rows == 3
+    assert report.results["nation"].target_rows == 4
+
+
+def test_values_survive(pg_server, report):
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    src = run_sql(
+        pg_server,
+        "SELECT n_nationkey, n_name, n_regionkey, COALESCE(n_comment, '<null>')"
+        " FROM src.nation ORDER BY n_nationkey",
+    )
+    tgt = run_sql(
+        pg_server,
+        "SELECT n_nationkey, n_name, n_regionkey, COALESCE(n_comment, '<null>')"
+        " FROM tgt.nation ORDER BY n_nationkey",
+    )
+    assert src == tgt and len(src) == 4
+
+
+def test_constraints_recreated(pg_server, report):
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    # FK with preserved referential actions (K4)
+    rows = run_sql(
+        pg_server,
+        "SELECT confdeltype, confupdtype FROM pg_constraint c"
+        " JOIN pg_namespace n ON n.oid = c.connamespace"
+        " WHERE n.nspname = 'tgt' AND c.conname = 'fk_nation_n_regionkey'",
+    )
+    assert rows == [("c", "r")]  # CASCADE / RESTRICT
+    assert any("fk_nation_n_regionkey" in d for d in report.fk_ddl)
+    # audits all clean
+    nat = report.results["nation"]
+    assert nat.fk_orphans == {"nation.n_regionkey": 0}
+    assert nat.check_violations == {"(n_regionkey >= 0)": 0}
+    assert report.results["region"].unique_violations == {"r_name": 0}
+
+
+def test_sequence_resynced_live(pg_server, report):
+    """K7: the target's serial continues after MAX(id), no collision."""
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    assert report.results["nation"].next_sequence_value == 5
+    run_sql(
+        pg_server,
+        "INSERT INTO tgt.nation (n_name, n_regionkey) VALUES ('EGYPT', 0)",
+    )
+    [(k,)] = run_sql(
+        pg_server, "SELECT n_nationkey FROM tgt.nation WHERE n_name = 'EGYPT'"
+    )
+    assert int(k) == 5
+
+
+def test_orphan_gates_fk_ddl(spark, pg_server):
+    """An FK edge with orphans is reported but NOT enforced on the
+    target (the ALTER would fail wholesale) — data still lands."""
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, "CREATE SCHEMA bad")
+    run_sql(pg_server, "CREATE TABLE bad.parent (id int PRIMARY KEY)")
+    run_sql(
+        pg_server,
+        "CREATE TABLE bad.child ("
+        " id int PRIMARY KEY,"
+        " pid int REFERENCES bad.parent(id))",
+    )
+    run_sql(pg_server, "INSERT INTO bad.parent VALUES (1)")
+    run_sql(pg_server, "INSERT INTO bad.child VALUES (10, 1)")
+    # orphan sneaks in with the FK disabled (simulates source drift)
+    run_sql(pg_server, "ALTER TABLE bad.child DROP CONSTRAINT child_pid_fkey")
+    run_sql(pg_server, "INSERT INTO bad.child VALUES (11, 99)")
+    run_sql(
+        pg_server,
+        "ALTER TABLE bad.child ADD CONSTRAINT child_pid_fkey"
+        " FOREIGN KEY (pid) REFERENCES bad.parent(id) NOT VALID",
+    )
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="bad",
+        target=pg_server, target_schema="bad_tgt",
+    ).run()
+    assert not rep.ok
+    assert rep.results["child"].fk_orphans == {"child.pid": 1}
+    assert rep.results["child"].target_rows == 2  # data still copied
+    assert rep.fk_ddl == []  # enforcement gated
+    rows = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM pg_constraint c"
+        " JOIN pg_namespace n ON n.oid = c.connamespace"
+        " WHERE n.nspname = 'bad_tgt' AND c.contype = 'f'",
+    )
+    assert rows == [("0",)]
+
+
+def test_exclusion_predicate(spark, pg_server):
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import PgCopyError, run_sql
+
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="src",
+        target=pg_server, target_schema="excl_tgt",
+        exclude=("nation",),
+    ).run()
+    assert rep.results["nation"].status == "skipped_excluded"
+    assert rep.results["region"].status == "copied"
+    with pytest.raises(PgCopyError):
+        run_sql(pg_server, "SELECT COUNT(*) FROM excl_tgt.nation")
