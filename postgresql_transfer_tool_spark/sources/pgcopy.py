@@ -136,15 +136,15 @@ def reflect_table_schema(server: PgServer, schema: str, table: str) -> T.StructT
 # ---------------------------------------------------------------------------
 
 
-def copy_out(server: PgServer, schema: str, table: str, dest: str) -> None:
-    """Stream one table to a local CSV file (single server cursor —
-    the bridge's documented driver-side step; the parse/cast below is
-    distributed)."""
-    # FORCE_QUOTE *: every non-NULL value arrives quoted, so the bare
-    # \N marker is the ONLY unquoted token — Spark's reader then cannot
-    # confuse an empty string (arrives as "") with NULL (arrives as \N).
+def copy_query_out(server: PgServer, inner_sql: str, dest: str) -> None:
+    """Stream one SELECT's result to a local CSV file (single server
+    cursor — the bridge's documented driver-side step; the parse/cast
+    is distributed). FORCE_QUOTE *: every non-NULL value arrives
+    quoted, so the bare \\N marker is the ONLY unquoted token — Spark's
+    reader then cannot confuse an empty string (arrives as "") with
+    NULL (arrives as \\N)."""
     sql = (
-        f"COPY {quote_qualified(schema, table)} TO STDOUT "
+        f"COPY ({inner_sql}) TO STDOUT "
         f"(FORMAT csv, NULL '{NULL_MARKER}', FORCE_QUOTE *)"
     )
     with open(dest, "wb") as f:
@@ -154,6 +154,11 @@ def copy_out(server: PgServer, schema: str, table: str, dest: str) -> None:
         )
     if p.returncode != 0:
         raise PgCopyError(f"COPY OUT failed: {p.stderr.decode()}\nSQL: {sql}")
+
+
+def copy_out(server: PgServer, schema: str, table: str, dest: str) -> None:
+    """Stream one full table to a local CSV file (S2 over the bridge)."""
+    copy_query_out(server, f"SELECT * FROM {quote_qualified(schema, table)}", dest)
 
 
 def _from_pg_text(field: T.StructField) -> Column:
@@ -186,24 +191,25 @@ def _from_pg_text(field: T.StructField) -> Column:
     return out.alias(field.name)
 
 
-def read_table(
+def read_query(
     spark: SparkSession,
     server: PgServer,
-    schema: str,
-    table: str,
+    inner_sql: str,
+    result_schema: T.StructType,
     scratch_dir: str | None = None,
+    label: str = "query",
 ) -> DataFrame:
-    """Live full-table scan (S2 over the COPY bridge): reflect the
-    schema, stream the table to scratch CSV, parse distributed with an
-    all-string schema, cast per PostgreSQL text conventions."""
-    st = reflect_table_schema(server, schema, table)
+    """Live query scan over the COPY bridge: stream ``inner_sql``'s
+    result to scratch CSV, parse distributed with an all-string schema,
+    cast per PostgreSQL text conventions. ``result_schema`` must match
+    the SELECT list (for bare tables, ``read_table`` reflects it)."""
     fd, path = tempfile.mkstemp(
-        suffix=".csv", prefix=f"pgcopy_{table}_", dir=scratch_dir
+        suffix=".csv", prefix=f"pgcopy_{label}_", dir=scratch_dir
     )
     os.close(fd)
-    copy_out(server, schema, table, path)
+    copy_query_out(server, inner_sql, path)
     raw_schema = T.StructType(
-        [T.StructField(f.name, T.StringType(), True) for f in st.fields]
+        [T.StructField(f.name, T.StringType(), True) for f in result_schema.fields]
     )
     raw = (
         spark.read.schema(raw_schema)
@@ -212,7 +218,24 @@ def read_table(
         .option("multiLine", "true")
         .csv(path)
     )
-    return raw.select(*[_from_pg_text(f) for f in st.fields])
+    return raw.select(*[_from_pg_text(f) for f in result_schema.fields])
+
+
+def read_table(
+    spark: SparkSession,
+    server: PgServer,
+    schema: str,
+    table: str,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Live full-table scan (S2 over the COPY bridge): reflect the
+    schema, then ``read_query`` the whole table."""
+    st = reflect_table_schema(server, schema, table)
+    return read_query(
+        spark, server,
+        f"SELECT * FROM {quote_qualified(schema, table)}",
+        st, scratch_dir=scratch_dir, label=table,
+    )
 
 
 # ---------------------------------------------------------------------------

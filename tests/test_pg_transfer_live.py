@@ -204,3 +204,85 @@ def test_exclusion_predicate(spark, pg_server):
     assert rep.results["region"].status == "copied"
     with pytest.raises(PgCopyError):
         run_sql(pg_server, "SELECT COUNT(*) FROM excl_tgt.nation")
+
+
+def test_hwm_incremental_cycles(spark, pg_server, tmp_path):
+    """I2 live: cycle 1 full, cycle 2 only the delta, cycle 3 empty with
+    a stable checkpoint (P5) — the HWM filter runs server-side so only
+    new rows cross the wire."""
+    from postgresql_transfer_tool_spark.pg_transfer import run_pg_incremental_batch
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+    from postgresql_transfer_tool_spark.streaming.incremental import CheckpointStore
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE src.ev ("
+        " id bigserial PRIMARY KEY, v text,"
+        " ts timestamp NOT NULL DEFAULT '2026-01-01 00:00:00')",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO src.ev (v, ts) VALUES"
+        " ('a', '2026-01-01 10:00:00'), ('b', '2026-01-01 11:00:00.25')",
+    )
+    store = CheckpointStore(str(tmp_path / "ckpt.json"))
+
+    b1 = run_pg_incremental_batch(spark, pg_server, "src", "ev", "ts", store)
+    assert b1.n_rows == 2 and b1.prev_checkpoint is None
+    store.set("src.ev.ts", b1.new_checkpoint)
+
+    run_sql(
+        pg_server,
+        "INSERT INTO src.ev (v, ts) VALUES ('c', '2026-01-01 12:00:00')",
+    )
+    b2 = run_pg_incremental_batch(spark, pg_server, "src", "ev", "ts", store)
+    assert b2.n_rows == 1
+    assert [r["v"] for r in b2.data.collect()] == ["c"]
+    store.set("src.ev.ts", b2.new_checkpoint)
+
+    b3 = run_pg_incremental_batch(spark, pg_server, "src", "ev", "ts", store)
+    assert b3.n_rows == 0
+    assert b3.new_checkpoint == b2.new_checkpoint  # empty batch: stable
+
+
+def test_hwm_incremental_serial_column(spark, pg_server, tmp_path):
+    """The same protocol over a serial integer HWM (A2's MAX(id) shape)."""
+    from postgresql_transfer_tool_spark.pg_transfer import run_pg_incremental_batch
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+    from postgresql_transfer_tool_spark.streaming.incremental import CheckpointStore
+
+    run_sql(pg_server, "CREATE TABLE src.hw (id bigserial PRIMARY KEY, v text)")
+    run_sql(pg_server, "INSERT INTO src.hw (v) VALUES ('x'), ('y')")
+    store = CheckpointStore(str(tmp_path / "ckpt.json"))
+    b1 = run_pg_incremental_batch(spark, pg_server, "src", "hw", "id", store)
+    assert b1.n_rows == 2 and b1.new_checkpoint == "2"
+    store.set("src.hw.id", b1.new_checkpoint)
+    run_sql(pg_server, "INSERT INTO src.hw (v) VALUES ('z')")
+    b2 = run_pg_incremental_batch(spark, pg_server, "src", "hw", "id", store)
+    assert b2.n_rows == 1 and b2.new_checkpoint == "3"
+
+
+def test_flag_sync_cycle(spark, pg_server):
+    """I1 live: unsynced rows stream out, the returned UPDATE marks
+    them, the next cycle is empty; a row inserted later re-surfaces."""
+    from postgresql_transfer_tool_spark.pg_transfer import run_pg_flag_sync
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE src.flagged ("
+        " id int PRIMARY KEY, v text,"
+        " update_flag boolean NOT NULL DEFAULT false)",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO src.flagged (id, v) VALUES (1, 'a'), (2, 'b')",
+    )
+    df, mark = run_pg_flag_sync(spark, pg_server, "src", "flagged")
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    run_sql(pg_server, mark)  # commit-after-write ordering
+    df2, _ = run_pg_flag_sync(spark, pg_server, "src", "flagged")
+    assert df2.count() == 0
+    run_sql(pg_server, "INSERT INTO src.flagged (id, v) VALUES (3, 'c')")
+    df3, _ = run_pg_flag_sync(spark, pg_server, "src", "flagged")
+    assert [r["id"] for r in df3.collect()] == [3]
