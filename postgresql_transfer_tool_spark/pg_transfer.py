@@ -319,3 +319,42 @@ def run_pg_flag_sync(
     )
     mark_synced = f"UPDATE {qual} SET {flag} = true WHERE NOT {flag}"
     return df, mark_synced
+
+
+def resync_schema_sequences(server: PgServer, schema: str) -> dict[str, int]:
+    """Standalone whole-schema sequence resync — the reference's third
+    entry point (``after-running-script.sql``) as a callable: walk every
+    table in the schema, discover its sequence-backed columns, and
+    setval each to COALESCE(MAX,0)+1 with is_called=false.
+
+    Semantics follow the reference's THIRD (corrected) PL/pgSQL block
+    (after-running-script.sql:99-102): the first two blocks use
+    ``setval(seq, MAX(id))``, which errors on empty tables (MAX is
+    NULL) and silently relies on is_called=true; the COALESCE(...)+1 /
+    false form works on empty tables and hands out exactly the next id.
+    Column discovery generalizes the reference's hard-coded
+    id/history_id probe to every ``nextval(...)``-defaulted column.
+    Per-object error isolation (K8): one broken table records -1 and
+    the loop continues, like the reference's EXCEPTION blocks.
+
+    Returns {"table.column": next_value} for every resynced sequence.
+    """
+    out: dict[str, int] = {}
+    for (table,) in run_sql(server, tables_in_schema_sql(schema)):
+        for (col,) in run_sql(server, serial_columns_sql(schema, table)):
+            key = f"{table}.{col}"
+            try:
+                [(seq,)] = run_sql(server, serial_sequence_sql(schema, table, col))
+                if not seq:
+                    continue
+                [(mx,)] = run_sql(
+                    server,
+                    f"SELECT COALESCE(MAX({quote_ident(col)}), 0) FROM "
+                    f"{quote_qualified(schema, table)}",
+                )
+                nxt = int(mx) + 1
+                run_sql(server, setval_sql(seq, nxt, is_called=False))
+                out[key] = nxt
+            except Exception:
+                out[key] = -1  # isolated failure, keep walking
+    return out

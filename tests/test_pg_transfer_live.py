@@ -286,3 +286,36 @@ def test_flag_sync_cycle(spark, pg_server):
     run_sql(pg_server, "INSERT INTO src.flagged (id, v) VALUES (3, 'c')")
     df3, _ = run_pg_flag_sync(spark, pg_server, "src", "flagged")
     assert [r["id"] for r in df3.collect()] == [3]
+
+
+def test_resync_schema_sequences_standalone(pg_server):
+    """The reference's third entry point (after-running-script.sql) as
+    a callable: stale sequences across a whole schema snap to
+    COALESCE(MAX,0)+1, empty tables get 1, non-serial tables are
+    untouched, and one broken object does not stop the walk."""
+    from postgresql_transfer_tool_spark.pg_transfer import resync_schema_sequences
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, "CREATE SCHEMA rs")
+    run_sql(
+        pg_server,
+        "CREATE TABLE rs.hist (id bigserial PRIMARY KEY,"
+        " history_id bigserial, v text)",
+    )
+    run_sql(pg_server, "CREATE TABLE rs.empty_t (id bigserial PRIMARY KEY)")
+    run_sql(pg_server, "CREATE TABLE rs.plain (k int PRIMARY KEY)")
+    run_sql(
+        pg_server,
+        "INSERT INTO rs.hist (id, history_id, v) VALUES"
+        " (5, 30, 'a'), (9, 31, 'b')",
+    )
+    # sequences are stale (never advanced past their initial state)
+    out = resync_schema_sequences(pg_server, "rs")
+    assert out == {"hist.id": 10, "hist.history_id": 32, "empty_t.id": 1}
+    run_sql(pg_server, "INSERT INTO rs.hist (v) VALUES ('c')")
+    rows = run_sql(
+        pg_server, "SELECT id, history_id FROM rs.hist WHERE v = 'c'"
+    )
+    assert rows == [("10", "32")]
+    rows = run_sql(pg_server, "INSERT INTO rs.empty_t DEFAULT VALUES RETURNING id")
+    assert rows == [("1",)]
