@@ -263,7 +263,10 @@ def _to_pg_text(field: T.StructField) -> Column:
         )
     elif isinstance(dt, (T.MapType, T.StructType)):
         out = F.to_json(c)  # lands in json/jsonb columns
-    elif isinstance(dt, T.TimestampType):
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # explicit micro-precision render: Spark's CSV default formats
+        # carry only milliseconds, which would silently truncate the
+        # micros PostgreSQL timestamps hold
         out = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     else:
         out = c

@@ -319,3 +319,71 @@ def test_resync_schema_sequences_standalone(pg_server):
     assert rows == [("10", "32")]
     rows = run_sql(pg_server, "INSERT INTO rs.empty_t DEFAULT VALUES RETURNING id")
     assert rows == [("1",)]
+
+
+def test_full_fixture_migration_dress_rehearsal(spark, sf_dir, pg_server):
+    """The reference's whole job at fixture scale: seed live PG with all
+    10 fixture tables (PKs, serials, the 7-edge FK graph), then run the
+    PG→PG pipeline into a fresh schema and require a fully-green report
+    — counts, audits, enforced FKs, resynced sequences."""
+    import os
+    from dataclasses import replace
+
+    from postgresql_transfer_tool_spark.catalog import fixture_catalog, load_table
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql, write_table
+    from postgresql_transfer_tool_spark.transfer import fk_ddl_statement
+
+    root = os.path.dirname(sf_dir.rstrip("/"))
+    small = os.path.join(root, "sf0.001")
+    catalog = fixture_catalog()
+    run_sql(pg_server, "CREATE SCHEMA mig")
+    counts: dict[str, int] = {}
+    for name, info in catalog.items():
+        df = load_table(spark, small, name)
+        write_table(
+            df, pg_server, "mig", name,
+            primary_key=info.primary_key, serial_columns=info.serial_columns,
+        )
+        counts[name] = df.count()
+    for info in catalog.values():  # FK graph on the seeded source
+        for fk in info.foreign_keys:
+            run_sql(pg_server, fk_ddl_statement(replace(info, schema="mig"), fk))
+
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="mig",
+        target=pg_server, target_schema="mig2",
+    ).run()
+
+    assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
+    assert len(rep.results) == 10
+    for name, n in counts.items():
+        assert rep.results[name].target_rows == n, name
+    assert len(rep.fk_ddl) == 7  # whole FK graph re-enforced on the target
+    orphan_counts = [
+        v for r in rep.results.values() for v in r.fk_orphans.values()
+    ]
+    assert len(orphan_counts) == 7 and all(v == 0 for v in orphan_counts)
+    # serial continuation on the migrated side (orders is serial-backed):
+    # next value is MAX(key)+1, not row-count+1 — keys need not be dense
+    [(omax,)] = run_sql(pg_server, "SELECT MAX(o_orderkey) FROM mig2.orders")
+    assert rep.results["orders"].next_sequence_value == int(omax) + 1
+    # micro-precision timestamps survived both hops (events.ts has micros)
+    src_ck = run_sql(
+        pg_server,
+        "SELECT md5(string_agg(event_id::text || '|' || ts::text, ','"
+        " ORDER BY event_id)) FROM mig.events",
+    )
+    tgt_ck = run_sql(
+        pg_server,
+        "SELECT md5(string_agg(event_id::text || '|' || ts::text, ','"
+        " ORDER BY event_id)) FROM mig2.events",
+    )
+    assert src_ck == tgt_ck
+    [(has_micros,)] = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM mig2.events"
+        " WHERE date_part('microseconds', ts)::int % 1000 <> 0",
+    )
+    assert int(has_micros) > 0  # precision actually exercised
