@@ -40,7 +40,8 @@ from .catalog import ForeignKey, TableInfo
 from .sources.jdbc import (
     check_constraints_sql,
     checks_from_rows,
-    foreign_keys_sql,
+    fk_edges_from_rows,
+    foreign_keys_detailed_sql,
     primary_key_sql,
     serial_sequence_sql,
     setval_sql,
@@ -91,17 +92,13 @@ def reflect_pg_catalog(server: PgServer, schema: str) -> dict[str, TableInfo]:
     checks = checks_from_rows(
         [tuple(r) for r in run_sql(server, check_constraints_sql(schema))]
     )
+    # composite-safe FK reflection: conkey/confkey ordinality keeps the
+    # child↔parent column correspondence that information_schema loses
     fks: dict[str, list[ForeignKey]] = {}
-    for table, col, ref_table, ref_col, del_rule, upd_rule in run_sql(
-        server, foreign_keys_sql(schema)
+    for fk in fk_edges_from_rows(
+        run_sql(server, foreign_keys_detailed_sql(schema))
     ):
-        fks.setdefault(table, []).append(
-            ForeignKey(
-                table, (col,), ref_table, (ref_col,),
-                on_delete=None if del_rule == "NO ACTION" else del_rule,
-                on_update=None if upd_rule == "NO ACTION" else upd_rule,
-            )
-        )
+        fks.setdefault(fk.table, []).append(fk)
     out: dict[str, TableInfo] = {}
     for t in tables:
         pk = tuple(r[0] for r in run_sql(server, primary_key_sql(schema, t)))

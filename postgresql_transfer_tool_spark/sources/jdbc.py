@@ -305,3 +305,68 @@ def reflect_catalog(spark: SparkSession, target: JdbcTarget):
             checks=checks.get(t, ()),
         )
     return out
+
+
+#: pg_constraint action codes → DDL keywords (NO ACTION → None, the
+#: default that fk_ddl_statement omits).
+FK_ACTION_CODES = {
+    "a": None,
+    "r": "RESTRICT",
+    "c": "CASCADE",
+    "n": "SET NULL",
+    "d": "SET DEFAULT",
+}
+
+
+def foreign_keys_detailed_sql(schema: str) -> str:
+    """FK reflection that survives COMPOSITE keys: one row per
+    (constraint, column position), with the child↔parent column
+    correspondence taken from conkey/confkey WITH ORDINALITY.
+    ``information_schema.constraint_column_usage`` (the simpler query
+    above) cannot express that correspondence — a two-column FK comes
+    back as an unordered column bag — so reflection that must rebuild
+    DDL uses this form. Reassemble with :func:`fk_edges_from_rows`."""
+    return f"""
+    SELECT c.conname, rel.relname AS table_name, att.attname AS column_name,
+           frel.relname AS ref_table, fatt.attname AS ref_column,
+           k.ord, c.confdeltype, c.confupdtype
+    FROM pg_constraint c
+    JOIN pg_class rel ON rel.oid = c.conrelid
+    JOIN pg_namespace n ON n.oid = rel.relnamespace
+    JOIN pg_class frel ON frel.oid = c.confrelid
+    CROSS JOIN LATERAL unnest(c.conkey, c.confkey)
+         WITH ORDINALITY AS k(attnum, fattnum, ord)
+    JOIN pg_attribute att
+      ON att.attrelid = c.conrelid AND att.attnum = k.attnum
+    JOIN pg_attribute fatt
+      ON fatt.attrelid = c.confrelid AND fatt.attnum = k.fattnum
+    WHERE c.contype = 'f' AND n.nspname = '{schema}'
+    ORDER BY c.conname, k.ord
+    """
+
+
+def fk_edges_from_rows(rows):
+    """(conname, table, column, ref_table, ref_column, ord, del, upd)
+    rows → ``ForeignKey`` edges, composite columns kept in key order."""
+    from ..catalog import ForeignKey
+
+    grouped: dict[str, dict] = {}
+    for conname, table, col, ref_table, ref_col, ord_, del_c, upd_c in rows:
+        g = grouped.setdefault(
+            conname,
+            {"table": table, "ref_table": ref_table, "cols": [],
+             "ref_cols": [], "del": del_c, "upd": upd_c},
+        )
+        g["cols"].append((int(ord_), col))
+        g["ref_cols"].append((int(ord_), ref_col))
+    return [
+        ForeignKey(
+            g["table"],
+            tuple(c for _, c in sorted(g["cols"])),
+            g["ref_table"],
+            tuple(c for _, c in sorted(g["ref_cols"])),
+            on_delete=FK_ACTION_CODES.get(g["del"]),
+            on_update=FK_ACTION_CODES.get(g["upd"]),
+        )
+        for g in grouped.values()
+    ]

@@ -387,3 +387,56 @@ def test_full_fixture_migration_dress_rehearsal(spark, sf_dir, pg_server):
         " WHERE date_part('microseconds', ts)::int % 1000 <> 0",
     )
     assert int(has_micros) > 0  # precision actually exercised
+
+
+def test_composite_fk_reflection_and_enforcement(spark, pg_server):
+    """A two-column FK must reflect with its child↔parent column
+    CORRESPONDENCE intact (information_schema alone returns an
+    unordered column bag) and re-enforce on the target with the same
+    column order and referential action."""
+    from postgresql_transfer_tool_spark.pg_transfer import (
+        PgTransferPipeline,
+        reflect_pg_catalog,
+    )
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, "CREATE SCHEMA comp")
+    run_sql(
+        pg_server,
+        "CREATE TABLE comp.parent (a int, b int, v text, PRIMARY KEY (a, b))",
+    )
+    run_sql(
+        pg_server,
+        "CREATE TABLE comp.child ("
+        " id int PRIMARY KEY, yb int, xa int,"
+        " FOREIGN KEY (xa, yb) REFERENCES comp.parent (a, b)"
+        "   ON DELETE SET NULL)",
+    )
+    run_sql(pg_server, "INSERT INTO comp.parent VALUES (1, 2, 'p')")
+    run_sql(pg_server, "INSERT INTO comp.child VALUES (10, 2, 1)")
+
+    cat = reflect_pg_catalog(pg_server, "comp")
+    [fk] = cat["child"].foreign_keys
+    assert fk.columns == ("xa", "yb") and fk.ref_columns == ("a", "b")
+    assert fk.on_delete == "SET NULL" and fk.on_update is None
+
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="comp",
+        target=pg_server, target_schema="comp2",
+    ).run()
+    assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
+    assert rep.results["child"].fk_orphans == {"child.xa": 0}
+    [(condef,)] = run_sql(
+        pg_server,
+        "SELECT pg_get_constraintdef(c.oid) FROM pg_constraint c"
+        " JOIN pg_namespace n ON n.oid = c.connamespace"
+        " WHERE n.nspname = 'comp2' AND c.contype = 'f'",
+    )
+    assert condef == (
+        "FOREIGN KEY (xa, yb) REFERENCES comp2.parent(a, b) ON DELETE SET NULL"
+    )
+    # the action is live: deleting the parent nulls the child columns
+    run_sql(pg_server, "DELETE FROM comp2.parent WHERE a = 1 AND b = 2")
+    assert run_sql(pg_server, "SELECT xa, yb FROM comp2.child") == [("", "")] or \
+        run_sql(pg_server, "SELECT xa IS NULL, yb IS NULL FROM comp2.child") == [("t", "t")]
