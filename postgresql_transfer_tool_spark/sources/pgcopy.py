@@ -298,16 +298,22 @@ def write_table(
     primary_key: tuple[str, ...] = (),
     serial_columns: tuple[str, ...] = (),
     scratch_dir: str | None = None,
+    max_parallel_loads: int = 4,
 ) -> int:
     """Bulk-load a DataFrame into a live PostgreSQL table (K1/K2 over
     the COPY bridge): optional CREATE TABLE from the Spark schema
     (``types.create_table_ddl`` — the same DDL the JDBC path emits),
-    distributed CSV render, then one COPY per part file in sorted order.
+    distributed CSV render, then one COPY per part file — parts load
+    CONCURRENTLY (each ``COPY FROM`` is an independent connection and
+    transaction, the same per-partition-connection shape as the JDBC
+    sink; PostgreSQL serializes heap extension, not ingestion).
     Returns the number of part files loaded.
 
     Nulls are written as the bare unquoted marker (``quoteAll`` would
     quote the marker itself, turning NULLs into literal strings);
     empty strings are written as ``""`` so COPY keeps them distinct."""
+    from concurrent.futures import ThreadPoolExecutor
+
     if create:
         ddl = create_table_ddl(
             df.schema, table, target_schema=schema,
@@ -329,6 +335,11 @@ def write_table(
         for p in os.listdir(staged)
         if p.startswith("part-") and p.endswith(".csv")
     )
-    for part in parts:
-        copy_in(server, schema, table, columns, part)
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel_loads)) as pool:
+        list(  # propagate the first PgCopyError, if any
+            pool.map(
+                lambda part: copy_in(server, schema, table, columns, part),
+                parts,
+            )
+        )
     return len(parts)

@@ -180,3 +180,50 @@ def test_serial_load_then_resync(spark, pg_server):
         pg_server, "SELECT id FROM rt.serial_t WHERE val = 'd'"
     )
     assert int(new_id) == 8
+
+
+def test_nested_types_write_live(spark, pg_server):
+    """Map/struct columns land as jsonb (the engine's JSONB carrier
+    convention, SURVEY §1.3), binary as bytea, arrays as native arrays —
+    and the jsonb is server-queryable, not an opaque string."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        run_sql,
+        write_table,
+    )
+
+    df = spark.range(2).select(
+        F.col("id").cast("long").alias("id"),
+        F.create_map(
+            F.lit("k"), F.concat(F.lit("v"), F.col("id").cast("string"))
+        ).alias("props"),
+        F.array(F.col("id"), F.col("id") * 10).alias("nums"),
+        F.encode(F.concat(F.lit("b"), F.col("id").cast("string")), "UTF-8").alias(
+            "blob"
+        ),
+    )
+    write_table(df, pg_server, "rt", "nested", primary_key=("id",))
+    [(t,)] = run_sql(
+        pg_server,
+        "SELECT data_type FROM information_schema.columns"
+        " WHERE table_schema = 'rt' AND table_name = 'nested'"
+        " AND column_name = 'props'",
+    )
+    assert t == "jsonb"
+    assert run_sql(
+        pg_server, "SELECT props->>'k' FROM rt.nested ORDER BY id"
+    ) == [("v0",), ("v1",)]
+    assert run_sql(
+        pg_server, "SELECT nums[2] FROM rt.nested ORDER BY id"
+    ) == [("0",), ("10",)]
+    assert run_sql(
+        pg_server, "SELECT encode(blob, 'escape') FROM rt.nested ORDER BY id"
+    ) == [("b0",), ("b1",)]
+    back = read_table(spark, pg_server, "rt", "nested")
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    # jsonb reads back as the string carrier; binary and arrays as typed
+    assert rows[1]["props"] == '{"k": "v1"}'
+    assert bytes(rows[1]["blob"]) == b"b1"
+    assert rows[1]["nums"] == [1, 10]
