@@ -227,3 +227,31 @@ def test_nested_types_write_live(spark, pg_server):
     assert rows[1]["props"] == '{"k": "v1"}'
     assert bytes(rows[1]["blob"]) == b"b1"
     assert rows[1]["nums"] == [1, 10]
+
+
+def test_quoted_identifiers_roundtrip(spark, pg_server):
+    """The reference's hyphenated-schema reality (after-running-script
+    .sql:84-126 handles "fde-local"): a hyphenated schema, a hyphenated
+    table, and a spaced column must survive create + COPY out/in with
+    identifier quoting on every statement."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        run_sql,
+        write_table,
+    )
+
+    run_sql(pg_server, 'CREATE SCHEMA "fde-local"')
+    df = spark.range(3).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("User Name"),
+    )
+    write_table(df, pg_server, "fde-local", "My-Table", primary_key=("id",))
+    assert run_sql(
+        pg_server, 'SELECT "User Name" FROM "fde-local"."My-Table" ORDER BY id'
+    ) == [("u0",), ("u1",), ("u2",)]
+    back = read_table(spark, pg_server, "fde-local", "My-Table")
+    assert sorted((r["id"], r["User Name"]) for r in back.collect()) == [
+        (0, "u0"), (1, "u1"), (2, "u2"),
+    ]
