@@ -131,6 +131,24 @@ class PgTransferPipeline:
     scratch_dir: str | None = None
 
     def run(self) -> TransferReport:
+        # Scratch CSVs (COPY streams + rendered parts) live for the
+        # whole run — the source DataFrames re-read them for the audit
+        # phases — then the directory is removed: a scheduled pipeline
+        # must not accumulate one table-sized temp file per run.
+        import shutil
+        import tempfile
+
+        own_scratch = self.scratch_dir is None
+        if own_scratch:
+            self.scratch_dir = tempfile.mkdtemp(prefix="pg_transfer_scratch_")
+        try:
+            return self._run(self.scratch_dir)
+        finally:
+            if own_scratch:
+                shutil.rmtree(self.scratch_dir, ignore_errors=True)
+                self.scratch_dir = None
+
+    def _run(self, scratch_dir: str) -> TransferReport:
         report = TransferReport()
         catalog = reflect_pg_catalog(self.source, self.source_schema)
         run_sql(

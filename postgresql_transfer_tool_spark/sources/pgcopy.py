@@ -202,7 +202,12 @@ def read_query(
     """Live query scan over the COPY bridge: stream ``inner_sql``'s
     result to scratch CSV, parse distributed with an all-string schema,
     cast per PostgreSQL text conventions. ``result_schema`` must match
-    the SELECT list (for bare tables, ``read_table`` reflects it)."""
+    the SELECT list (for bare tables, ``read_table`` reflects it).
+
+    The scratch file must outlive every action on the returned (lazy)
+    DataFrame, so this function cannot delete it; pass ``scratch_dir``
+    and remove the directory when done (``PgTransferPipeline.run`` does
+    exactly that for its per-run scratch)."""
     fd, path = tempfile.mkstemp(
         suffix=".csv", prefix=f"pgcopy_{label}_", dir=scratch_dir
     )
