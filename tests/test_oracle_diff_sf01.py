@@ -4,8 +4,9 @@ fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
 under larger groups).
 
 Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
-0/136 failed (round 2, 2026-08-13, incl. winnowing/KMV/ORC/hopping
-additions and the single-split parallelism changes).
+0/141 failed (round 3, 2026-08-14, incl. the two-phase cumsum rewrite,
+FIMG media-decode oracle, MAD-outlier oracle, and serial-id prefix
+count).
 """
 
 from __future__ import annotations
