@@ -53,6 +53,7 @@ from .sources.pgcopy import (
     PgServer,
     read_query,
     read_table,
+    read_table_partitioned,
     reflect_table_schema,
     run_sql,
     write_table,
@@ -175,10 +176,27 @@ class PgTransferPipeline:
             res = TableResult(name, "copied")
             info = catalog[name]
             try:
-                df = read_table(
-                    self.spark, self.source, self.source_schema, name,
-                    scratch_dir=self.scratch_dir,
+                # single-column integer PK → N concurrent range cursors
+                # (the JDBC partitioned-read rule over COPY); anything
+                # else streams on one cursor
+                st = reflect_table_schema(self.source, self.source_schema, name)
+                from pyspark.sql import types as T
+
+                pk_numeric = len(info.primary_key) == 1 and isinstance(
+                    st[info.primary_key[0]].dataType,
+                    (T.ShortType, T.IntegerType, T.LongType),
                 )
+                if pk_numeric:
+                    df = read_table_partitioned(
+                        self.spark, self.source, self.source_schema, name,
+                        partition_column=info.primary_key[0],
+                        num_partitions=4, scratch_dir=self.scratch_dir,
+                    )
+                else:
+                    df = read_table(
+                        self.spark, self.source, self.source_schema, name,
+                        scratch_dir=self.scratch_dir,
+                    )
                 dfs[name] = df
                 write_table(
                     df, self.target, self.target_schema, name,

@@ -18,9 +18,10 @@ magnitude cheaper than the reference's row loop.
 Scale honesty (SCALE.md contract):
 
 - ``copy_out``/``read_table`` drive ONE server-side cursor per table —
-  a driver-side bridge, not a distributed scan. At 100 TB use
-  ``jdbc.read_table`` (partitioned ranges). The bridge's own scale axis
-  is per-TABLE parallelism: independent tables stream concurrently.
+  a driver-side bridge, not a distributed scan. ``read_table_partitioned``
+  upgrades that to N concurrent range cursors (the JDBC partitioned-read
+  rule over COPY); at 100 TB use ``jdbc.read_table`` so the cursors run
+  on executors. Independent tables additionally stream concurrently.
 - ``write_table`` is per-part-file parallelizable (each Spark output
   part is one independent ``COPY FROM``); parts load in sorted order so
   reruns are deterministic. Each ``COPY`` is its own transaction —
@@ -348,3 +349,75 @@ def write_table(
             )
         )
     return len(parts)
+
+
+def read_table_partitioned(
+    spark: SparkSession,
+    server: PgServer,
+    schema: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int = 8,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Parallel live scan: N concurrent COPY cursors over disjoint
+    ranges of a numeric column — the bridge's analog of Spark's JDBC
+    partitioned read (``jdbc.partitioned_read_options``), and the same
+    range-split rule: stride = (max-min+1)/N, first stripe additionally
+    owns NULL keys, last stripe is unbounded above. Bounds come from
+    one cheap server-side MIN/MAX (replacing the reference's
+    COUNT-before-scan, O7).
+
+    This removes the single-cursor bottleneck for big tables: COPY OUT
+    throughput scales with concurrent cursors until the server's I/O
+    saturates, and the N scratch files give the distributed CSV parse
+    N input splits. Ranges are value-based, so skewed keys skew
+    stripes — same caveat as the JDBC path (pick a near-uniform key).
+    """
+    st = reflect_table_schema(server, schema, table)
+    qual = quote_qualified(schema, table)
+    col = quote_ident(partition_column)
+    [(lo, hi)] = run_sql(
+        server,
+        f"SELECT MIN({col})::bigint::text, MAX({col})::bigint::text FROM {qual}",
+    )
+    if lo == "" or hi == "":  # empty table (or all-NULL keys)
+        return read_table(spark, server, schema, table, scratch_dir=scratch_dir)
+    lo_i, hi_i = int(lo), int(hi)
+    n = max(1, min(num_partitions, hi_i - lo_i + 1))
+    stride = (hi_i - lo_i + 1) // n or 1
+    preds: list[str] = []
+    for i in range(n):
+        lower = lo_i + i * stride
+        upper = lo_i + (i + 1) * stride
+        if n == 1:
+            preds.append("TRUE")
+        elif i == 0:
+            preds.append(f"({col} < {upper} OR {col} IS NULL)")
+        elif i == n - 1:
+            preds.append(f"{col} >= {lower}")
+        else:
+            preds.append(f"({col} >= {lower} AND {col} < {upper})")
+    out_dir = tempfile.mkdtemp(prefix=f"pgcopy_part_{table}_", dir=scratch_dir)
+    paths = [os.path.join(out_dir, f"stripe-{i:04d}.csv") for i in range(n)]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(i: int) -> None:
+        copy_query_out(
+            server, f"SELECT * FROM {qual} WHERE {preds[i]}", paths[i]
+        )
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(_one, range(n)))  # propagate the first error
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in st.fields]
+    )
+    raw = (
+        spark.read.schema(raw_schema)
+        .option("nullValue", NULL_MARKER)
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(paths)
+    )
+    return raw.select(*[_from_pg_text(f) for f in st.fields])

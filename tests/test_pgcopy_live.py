@@ -255,3 +255,56 @@ def test_quoted_identifiers_roundtrip(spark, pg_server):
     assert sorted((r["id"], r["User Name"]) for r in back.collect()) == [
         (0, "u0"), (1, "u1"), (2, "u2"),
     ]
+
+
+def test_partitioned_read_matches_single_stream(spark, sf_dir, pg_server):
+    """N concurrent range cursors return exactly the single-cursor
+    relation — including NULL partition keys (they ride stripe 0,
+    the JDBC partitioned-read rule)."""
+    import os
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        read_table_partitioned,
+        run_sql,
+    )
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE rt.striped AS"
+        " SELECT o_orderkey, o_custkey, o_orderstatus FROM rt.orders",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO rt.striped VALUES (NULL, 42, 'X'), (NULL, 43, 'Y')",
+    )
+    single = read_table(spark, pg_server, "rt", "striped").collect()
+    striped = read_table_partitioned(
+        spark, pg_server, "rt", "striped", "o_orderkey", num_partitions=4
+    )
+    part = striped.collect()
+    key = lambda r: (r["o_orderkey"] is None, r["o_orderkey"], r["o_custkey"])
+    assert sorted(part, key=key) == sorted(single, key=key)
+    assert sum(1 for r in part if r["o_orderkey"] is None) == 2
+    # the distributed parse really received N input splits
+    assert striped.rdd.getNumPartitions() >= 2
+
+
+def test_partitioned_read_empty_and_single_value(spark, pg_server):
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table_partitioned,
+        run_sql,
+    )
+
+    run_sql(pg_server, "CREATE TABLE rt.empty_part (k bigint, v text)")
+    assert (
+        read_table_partitioned(
+            spark, pg_server, "rt", "empty_part", "k", num_partitions=4
+        ).count()
+        == 0
+    )
+    run_sql(pg_server, "INSERT INTO rt.empty_part VALUES (7, 'only')")
+    got = read_table_partitioned(
+        spark, pg_server, "rt", "empty_part", "k", num_partitions=4
+    ).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(7, "only")]
