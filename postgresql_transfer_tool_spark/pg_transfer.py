@@ -308,16 +308,31 @@ def run_pg_incremental_batch(
     travels as text and PostgreSQL casts the quoted literal back
     (``id > '41'`` / ``ts > '2026-01-01 00:00:00'`` are both valid).
     """
+    key = key or f"{schema}.{table}.{hwm_col}"
+    return _hwm_batch(spark, server, schema, table, hwm_col, store.get(key))
+
+
+def _hwm_batch(
+    spark: SparkSession,
+    server: PgServer,
+    schema: str,
+    table: str,
+    hwm_col: str,
+    prev: str | None,
+    scratch_dir: str | None = None,
+):
+    """Delta rows above ``prev`` + the batch-derived new HWM (shared by
+    the checkpoint-store and lake-replication drivers)."""
     from .streaming.incremental import IncrementalBatch
 
-    key = key or f"{schema}.{table}.{hwm_col}"
-    prev = store.get(key)
     st = reflect_table_schema(server, schema, table)
     sql = f"SELECT * FROM {quote_qualified(schema, table)}"
     if prev is not None:
         lit = prev.replace("'", "''")
         sql += f" WHERE {quote_ident(hwm_col)} > '{lit}'"
-    df = read_query(spark, server, sql, st, label=f"{table}_hwm")
+    df = read_query(
+        spark, server, sql, st, label=f"{table}_hwm", scratch_dir=scratch_dir
+    )
     row = df.agg(
         F.count("*").alias("n"), F.max(hwm_col).cast("string").alias("hwm")
     ).collect()[0]
@@ -391,3 +406,100 @@ def resync_schema_sequences(server: PgServer, schema: str) -> dict[str, int]:
             except Exception:
                 out[key] = -1  # isolated failure, keep walking
     return out
+
+
+class PgLakeReplicator:
+    """Exactly-once PG→parquet-lake CDC replication: each cycle streams
+    the HWM delta into one epoch partition of an idempotent lake sink
+    (streaming/exactly_once.py), with the checkpoint stored INSIDE the
+    epoch it belongs to.
+
+    The at-least-once window of the checkpoint-store protocol (write
+    lands, process dies before ``store.set`` → the delta is re-read
+    into a SECOND epoch → duplicates in the lake) disappears because
+    the HWM travels with the epoch: recovery reads the checkpoint from
+    the LAST COMMITTED epoch, and an epoch whose parquet landed but
+    whose ledger marker did not is simply rewritten under the SAME
+    epoch id (mode=overwrite). The ledger's atomic marker rename is the
+    single commit point for data + checkpoint together — exactly-once
+    without a transaction, the K5/K6 upgrade path of SURVEY §7.4 #1.
+
+    At scale: each cycle moves only delta rows (server-side filter);
+    epochs are append-only parquet partitions, so downstream readers
+    get partition pruning on epoch and the lake compacts like any other
+    append stream (functions/layout.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        server: PgServer,
+        schema: str,
+        table: str,
+        hwm_col: str,
+        lake_dir: str,
+    ) -> None:
+        from .streaming.exactly_once import IdempotentParquetSink
+
+        self.spark = spark
+        self.server = server
+        self.schema = schema
+        self.table = table
+        self.hwm_col = hwm_col
+        self.sink = IdempotentParquetSink(lake_dir)
+        self.lake_dir = lake_dir
+
+    def _epoch_dir(self, epoch: int) -> str:
+        import os
+
+        return os.path.join(self.lake_dir, f"epoch={epoch}")
+
+    def last_checkpoint(self) -> tuple[int | None, str | None]:
+        """(last committed epoch, its HWM) — recovery state comes from
+        the ledger alone."""
+        import os
+
+        committed = sorted(self.sink.ledger.committed())
+        if not committed:
+            return None, None
+        last = committed[-1]
+        with open(os.path.join(self._epoch_dir(last), "_hwm.txt")) as f:
+            return last, f.read()
+
+    def run_cycle(self) -> dict:
+        """One replication cycle. Returns a summary dict; ``n_rows`` 0
+        means no delta (and no epoch was created). The bridge's scratch
+        CSV lives only for the cycle (the epoch parquet is the durable
+        copy)."""
+        import os
+        import shutil
+        import tempfile
+
+        last_epoch, prev = self.last_checkpoint()
+        epoch = 0 if last_epoch is None else last_epoch + 1
+        scratch = tempfile.mkdtemp(prefix="pg_lake_cycle_")
+        try:
+            batch = _hwm_batch(
+                self.spark, self.server, self.schema, self.table,
+                self.hwm_col, prev, scratch_dir=scratch,
+            )
+            if batch.n_rows == 0:
+                return {"epoch": None, "n_rows": 0, "hwm": prev}
+            edir = self._epoch_dir(epoch)
+            batch.data.write.mode("overwrite").parquet(edir)
+            # checkpoint rides the (still-uncommitted) epoch; the
+            # underscore name keeps it invisible to parquet readers
+            with open(os.path.join(edir, "_hwm.txt"), "w") as f:
+                f.write(batch.new_checkpoint)
+            self.sink.ledger.commit(epoch)  # atomic data+checkpoint commit
+            return {
+                "epoch": epoch,
+                "n_rows": batch.n_rows,
+                "hwm": batch.new_checkpoint,
+            }
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def read_lake(self):
+        """Union of all committed epochs (uncommitted dirs invisible)."""
+        return self.sink.read_all(self.spark)

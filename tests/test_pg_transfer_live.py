@@ -440,3 +440,44 @@ def test_composite_fk_reflection_and_enforcement(spark, pg_server):
     run_sql(pg_server, "DELETE FROM comp2.parent WHERE a = 1 AND b = 2")
     assert run_sql(pg_server, "SELECT xa, yb FROM comp2.child") == [("", "")] or \
         run_sql(pg_server, "SELECT xa IS NULL, yb IS NULL FROM comp2.child") == [("t", "t")]
+
+
+def test_lake_replicator_exactly_once(spark, pg_server, tmp_path):
+    """PG→parquet-lake CDC: delta-only epochs, empty cycles create no
+    epoch, and a crash between parquet write and ledger commit is
+    repaired by REWRITING the same epoch — the lake never duplicates
+    rows because data and checkpoint commit in one atomic rename."""
+    import os
+
+    from postgresql_transfer_tool_spark.pg_transfer import PgLakeReplicator
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE src.lake_ev (id bigserial PRIMARY KEY, v text)",
+    )
+    run_sql(pg_server, "INSERT INTO src.lake_ev (v) VALUES ('a'), ('b')")
+    lake = str(tmp_path / "lake")
+    rep = PgLakeReplicator(spark, pg_server, "src", "lake_ev", "id", lake)
+
+    c1 = rep.run_cycle()
+    assert c1 == {"epoch": 0, "n_rows": 2, "hwm": "2"}
+    run_sql(pg_server, "INSERT INTO src.lake_ev (v) VALUES ('c')")
+    c2 = rep.run_cycle()
+    assert c2 == {"epoch": 1, "n_rows": 1, "hwm": "3"}
+    assert rep.run_cycle()["n_rows"] == 0  # no delta → no epoch
+    rows = sorted(
+        (r["id"], r["v"]) for r in rep.read_lake().collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+    # crash simulation: epoch 1's parquet landed but its ledger marker
+    # didn't (remove the marker). Recovery must rewrite epoch 1 from
+    # the epoch-0 checkpoint, not append a duplicate epoch 2.
+    os.remove(os.path.join(lake, "_epochs", "epoch=1.committed"))
+    c2b = rep.run_cycle()
+    assert c2b == {"epoch": 1, "n_rows": 1, "hwm": "3"}
+    rows = sorted(
+        (r["id"], r["v"]) for r in rep.read_lake().collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
