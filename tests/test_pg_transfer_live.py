@@ -481,3 +481,66 @@ def test_lake_replicator_exactly_once(spark, pg_server, tmp_path):
         (r["id"], r["v"]) for r in rep.read_lake().collect()
     )
     assert rows == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
+
+
+@pytest.fixture(scope="module")
+def pg_server_b():
+    """A SECOND independent cluster — the pipeline's actual deployment
+    shape is cross-server, not schema rename."""
+    from postgresql_transfer_tool_spark.sources.pgcopy import PgServer
+
+    base = tempfile.mkdtemp(prefix="pg_transfer_b_")
+    try:
+        subprocess.run(["chown", "postgres:postgres", base], check=False)
+        r = _su_postgres(f"initdb -D {base}/data -A trust")
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+        r = _su_postgres(
+            f"pg_ctl -D {base}/data -o '-p 54334 -k {base} -c listen_addresses=' "
+            f"-l {base}/pg.log start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"server start failed: {r.stderr[-200:]}")
+        yield PgServer(host=base, port=54334)
+        _su_postgres(f"pg_ctl -D {base}/data -m immediate stop")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cross_server_transfer(spark, pg_server, pg_server_b, report):
+    """Source and target on DIFFERENT clusters: data, constraints, and
+    sequence state all land on server B, which never saw the source."""
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="src",
+        target=pg_server_b, target_schema="xfer",
+    ).run()
+    assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
+    assert rep.results["nation"].target_rows == 4
+    src_rows = run_sql(
+        pg_server, "SELECT n_name, n_regionkey FROM src.nation ORDER BY n_nationkey"
+    )
+    tgt_rows = run_sql(
+        pg_server_b,
+        "SELECT n_name, n_regionkey FROM xfer.nation ORDER BY n_nationkey",
+    )
+    assert src_rows == tgt_rows
+    # FK enforced on B; serial continues on B
+    [(nfk,)] = run_sql(
+        pg_server_b,
+        "SELECT COUNT(*) FROM pg_constraint c"
+        " JOIN pg_namespace n ON n.oid = c.connamespace"
+        " WHERE n.nspname = 'xfer' AND c.contype = 'f'",
+    )
+    assert int(nfk) == 1
+    run_sql(
+        pg_server_b,
+        "INSERT INTO xfer.nation (n_name, n_regionkey) VALUES ('KENYA', 0)",
+    )
+    [(k,)] = run_sql(
+        pg_server_b, "SELECT n_nationkey FROM xfer.nation WHERE n_name = 'KENYA'"
+    )
+    assert int(k) == 5
