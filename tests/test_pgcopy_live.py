@@ -308,3 +308,37 @@ def test_partitioned_read_empty_and_single_value(spark, pg_server):
         spark, pg_server, "rt", "empty_part", "k", num_partitions=4
     ).collect()
     assert [(r["k"], r["v"]) for r in got] == [(7, "only")]
+
+
+def test_control_chars_and_null_marker_literal(spark, pg_server):
+    """Tabs, carriage returns, CRLF, and quote-adjacent shapes
+    round-trip; the ONE documented limitation — a string equal to the
+    NULL marker itself — is pinned here so a behavior change is
+    noticed."""
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_table, run_sql
+
+    vals = [
+        (1, "tab\there"),
+        (2, "cr\rreturn"),
+        (3, "crlf\r\nline"),
+        (4, '""'),
+        (5, '",",'),
+        (6, "\\N not alone"),
+        (7, " leading and trailing "),
+    ]
+    run_sql(pg_server, "CREATE TABLE rt.ctrl (id int PRIMARY KEY, s text)")
+    for i, s in vals:
+        lit = "E'" + s.replace("\\", "\\\\").replace("'", "''").replace(
+            "\r", "\\r"
+        ).replace("\n", "\\n").replace("\t", "\\t") + "'"
+        run_sql(pg_server, f"INSERT INTO rt.ctrl VALUES ({i}, {lit})")
+    # the documented limitation: a value of EXACTLY the marker
+    run_sql(pg_server, "INSERT INTO rt.ctrl VALUES (8, E'\\\\N')")
+    got = {
+        r["id"]: r["s"] for r in read_table(spark, pg_server, "rt", "ctrl").collect()
+    }
+    for i, s in vals:
+        assert got[i] == s, (i, got[i], s)
+    # PostgreSQL quotes the literal marker, but Spark's nullValue
+    # applies inside quotes too → reads back as NULL (pgcopy.py header)
+    assert got[8] is None
