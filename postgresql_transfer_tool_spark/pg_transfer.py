@@ -120,7 +120,22 @@ def reflect_pg_catalog(server: PgServer, schema: str) -> dict[str, TableInfo]:
 class PgTransferPipeline:
     """Schema-to-schema live transfer. ``source`` and ``target`` may be
     the same server (schema rename migration — the reference's actual
-    deployment shape) or two servers."""
+    deployment shape) or two servers.
+
+    ``mode``:
+
+    - ``"fresh"`` — CREATE IF NOT EXISTS + COPY, the reference's exact
+      semantics (``transfer_data_script.py:59-71,126``): a rerun against
+      a populated target fails the table on PK violation mid-COPY.
+    - ``"swap"`` — the engine's K5/K6 upgrade, live: each table loads
+      into a staging table, then one atomic statement batch drops the
+      old table and renames staging into place (psql executes a
+      multi-statement ``-c`` as a single implicit transaction). A
+      failed load leaves the previous target untouched (per-table
+      rollback); reruns are idempotent. FK constraints are re-added
+      after the swap (DROP ... CASCADE removes the old ones), same as
+      the reference's copy-then-constrain ordering.
+    """
 
     spark: SparkSession
     source: PgServer
@@ -130,6 +145,11 @@ class PgTransferPipeline:
     exclude: tuple[str, ...] = ()
     max_parallel_tables: int = 4
     scratch_dir: str | None = None
+    mode: str = "fresh"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("fresh", "swap"):
+            raise ValueError(f"mode must be 'fresh' or 'swap', got {self.mode!r}")
 
     def run(self) -> TransferReport:
         # Scratch CSVs (COPY streams + rendered parts) live for the
@@ -175,6 +195,7 @@ class PgTransferPipeline:
         def _copy(name: str) -> TableResult:
             res = TableResult(name, "copied")
             info = catalog[name]
+            load_name = name if self.mode == "fresh" else f"{name}__stg"
             try:
                 # single-column integer PK → N concurrent range cursors
                 # (the JDBC partitioned-read rule over COPY); anything
@@ -198,8 +219,14 @@ class PgTransferPipeline:
                         scratch_dir=self.scratch_dir,
                     )
                 dfs[name] = df
+                if self.mode == "swap":  # stale staging from a crash
+                    run_sql(
+                        self.target,
+                        f"DROP TABLE IF EXISTS "
+                        f"{quote_qualified(self.target_schema, load_name)} CASCADE",
+                    )
                 write_table(
-                    df, self.target, self.target_schema, name,
+                    df, self.target, self.target_schema, load_name,
                     primary_key=info.primary_key,
                     serial_columns=info.serial_columns,
                     scratch_dir=self.scratch_dir,
@@ -208,12 +235,25 @@ class PgTransferPipeline:
                 [(cnt,)] = run_sql(
                     self.target,
                     f"SELECT COUNT(*) FROM "
-                    f"{quote_qualified(self.target_schema, name)}",
+                    f"{quote_qualified(self.target_schema, load_name)}",
                 )
                 res.target_rows = int(cnt)
                 if res.target_rows != res.source_rows:
                     raise RuntimeError(
                         f"row-count mismatch {res.source_rows} != {res.target_rows}"
+                    )
+                if self.mode == "swap":
+                    # atomic commit: one multi-statement psql -c runs as
+                    # a single implicit transaction — the old table (and
+                    # its FKs, CASCADE) vanish and staging takes its
+                    # place, or neither happens
+                    run_sql(
+                        self.target,
+                        f"DROP TABLE IF EXISTS "
+                        f"{quote_qualified(self.target_schema, name)} CASCADE; "
+                        f"ALTER TABLE "
+                        f"{quote_qualified(self.target_schema, load_name)} "
+                        f"RENAME TO {quote_ident(name)}",
                     )
                 if info.primary_key:
                     res.pk_violations = audit_primary_key(df, info.primary_key)
@@ -224,6 +264,16 @@ class PgTransferPipeline:
             except Exception as exc:  # per-table error isolation (K8)
                 res.status = "failed"
                 res.error = f"{type(exc).__name__}: {exc}"
+                if self.mode == "swap":  # rollback: previous target intact
+                    try:
+                        run_sql(
+                            self.target,
+                            f"DROP TABLE IF EXISTS "
+                            f"{quote_qualified(self.target_schema, load_name)}"
+                            f" CASCADE",
+                        )
+                    except Exception:
+                        pass  # staging cleanup is best-effort
             return res
 
         with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:

@@ -544,3 +544,106 @@ def test_cross_server_transfer(spark, pg_server, pg_server_b, report):
         pg_server_b, "SELECT n_nationkey FROM xfer.nation WHERE n_name = 'KENYA'"
     )
     assert int(k) == 5
+
+
+def test_swap_mode_idempotent_rerun(spark, pg_server):
+    """mode='swap': a second run against a populated target replaces
+    tables atomically — same counts, no PK-violation failures, FKs and
+    sequences re-established. (mode='fresh' reruns fail mid-COPY like
+    the reference would.)"""
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    def once():
+        return PgTransferPipeline(
+            spark,
+            source=pg_server, source_schema="src",
+            target=pg_server, target_schema="swap_tgt",
+            mode="swap",
+        ).run()
+
+    r1 = once()
+    assert r1.ok, {n: (r.status, r.error) for n, r in r1.results.items()}
+    # poison the target so only a real replacement can restore it
+    run_sql(pg_server, "DELETE FROM swap_tgt.nation WHERE n_nationkey = 1")
+    r2 = once()
+    assert r2.ok, {n: (r.status, r.error) for n, r in r2.results.items()}
+    assert r2.results["nation"].target_rows == 4  # restored, not appended
+    [(n,)] = run_sql(pg_server, "SELECT COUNT(*) FROM swap_tgt.nation")
+    assert int(n) == 4
+    [(nfk,)] = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM pg_constraint c"
+        " JOIN pg_namespace ns ON ns.oid = c.connamespace"
+        " WHERE ns.nspname = 'swap_tgt' AND c.contype = 'f'",
+    )
+    assert int(nfk) == 1  # FK re-added after the swap
+    # no staging leftovers
+    [(nstg,)] = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM pg_tables"
+        " WHERE schemaname = 'swap_tgt' AND tablename LIKE '%__stg'",
+    )
+    assert int(nstg) == 0
+    # sequence still live post-swap
+    run_sql(
+        pg_server,
+        "INSERT INTO swap_tgt.nation (n_name, n_regionkey) VALUES ('GHANA', 0)",
+    )
+    [(k,)] = run_sql(
+        pg_server, "SELECT n_nationkey FROM swap_tgt.nation WHERE n_name = 'GHANA'"
+    )
+    assert int(k) == 5
+
+
+def test_swap_mode_failed_table_keeps_previous_target(spark, pg_server, monkeypatch):
+    """K6 live: when a table's load fails, the PREVIOUS target version
+    survives untouched (staging dropped), other tables still commit.
+    The failure is injected at the load step (the realistic failure
+    modes — parse error, disk, lost connection — all surface there)."""
+    from postgresql_transfer_tool_spark import pg_transfer
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, "CREATE SCHEMA rb")
+    run_sql(pg_server, "CREATE TABLE rb.good (id int PRIMARY KEY, v text)")
+    run_sql(pg_server, "CREATE TABLE rb.flaky (id int PRIMARY KEY, v text)")
+    run_sql(pg_server, "INSERT INTO rb.good VALUES (1, 'g1')")
+    run_sql(pg_server, "INSERT INTO rb.flaky VALUES (1, 'f1')")
+
+    def once():
+        return pg_transfer.PgTransferPipeline(
+            spark,
+            source=pg_server, source_schema="rb",
+            target=pg_server, target_schema="rb_tgt",
+            mode="swap",
+        ).run()
+
+    assert once().ok
+    run_sql(pg_server, "INSERT INTO rb.flaky VALUES (2, 'f2')")
+    run_sql(pg_server, "INSERT INTO rb.good VALUES (2, 'g2')")
+
+    real_write = pg_transfer.write_table
+
+    def flaky_write(df, server, schema, table, **kw):
+        if table.startswith("flaky"):
+            raise RuntimeError("injected mid-load failure")
+        return real_write(df, server, schema, table, **kw)
+
+    monkeypatch.setattr(pg_transfer, "write_table", flaky_write)
+    r2 = once()
+    assert not r2.ok
+    assert r2.results["flaky"].status == "failed"
+    assert "injected" in r2.results["flaky"].error
+    # previous flaky version intact (1 row, not 2), staging cleaned
+    [(n,)] = run_sql(pg_server, "SELECT COUNT(*) FROM rb_tgt.flaky")
+    assert int(n) == 1
+    [(nstg,)] = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM pg_tables"
+        " WHERE schemaname = 'rb_tgt' AND tablename LIKE '%__stg'",
+    )
+    assert int(nstg) == 0
+    # the good table committed regardless of its sibling
+    assert r2.results["good"].status == "copied"
+    [(n,)] = run_sql(pg_server, "SELECT COUNT(*) FROM rb_tgt.good")
+    assert int(n) == 2
