@@ -21,11 +21,19 @@ physics:
 - sequence resync (K7) is live ``setval`` to COALESCE(MAX,0)+1 on the
   target, exactly ``after-running-script.sql:15-21``.
 
-Scale honesty: per-table streams ride the COPY bridge (driver-side
-cursor each; tables run in parallel). On a cluster with the JDBC jar,
-swap ``pgcopy.read_table``/``write_table`` for ``jdbc.read_table``/
-``write_table`` and the orchestration here is unchanged — reflection,
-audits, FK gating, and resync are all source-agnostic.
+Scale honesty: table streams ride the COPY bridge — tables in
+parallel, and N concurrent range cursors within a table when it has a
+single integer PK (``pgcopy.read_table_partitioned``); writes load
+parts concurrently. On a cluster with the JDBC jar, swap the bridge
+calls for ``jdbc.read_table``/``write_table`` (cursors move to
+executors) and the orchestration here is unchanged — reflection,
+audits, FK gating, swap commits, and resync are all source-agnostic.
+
+Beyond the one-shot pipeline this module carries the live continuous
+paths: ``run_pg_incremental_batch``/``run_pg_flag_sync`` (server-side
+delta filters), ``PgLakeReplicator`` (exactly-once PG→parquet CDC),
+``resync_schema_sequences`` (the standalone after-running-script), and
+``verify_table_equivalence`` (multiset post-migration diff).
 """
 
 from __future__ import annotations
@@ -553,3 +561,31 @@ class PgLakeReplicator:
     def read_lake(self):
         """Union of all committed epochs (uncommitted dirs invisible)."""
         return self.sink.read_all(self.spark)
+
+
+def verify_table_equivalence(
+    spark: SparkSession,
+    df,
+    server: PgServer,
+    schema: str,
+    table: str,
+    scratch_dir: str | None = None,
+) -> dict:
+    """Post-migration verification: exact multiset comparison between a
+    Spark relation and a live table — the rigorous upgrade of the
+    reference's row-count check (``transfer_data_with_constraints_
+    script.py`` validates COUNT(*) only; two tables can agree on count
+    and disagree on every value).
+
+    Reads the live table back through the bridge and diffs BOTH
+    directions with ``exceptAll`` (multiset semantics: duplicate rows
+    must match in multiplicity, not just presence). Returns
+    ``{"missing": n, "extra": n, "equal": bool}`` — ``missing`` rows
+    are in ``df`` but not the live table, ``extra`` the reverse. Both
+    diffs are distributed anti-join shapes; nothing is collected except
+    the two counts."""
+    back = read_table(spark, server, schema, table, scratch_dir=scratch_dir)
+    back = back.select(*df.columns)  # align column order
+    missing = df.exceptAll(back).count()
+    extra = back.exceptAll(df).count()
+    return {"missing": missing, "extra": extra, "equal": missing == 0 and extra == 0}

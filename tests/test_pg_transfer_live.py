@@ -647,3 +647,26 @@ def test_swap_mode_failed_table_keeps_previous_target(spark, pg_server, monkeypa
     assert r2.results["good"].status == "copied"
     [(n,)] = run_sql(pg_server, "SELECT COUNT(*) FROM rb_tgt.good")
     assert int(n) == 2
+
+
+def test_verify_table_equivalence(spark, pg_server, report):
+    """Multiset diff catches what COUNT(*) validation cannot: equal
+    counts with different values."""
+    from postgresql_transfer_tool_spark.pg_transfer import verify_table_equivalence
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_table, run_sql
+
+    src_df = read_table(spark, pg_server, "src", "nation")
+    v = verify_table_equivalence(spark, src_df, pg_server, "tgt", "nation")
+    assert v == {"missing": 0, "extra": 0, "equal": True}
+    # same count, one mutated value — count-only validation passes,
+    # the multiset diff must not
+    run_sql(
+        pg_server,
+        "CREATE TABLE tgt.nation_mut AS SELECT * FROM tgt.nation",
+    )
+    run_sql(
+        pg_server,
+        "UPDATE tgt.nation_mut SET n_name = 'BRASIL' WHERE n_name = 'BRAZIL'",
+    )
+    v2 = verify_table_equivalence(spark, src_df, pg_server, "tgt", "nation_mut")
+    assert v2 == {"missing": 1, "extra": 1, "equal": False}
