@@ -649,24 +649,43 @@ def test_swap_mode_failed_table_keeps_previous_target(spark, pg_server, monkeypa
     assert int(n) == 2
 
 
-def test_verify_table_equivalence(spark, pg_server, report):
+def test_verify_table_equivalence(spark, pg_server):
     """Multiset diff catches what COUNT(*) validation cannot: equal
-    counts with different values."""
-    from postgresql_transfer_tool_spark.pg_transfer import verify_table_equivalence
+    counts with different values. Uses its own target schema — sibling
+    tests mutate the shared 'tgt' schema (sequence-continuation
+    inserts), and this test's contract is exact equivalence."""
+    from postgresql_transfer_tool_spark.pg_transfer import (
+        PgTransferPipeline,
+        verify_table_equivalence,
+    )
     from postgresql_transfer_tool_spark.sources.pgcopy import read_table, run_sql
 
+    assert PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="src",
+        target=pg_server, target_schema="veq_tgt",
+        exclude=tuple(
+            t for (t,) in run_sql(
+                pg_server,
+                "SELECT tablename FROM pg_tables WHERE schemaname='src'",
+            )
+            if t not in ("region", "nation")
+        ),
+    ).run().results["nation"].status == "copied"
     src_df = read_table(spark, pg_server, "src", "nation")
-    v = verify_table_equivalence(spark, src_df, pg_server, "tgt", "nation")
+    v = verify_table_equivalence(spark, src_df, pg_server, "veq_tgt", "nation")
     assert v == {"missing": 0, "extra": 0, "equal": True}
     # same count, one mutated value — count-only validation passes,
     # the multiset diff must not
     run_sql(
         pg_server,
-        "CREATE TABLE tgt.nation_mut AS SELECT * FROM tgt.nation",
+        "CREATE TABLE veq_tgt.nation_mut AS SELECT * FROM veq_tgt.nation",
     )
     run_sql(
         pg_server,
-        "UPDATE tgt.nation_mut SET n_name = 'BRASIL' WHERE n_name = 'BRAZIL'",
+        "UPDATE veq_tgt.nation_mut SET n_name = 'BRASIL' WHERE n_name = 'BRAZIL'",
     )
-    v2 = verify_table_equivalence(spark, src_df, pg_server, "tgt", "nation_mut")
+    v2 = verify_table_equivalence(
+        spark, src_df, pg_server, "veq_tgt", "nation_mut"
+    )
     assert v2 == {"missing": 1, "extra": 1, "equal": False}
