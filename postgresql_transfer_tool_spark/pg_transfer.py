@@ -154,6 +154,9 @@ class PgTransferPipeline:
     max_parallel_tables: int = 4
     scratch_dir: str | None = None
     mode: str = "fresh"
+    #: opt-in post-load verification: multiset-diff every copied table
+    #: against its target read-back (costs a second read per table)
+    verify: bool = False
 
     def __post_init__(self) -> None:
         if self.mode not in ("fresh", "swap"):
@@ -329,6 +332,25 @@ class PgTransferPipeline:
                     res.next_sequence_value = nxt
                 except Exception as exc:  # K8: resync failure isolates
                     res.error = f"sequence resync failed: {exc}"
+
+        # phase 5 (opt-in): multiset equivalence per copied table — a
+        # verified mismatch FAILS the table (count checks alone let
+        # equal-count/different-values corruption through)
+        if self.verify:
+            for name, res in report.results.items():
+                if res.status != "copied":
+                    continue
+                v = verify_table_equivalence(
+                    self.spark, dfs[name], self.target,
+                    self.target_schema, name, scratch_dir=scratch_dir,
+                )
+                res.verified = v["equal"]
+                if not v["equal"]:
+                    res.status = "failed"
+                    res.error = (
+                        f"post-load verification: {v['missing']} missing, "
+                        f"{v['extra']} extra rows"
+                    )
 
         return report
 

@@ -57,6 +57,8 @@ class TableResult:
     error: str | None = None
     #: non-clean schema_compat verdicts vs a pre-existing target (append mode)
     schema_issues: list[dict] = field(default_factory=list)
+    #: multiset source↔target equivalence (opt-in verify pass); None = not run
+    verified: bool | None = None
     pk_violations: int = 0
     fk_orphans: dict[str, int] = field(default_factory=dict)
     unique_violations: dict[str, int] = field(default_factory=dict)

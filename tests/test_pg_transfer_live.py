@@ -689,3 +689,20 @@ def test_verify_table_equivalence(spark, pg_server):
         spark, src_df, pg_server, "veq_tgt", "nation_mut"
     )
     assert v2 == {"missing": 1, "extra": 1, "equal": False}
+
+
+def test_pipeline_verify_phase(spark, pg_server):
+    """verify=True: every copied table carries a verified=True flag from
+    the post-load multiset diff."""
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+
+    rep = PgTransferPipeline(
+        spark,
+        source=pg_server, source_schema="src",
+        target=pg_server, target_schema="verif_tgt",
+        exclude=("ev", "hw", "flagged", "lake_ev"),
+        verify=True,
+    ).run()
+    assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
+    copied = [r for r in rep.results.values() if r.status == "copied"]
+    assert copied and all(r.verified is True for r in copied)
