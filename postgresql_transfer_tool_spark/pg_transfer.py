@@ -197,11 +197,37 @@ class PgTransferPipeline:
             else:
                 work.append(name)
 
+        # swap mode, rerun hygiene: drop the target schema's FK
+        # constraints up front, SERIALLY. Two parallel
+        # DROP TABLE ... CASCADE on FK-connected tables would each need
+        # locks on the shared constraint — a deadlock PostgreSQL breaks
+        # by killing one table's swap. With FKs gone first (the
+        # reference's copy-without-FKs discipline), per-table swaps
+        # touch disjoint objects.
+        if self.mode == "swap":
+            for conname, tab in [
+                tuple(r) for r in run_sql(
+                    self.target,
+                    "SELECT c.conname, rel.relname FROM pg_constraint c"
+                    " JOIN pg_class rel ON rel.oid = c.conrelid"
+                    " JOIN pg_namespace n ON n.oid = rel.relnamespace"
+                    f" WHERE c.contype = 'f' AND n.nspname = '{self.target_schema}'",
+                )
+            ]:
+                run_sql(
+                    self.target,
+                    f"ALTER TABLE {quote_qualified(self.target_schema, tab)} "
+                    f"DROP CONSTRAINT {quote_ident(conname)}",
+                )
+
         # phase 2: copy, tables in parallel (each is bridge-stream →
         # distributed cast → bulk load), with Spark-side C1-C3 audits on
         # the in-flight relation. Source DataFrames are kept for the FK
         # audit phase so parents are not re-streamed.
         dfs: dict[str, object] = {}
+        import threading
+
+        swap_lock = threading.Lock()  # serialize swap DDL (belt+braces)
 
         def _copy(name: str) -> TableResult:
             res = TableResult(name, "copied")
@@ -256,16 +282,19 @@ class PgTransferPipeline:
                 if self.mode == "swap":
                     # atomic commit: one multi-statement psql -c runs as
                     # a single implicit transaction — the old table (and
-                    # its FKs, CASCADE) vanish and staging takes its
-                    # place, or neither happens
-                    run_sql(
-                        self.target,
-                        f"DROP TABLE IF EXISTS "
-                        f"{quote_qualified(self.target_schema, name)} CASCADE; "
-                        f"ALTER TABLE "
-                        f"{quote_qualified(self.target_schema, load_name)} "
-                        f"RENAME TO {quote_ident(name)}",
-                    )
+                    # any straggler FKs, CASCADE) vanish and staging
+                    # takes its place, or neither happens. Serialized
+                    # across tables: concurrent DDL on FK-connected
+                    # relations is PostgreSQL's classic deadlock shape.
+                    with swap_lock:
+                        run_sql(
+                            self.target,
+                            f"DROP TABLE IF EXISTS "
+                            f"{quote_qualified(self.target_schema, name)} CASCADE; "
+                            f"ALTER TABLE "
+                            f"{quote_qualified(self.target_schema, load_name)} "
+                            f"RENAME TO {quote_ident(name)}",
+                        )
                 if info.primary_key:
                     res.pk_violations = audit_primary_key(df, info.primary_key)
                 for cols in info.unique:
