@@ -197,26 +197,39 @@ class PgTransferPipeline:
             else:
                 work.append(name)
 
-        # swap mode, rerun hygiene: drop the target schema's FK
-        # constraints up front, SERIALLY. Two parallel
-        # DROP TABLE ... CASCADE on FK-connected tables would each need
-        # locks on the shared constraint — a deadlock PostgreSQL breaks
-        # by killing one table's swap. With FKs gone first (the
-        # reference's copy-without-FKs discipline), per-table swaps
-        # touch disjoint objects.
+        # swap mode, rerun hygiene: serially drop the target FK
+        # constraints that TOUCH a table this run will swap (child or
+        # parent side). Two parallel DROP TABLE ... CASCADE on
+        # FK-connected tables would each need locks on the shared
+        # constraint — a deadlock PostgreSQL breaks by killing one
+        # table's swap; with those FKs gone first (the reference's
+        # copy-without-FKs discipline), per-table swaps touch disjoint
+        # objects. Definitions are SAVED: any dropped constraint the
+        # audit-gated phase 3 does not re-create (e.g. an excluded
+        # child's FK onto a swapped parent) is restored afterwards —
+        # the run must not silently shed integrity outside its scope.
+        dropped_fks: list[tuple[str, str, str]] = []  # (child, conname, def)
         if self.mode == "swap":
-            for conname, tab in [
+            work_set = ", ".join(f"'{t}'" for t in work) or "''"
+            dropped_fks = [
                 tuple(r) for r in run_sql(
                     self.target,
-                    "SELECT c.conname, rel.relname FROM pg_constraint c"
+                    "SELECT rel.relname, c.conname, pg_get_constraintdef(c.oid)"
+                    " FROM pg_constraint c"
                     " JOIN pg_class rel ON rel.oid = c.conrelid"
                     " JOIN pg_namespace n ON n.oid = rel.relnamespace"
-                    f" WHERE c.contype = 'f' AND n.nspname = '{self.target_schema}'",
+                    " JOIN pg_class frel ON frel.oid = c.confrelid"
+                    " JOIN pg_namespace fn ON fn.oid = frel.relnamespace"
+                    f" WHERE c.contype = 'f' AND n.nspname = '{self.target_schema}'"
+                    f" AND (rel.relname IN ({work_set})"
+                    f"      OR (fn.nspname = '{self.target_schema}'"
+                    f"          AND frel.relname IN ({work_set})))",
                 )
-            ]:
+            ]
+            for child, conname, _condef in dropped_fks:
                 run_sql(
                     self.target,
-                    f"ALTER TABLE {quote_qualified(self.target_schema, tab)} "
+                    f"ALTER TABLE {quote_qualified(self.target_schema, child)} "
                     f"DROP CONSTRAINT {quote_ident(conname)}",
                 )
 
@@ -279,13 +292,22 @@ class PgTransferPipeline:
                     raise RuntimeError(
                         f"row-count mismatch {res.source_rows} != {res.target_rows}"
                     )
+                if info.primary_key:
+                    res.pk_violations = audit_primary_key(df, info.primary_key)
+                for cols in info.unique:
+                    res.unique_violations[", ".join(cols)] = audit_unique(df, cols)
+                for check in info.checks:
+                    res.check_violations[check] = audit_check(df, check)
                 if self.mode == "swap":
-                    # atomic commit: one multi-statement psql -c runs as
-                    # a single implicit transaction — the old table (and
-                    # any straggler FKs, CASCADE) vanish and staging
-                    # takes its place, or neither happens. Serialized
-                    # across tables: concurrent DDL on FK-connected
-                    # relations is PostgreSQL's classic deadlock shape.
+                    # atomic commit LAST — after counts and C1-C3 audits
+                    # — so any failure up to here leaves the previous
+                    # target untouched. One multi-statement psql -c runs
+                    # as a single implicit transaction: the old table
+                    # (and any straggler FKs, CASCADE) vanish and
+                    # staging takes its place, or neither happens.
+                    # Serialized across tables: concurrent DDL on
+                    # FK-connected relations is PostgreSQL's classic
+                    # deadlock shape.
                     with swap_lock:
                         run_sql(
                             self.target,
@@ -295,12 +317,6 @@ class PgTransferPipeline:
                             f"{quote_qualified(self.target_schema, load_name)} "
                             f"RENAME TO {quote_ident(name)}",
                         )
-                if info.primary_key:
-                    res.pk_violations = audit_primary_key(df, info.primary_key)
-                for cols in info.unique:
-                    res.unique_violations[", ".join(cols)] = audit_unique(df, cols)
-                for check in info.checks:
-                    res.check_violations[check] = audit_check(df, check)
             except Exception as exc:  # per-table error isolation (K8)
                 res.status = "failed"
                 res.error = f"{type(exc).__name__}: {exc}"
@@ -332,11 +348,40 @@ class PgTransferPipeline:
                 if parent_res is None or parent_res.status != "copied":
                     continue
                 orphans = audit_fk_orphans(dfs[name], dfs[fk.ref_table], fk)
-                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = orphans
+                res.fk_orphans[f"{fk.table}.{','.join(fk.columns)}"] = orphans
                 ddl = fk_ddl_statement(replace(info, schema=self.target_schema), fk)
                 if orphans == 0:
                     run_sql(self.target, ddl)
                     report.fk_ddl.append(ddl)
+
+        # phase 3b (swap mode): restore saved FKs whose CHILD was not
+        # copied this run — their drop was collateral of a parent swap,
+        # not a replacement. Copied children got fresh constraints (or
+        # a deliberate orphan-gated withholding) in phase 3. A restore
+        # that now fails (the swapped parent lost rows the old child
+        # references) is recorded, not swallowed silently.
+        copied_set = {
+            n for n, r in report.results.items() if r.status == "copied"
+        }
+        for child, conname, condef in dropped_fks:
+            if child in copied_set:
+                continue
+            ddl = (
+                f"ALTER TABLE {quote_qualified(self.target_schema, child)} "
+                f"ADD CONSTRAINT {quote_ident(conname)} {condef}"
+            )
+            try:
+                run_sql(self.target, ddl)
+                report.fk_ddl.append(ddl)
+            except Exception as exc:
+                # integrity promise broken → the run must not read ok
+                msg = f"FK restore failed for {conname}: {exc}"
+                res = report.results.get(child)
+                if res is None:
+                    res = TableResult(child, "failed")
+                    report.results[child] = res
+                res.status = "failed"
+                res.error = msg
 
         # phase 4: live sequence resync (K7) — setval to
         # COALESCE(MAX,0)+1 with is_called=false, so the next INSERT
@@ -404,21 +449,45 @@ def run_pg_incremental_batch(
     hwm_col: str,
     store,
     key: str | None = None,
+    tiebreak_col: str | None = None,
+    scratch_dir: str | None = None,
 ):
     """One high-water-mark cycle against live PostgreSQL (I2): stream
-    only ``hwm_col > checkpoint`` rows, compute the new HWM FROM THE
+    only the delta above the checkpoint, compute the new HWM FROM THE
     BATCH (a server-side MAX taken after the COPY could run past rows a
-    concurrent insert added in between — the batch's own max is the
-    only value that cannot skip data), leave the checkpoint advance to
-    the caller after its write commits (at-least-once with idempotent
-    sinks, same contract as streaming/incremental.py).
+    concurrent insert added in between — the batch's own max cannot
+    skip data), leave the checkpoint advance to the caller after its
+    write commits (at-least-once with idempotent sinks, same contract
+    as streaming/incremental.py).
 
     ``hwm_col`` may be a timestamp or a serial integer — the checkpoint
-    travels as text and PostgreSQL casts the quoted literal back
-    (``id > '41'`` / ``ts > '2026-01-01 00:00:00'`` are both valid).
+    travels as text and PostgreSQL casts the quoted literal back.
+
+    NON-UNIQUE HWM CAVEAT: with a bare timestamp ``hwm_col`` and strict
+    ``>``, a row that shares the batch's max timestamp but commits
+    after the COPY snapshot would be skipped forever. Pass
+    ``tiebreak_col`` (a unique, monotone column — the PK serial) to
+    close that window: the filter becomes the lexicographic
+    ``(hwm, tiebreak) >`` pair and the checkpoint carries both values.
+    Without a tiebreak, ``hwm_col`` must itself be strictly
+    monotone/unique (a serial) for exactly-once semantics.
+
+    ``scratch_dir``: the COPY stream lands there and must outlive every
+    action on the returned batch's DataFrame; callers on a schedule
+    should pass a per-cycle directory and remove it after their write
+    (PgLakeReplicator does) — the default leaves one delta-sized file
+    per cycle in the system tmp dir.
     """
     key = key or f"{schema}.{table}.{hwm_col}"
-    return _hwm_batch(spark, server, schema, table, hwm_col, store.get(key))
+    return _hwm_batch(
+        spark, server, schema, table, hwm_col, store.get(key),
+        tiebreak_col=tiebreak_col, scratch_dir=scratch_dir,
+    )
+
+
+#: separator inside composite (hwm, tiebreak) checkpoints — never a
+#: character PostgreSQL emits in timestamp or numeric text
+_CKPT_SEP = "|"
 
 
 def _hwm_batch(
@@ -428,6 +497,7 @@ def _hwm_batch(
     table: str,
     hwm_col: str,
     prev: str | None,
+    tiebreak_col: str | None = None,
     scratch_dir: str | None = None,
 ):
     """Delta rows above ``prev`` + the batch-derived new HWM (shared by
@@ -436,14 +506,34 @@ def _hwm_batch(
 
     st = reflect_table_schema(server, schema, table)
     sql = f"SELECT * FROM {quote_qualified(schema, table)}"
+    h = quote_ident(hwm_col)
     if prev is not None:
-        lit = prev.replace("'", "''")
-        sql += f" WHERE {quote_ident(hwm_col)} > '{lit}'"
+        if tiebreak_col is not None:
+            hv, _, tv = prev.partition(_CKPT_SEP)
+            hl = hv.replace("'", "''")
+            tl = tv.replace("'", "''")
+            t = quote_ident(tiebreak_col)
+            sql += (
+                f" WHERE {h} > '{hl}'"
+                f" OR ({h} = '{hl}' AND {t} > '{tl}')"
+            )
+        else:
+            lit = prev.replace("'", "''")
+            sql += f" WHERE {h} > '{lit}'"
     df = read_query(
         spark, server, sql, st, label=f"{table}_hwm", scratch_dir=scratch_dir
     )
+    if tiebreak_col is not None:
+        top = F.max(F.struct(F.col(hwm_col), F.col(tiebreak_col)))
+        hwm_expr = F.concat_ws(
+            _CKPT_SEP,
+            top.getField(hwm_col).cast("string"),
+            top.getField(tiebreak_col).cast("string"),
+        )
+    else:
+        hwm_expr = F.max(hwm_col).cast("string")
     row = df.agg(
-        F.count("*").alias("n"), F.max(hwm_col).cast("string").alias("hwm")
+        F.count("*").alias("n"), hwm_expr.alias("hwm")
     ).collect()[0]
     return IncrementalBatch(
         data=df,
@@ -459,6 +549,7 @@ def run_pg_flag_sync(
     schema: str,
     table: str,
     flag_col: str = "update_flag",
+    scratch_dir: str | None = None,
 ):
     """One flag-based cycle (I1 — the reference's ``update_flag``
     semantics): stream rows where the flag is false, and return the
@@ -472,7 +563,7 @@ def run_pg_flag_sync(
     df = read_query(
         spark, server,
         f"SELECT * FROM {qual} WHERE NOT {flag}",
-        st, label=f"{table}_flag",
+        st, label=f"{table}_flag", scratch_dir=scratch_dir,
     )
     mark_synced = f"UPDATE {qual} SET {flag} = true WHERE NOT {flag}"
     return df, mark_synced
@@ -537,6 +628,12 @@ class PgLakeReplicator:
     epochs are append-only parquet partitions, so downstream readers
     get partition pruning on epoch and the lake compacts like any other
     append stream (functions/layout.py).
+
+    Exactly-once additionally requires the delta filter itself to be
+    airtight: pass ``tiebreak_col`` (unique, monotone — the PK serial)
+    whenever ``hwm_col`` is a non-unique timestamp, else a row sharing
+    the batch-max timestamp but committing after the COPY snapshot
+    would be skipped (see ``run_pg_incremental_batch``).
     """
 
     def __init__(
@@ -547,6 +644,7 @@ class PgLakeReplicator:
         table: str,
         hwm_col: str,
         lake_dir: str,
+        tiebreak_col: str | None = None,
     ) -> None:
         from .streaming.exactly_once import IdempotentParquetSink
 
@@ -555,6 +653,7 @@ class PgLakeReplicator:
         self.schema = schema
         self.table = table
         self.hwm_col = hwm_col
+        self.tiebreak_col = tiebreak_col
         self.sink = IdempotentParquetSink(lake_dir)
         self.lake_dir = lake_dir
 
@@ -590,7 +689,8 @@ class PgLakeReplicator:
         try:
             batch = _hwm_batch(
                 self.spark, self.server, self.schema, self.table,
-                self.hwm_col, prev, scratch_dir=scratch,
+                self.hwm_col, prev,
+                tiebreak_col=self.tiebreak_col, scratch_dir=scratch,
             )
             if batch.n_rows == 0:
                 return {"epoch": None, "n_rows": 0, "hwm": prev}

@@ -251,8 +251,17 @@ def checks_from_rows(
 
 
 def serial_sequence_sql(schema: str, table: str, column: str) -> str:
-    """S5 — the sequence↔column probe (after-running-script.sql:15)."""
-    return f"SELECT pg_get_serial_sequence('{schema}.{table}', '{column}') AS seq"
+    """S5 — the sequence↔column probe (after-running-script.sql:15).
+
+    The first argument is TEXT parsed under SQL identifier rules, so
+    mixed-case/hyphenated names (the reference's ``fde-local`` schema,
+    after-running-script.sql:97) must arrive pre-quoted — exactly how
+    the reference concatenates ``'fde-local.' || table_name`` fails for
+    mixed-case tables; ``quote_qualified`` handles both."""
+    from ..types import quote_qualified
+
+    qualified = quote_qualified(schema, table).replace("'", "''")
+    return f"SELECT pg_get_serial_sequence('{qualified}', '{column}') AS seq"
 
 
 def setval_sql(sequence: str, value: int, is_called: bool = True) -> str:
@@ -347,13 +356,16 @@ def foreign_keys_detailed_sql(schema: str) -> str:
 
 def fk_edges_from_rows(rows):
     """(conname, table, column, ref_table, ref_column, ord, del, upd)
-    rows → ``ForeignKey`` edges, composite columns kept in key order."""
+    rows → ``ForeignKey`` edges, composite columns kept in key order.
+    Grouping keys on (table, conname): PostgreSQL constraint names are
+    unique per TABLE, not per schema — two tables may both carry an
+    ``fk_customer`` and must not merge into one garbled edge."""
     from ..catalog import ForeignKey
 
-    grouped: dict[str, dict] = {}
+    grouped: dict[tuple[str, str], dict] = {}
     for conname, table, col, ref_table, ref_col, ord_, del_c, upd_c in rows:
         g = grouped.setdefault(
-            conname,
+            (table, conname),
             {"table": table, "ref_table": ref_table, "cols": [],
              "ref_cols": [], "del": del_c, "upd": upd_c},
         )

@@ -58,7 +58,9 @@ from ..types import create_table_ddl, quote_ident, quote_qualified, reflect_sche
 #: CSV NULL marker shared by both directions (two characters: \N).
 NULL_MARKER = "\\N"
 
-_PSQL_TIMEOUT = 120
+#: default per-statement wall-clock cap; raise per-server via
+#: ``PgServer(timeout_s=...)`` for tables whose COPY stream runs longer
+DEFAULT_TIMEOUT_S = 600
 
 
 class PgCopyError(RuntimeError):
@@ -68,12 +70,15 @@ class PgCopyError(RuntimeError):
 @dataclass(frozen=True)
 class PgServer:
     """Connection coordinates for psql. ``host`` may be a Unix-socket
-    directory (how the throwaway test cluster listens)."""
+    directory (how the throwaway test cluster listens). ``timeout_s``
+    caps every psql invocation against this server — size it to the
+    slowest single-table COPY stream expected."""
 
     host: str
     port: int
     user: str = "postgres"
     dbname: str = "postgres"
+    timeout_s: int = DEFAULT_TIMEOUT_S
 
     def psql_base(self) -> list[str]:
         return [
@@ -93,7 +98,7 @@ def run_sql(server: PgServer, sql: str) -> list[tuple[str, ...]]:
     DDL / setval statement rides."""
     p = subprocess.run(
         [*server.psql_base(), "--csv", "-c", sql],
-        capture_output=True, text=True, cwd="/", timeout=_PSQL_TIMEOUT,
+        capture_output=True, text=True, cwd="/", timeout=server.timeout_s,
     )
     if p.returncode != 0:
         raise PgCopyError(f"psql failed: {p.stderr}\nSQL: {sql}")
@@ -151,7 +156,7 @@ def copy_query_out(server: PgServer, inner_sql: str, dest: str) -> None:
     with open(dest, "wb") as f:
         p = subprocess.run(
             [*server.psql_base(), "-c", sql],
-            stdout=f, stderr=subprocess.PIPE, cwd="/", timeout=_PSQL_TIMEOUT,
+            stdout=f, stderr=subprocess.PIPE, cwd="/", timeout=server.timeout_s,
         )
     if p.returncode != 0:
         raise PgCopyError(f"COPY OUT failed: {p.stderr.decode()}\nSQL: {sql}")
@@ -214,6 +219,16 @@ def read_query(
     )
     os.close(fd)
     copy_query_out(server, inner_sql, path)
+    return _parse_pg_csv(spark, [path], result_schema)
+
+
+def _parse_pg_csv(
+    spark: SparkSession, paths: list[str], result_schema: T.StructType
+) -> DataFrame:
+    """Distributed parse+cast of COPY CSV files: all-string read with
+    the bridge's conventions, then per-type conversion. The single
+    place the reader options live — every read path (single stream,
+    partitioned stripes) must agree with the writer."""
     raw_schema = T.StructType(
         [T.StructField(f.name, T.StringType(), True) for f in result_schema.fields]
     )
@@ -222,7 +237,7 @@ def read_query(
         .option("nullValue", NULL_MARKER)
         .option("escape", '"')
         .option("multiLine", "true")
-        .csv(path)
+        .csv(paths)
     )
     return raw.select(*[_from_pg_text(f) for f in result_schema.fields])
 
@@ -269,10 +284,15 @@ def _to_pg_text(field: T.StructField) -> Column:
         )
     elif isinstance(dt, (T.MapType, T.StructType)):
         out = F.to_json(c)  # lands in json/jsonb columns
-    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        # explicit micro-precision render: Spark's CSV default formats
-        # carry only milliseconds, which would silently truncate the
-        # micros PostgreSQL timestamps hold
+    elif isinstance(dt, T.TimestampType):
+        # TimestampType is an INSTANT and maps to timestamptz: render
+        # with the session-zone offset (XXX) so the target server stores
+        # the same instant regardless of its own TimeZone setting — an
+        # offset-less literal would be re-interpreted in server-local
+        # time. Micro precision explicit (Spark's CSV default is millis).
+        out = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSSXXX")
+    elif isinstance(dt, T.TimestampNTZType):
+        # wall-clock (maps to plain timestamp): no offset, by definition
         out = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     else:
         out = c
@@ -289,7 +309,7 @@ def copy_in(server: PgServer, schema: str, table: str, columns: list[str], path:
     with open(path, "rb") as f:
         p = subprocess.run(
             [*server.psql_base(), "-c", sql],
-            stdin=f, capture_output=True, cwd="/", timeout=_PSQL_TIMEOUT,
+            stdin=f, capture_output=True, cwd="/", timeout=server.timeout_s,
         )
     if p.returncode != 0:
         raise PgCopyError(f"COPY IN failed: {p.stderr.decode()}\nSQL: {sql}")
@@ -410,14 +430,4 @@ def read_table_partitioned(
 
     with ThreadPoolExecutor(max_workers=n) as pool:
         list(pool.map(_one, range(n)))  # propagate the first error
-    raw_schema = T.StructType(
-        [T.StructField(f.name, T.StringType(), True) for f in st.fields]
-    )
-    raw = (
-        spark.read.schema(raw_schema)
-        .option("nullValue", NULL_MARKER)
-        .option("escape", '"')
-        .option("multiLine", "true")
-        .csv(paths)
-    )
-    return raw.select(*[_from_pg_text(f) for f in st.fields])
+    return _parse_pg_csv(spark, paths, st)

@@ -261,7 +261,7 @@ class TransferPipeline:
                 parent = self.spark.read.parquet(
                     table_path(self.target_dir, fk.ref_table)
                 )
-                res.fk_orphans[f"{fk.table}.{fk.columns[0]}"] = audit_fk_orphans(
+                res.fk_orphans[f"{fk.table}.{','.join(fk.columns)}"] = audit_fk_orphans(
                     tdf, parent, fk
                 )
                 report.fk_ddl.append(fk_ddl_statement(info, fk))

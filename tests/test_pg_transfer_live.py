@@ -426,7 +426,7 @@ def test_composite_fk_reflection_and_enforcement(spark, pg_server):
         target=pg_server, target_schema="comp2",
     ).run()
     assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
-    assert rep.results["child"].fk_orphans == {"child.xa": 0}
+    assert rep.results["child"].fk_orphans == {"child.xa,yb": 0}
     [(condef,)] = run_sql(
         pg_server,
         "SELECT pg_get_constraintdef(c.oid) FROM pg_constraint c"
@@ -706,3 +706,124 @@ def test_pipeline_verify_phase(spark, pg_server):
     assert rep.ok, {n: (r.status, r.error) for n, r in rep.results.items()}
     copied = [r for r in rep.results.values() if r.status == "copied"]
     assert copied and all(r.verified is True for r in copied)
+
+
+def test_fk_edges_same_constraint_name_two_tables():
+    """Constraint names are unique per TABLE: two tables sharing an
+    fk_customer name must reflect as two distinct edges (review
+    finding: grouping by name alone garbled them)."""
+    from postgresql_transfer_tool_spark.sources.jdbc import fk_edges_from_rows
+
+    rows = [
+        ("fk_customer", "orders", "cust_id", "customer", "id", 1, "a", "a"),
+        ("fk_customer", "invoices", "cust_id", "customer", "id", 1, "c", "a"),
+    ]
+    edges = sorted(fk_edges_from_rows(rows), key=lambda e: e.table)
+    assert len(edges) == 2
+    assert edges[0].table == "invoices" and edges[0].on_delete == "CASCADE"
+    assert edges[1].table == "orders" and edges[1].on_delete is None
+    assert all(e.columns == ("cust_id",) for e in edges)
+
+
+def test_hwm_tiebreak_closes_equal_timestamp_window(spark, pg_server, tmp_path):
+    """A row sharing the checkpoint timestamp but committing later must
+    surface on the next cycle when a tiebreak column is supplied."""
+    from postgresql_transfer_tool_spark.pg_transfer import run_pg_incremental_batch
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+    from postgresql_transfer_tool_spark.streaming.incremental import CheckpointStore
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE src.tieb (id bigserial PRIMARY KEY, v text,"
+        " ts timestamp NOT NULL)",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO src.tieb (v, ts) VALUES ('a', '2026-02-01 10:00:00')",
+    )
+    store = CheckpointStore(str(tmp_path / "ck.json"))
+    b1 = run_pg_incremental_batch(
+        spark, pg_server, "src", "tieb", "ts", store, tiebreak_col="id"
+    )
+    assert b1.n_rows == 1 and b1.new_checkpoint == "2026-02-01 10:00:00|1"
+    store.set("src.tieb.ts", b1.new_checkpoint)
+    # late commit with the SAME timestamp — strict '>' would skip it
+    run_sql(
+        pg_server,
+        "INSERT INTO src.tieb (v, ts) VALUES ('late', '2026-02-01 10:00:00')",
+    )
+    b2 = run_pg_incremental_batch(
+        spark, pg_server, "src", "tieb", "ts", store, tiebreak_col="id"
+    )
+    assert b2.n_rows == 1
+    assert [r["v"] for r in b2.data.collect()] == ["late"]
+    assert b2.new_checkpoint == "2026-02-01 10:00:00|2"
+    store.set("src.tieb.ts", b2.new_checkpoint)
+    b3 = run_pg_incremental_batch(
+        spark, pg_server, "src", "tieb", "ts", store, tiebreak_col="id"
+    )
+    assert b3.n_rows == 0 and b3.new_checkpoint == b2.new_checkpoint
+
+
+def test_swap_preserves_excluded_tables_fk(spark, pg_server):
+    """Swap-mode rerun with an exclusion: the excluded child's FK onto a
+    swapped parent is dropped for the swap but RESTORED afterwards —
+    the run must not shed integrity outside its scope."""
+    from postgresql_transfer_tool_spark.pg_transfer import PgTransferPipeline
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, "CREATE SCHEMA keepfk")
+    run_sql(pg_server, "CREATE TABLE keepfk.parent (id int PRIMARY KEY)")
+    run_sql(
+        pg_server,
+        "CREATE TABLE keepfk.child (id int PRIMARY KEY,"
+        " pid int REFERENCES keepfk.parent(id))",
+    )
+    run_sql(pg_server, "INSERT INTO keepfk.parent VALUES (1)")
+    run_sql(pg_server, "INSERT INTO keepfk.child VALUES (10, 1)")
+
+    def once(**kw):
+        return PgTransferPipeline(
+            spark,
+            source=pg_server, source_schema="keepfk",
+            target=pg_server, target_schema="keepfk_tgt",
+            mode="swap", **kw,
+        ).run()
+
+    assert once().ok  # target now has parent+child+FK
+    r2 = once(exclude=("child",))  # rerun swaps parent only
+    assert r2.ok, {n: (r.status, r.error) for n, r in r2.results.items()}
+    [(nfk,)] = run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM pg_constraint c"
+        " JOIN pg_namespace n ON n.oid = c.connamespace"
+        " WHERE n.nspname = 'keepfk_tgt' AND c.contype = 'f'",
+    )
+    assert int(nfk) == 1  # the excluded child's FK survived the swap
+    # and it is live: inserting an orphan into the excluded child fails
+    import pytest as _pytest
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import PgCopyError
+
+    with _pytest.raises(PgCopyError):
+        run_sql(pg_server, "INSERT INTO keepfk_tgt.child VALUES (11, 99)")
+
+
+def test_hyphenated_schema_sequence_resync(spark, pg_server):
+    """pg_get_serial_sequence parses its TEXT argument under identifier
+    rules — the hyphenated schema must be quoted (review finding: the
+    probe silently failed and left sequences stale)."""
+    from postgresql_transfer_tool_spark.pg_transfer import resync_schema_sequences
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+
+    run_sql(pg_server, 'CREATE SCHEMA "hy-ph"')
+    run_sql(
+        pg_server,
+        'CREATE TABLE "hy-ph"."Tab-le" (id bigserial PRIMARY KEY, v text)',
+    )
+    run_sql(pg_server, 'INSERT INTO "hy-ph"."Tab-le" (id, v) VALUES (9, \'x\')')
+    out = resync_schema_sequences(pg_server, "hy-ph")
+    assert out == {"Tab-le.id": 10}
+    run_sql(pg_server, 'INSERT INTO "hy-ph"."Tab-le" (v) VALUES (\'y\')')
+    rows = run_sql(pg_server, 'SELECT id FROM "hy-ph"."Tab-le" WHERE v = \'y\'')
+    assert rows == [("10",)]

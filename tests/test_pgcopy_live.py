@@ -342,3 +342,40 @@ def test_control_chars_and_null_marker_literal(spark, pg_server):
     # PostgreSQL quotes the literal marker, but Spark's nullValue
     # applies inside quotes too → reads back as NULL (pgcopy.py header)
     assert got[8] is None
+
+
+def test_timestamptz_instant_survives_server_timezone(spark, pg_server):
+    """TimestampType is an instant: with the target database set to a
+    non-UTC TimeZone, the written value must store the SAME instant
+    (review finding: an offset-less literal was re-interpreted in
+    server-local time, shifting every value by the TZ delta)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        run_sql,
+        write_table,
+    )
+
+    run_sql(pg_server, "ALTER DATABASE postgres SET timezone = 'America/New_York'")
+    try:
+        df = spark.range(1).select(
+            F.col("id").cast("long").alias("id"),
+            F.lit("2026-06-01 12:30:45.123456").cast("timestamp").alias("at"),
+        )
+        write_table(df, pg_server, "rt", "tztest", primary_key=("id",))
+        # server-side instant check, independent of display TZ
+        [(epoch,)] = run_sql(
+            pg_server, "SELECT extract(epoch FROM at)::text FROM rt.tztest"
+        )
+        expected = datetime.datetime(
+            2026, 6, 1, 12, 30, 45, 123456, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        assert abs(float(epoch) - expected) < 1e-6
+        # and the read path round-trips the instant (offset honored)
+        [row] = read_table(spark, pg_server, "rt", "tztest").collect()
+        assert row["at"] == datetime.datetime(2026, 6, 1, 12, 30, 45, 123456)
+    finally:
+        run_sql(pg_server, "ALTER DATABASE postgres RESET timezone")
