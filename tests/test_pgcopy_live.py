@@ -431,3 +431,46 @@ def test_property_arbitrary_strings_write_roundtrip(spark, pg_server):
         assert got_md5 == want_md5, (vals, got)
 
     roundtrip()
+
+
+def test_property_arbitrary_strings_full_roundtrip(spark, pg_server):
+    """Both directions: Spark → COPY IN → COPY OUT → Spark must return
+    the exact original values — exercising the reader's multiLine /
+    escape / nullValue handling against generated adversarial strings
+    (including None)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        write_table,
+    )
+
+    texts = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=40,
+        ).filter(lambda s: s != "\\N"),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(texts, min_size=1, max_size=8))
+    def roundtrip(vals):
+        counter[0] += 1
+        table = f"prop_rt_{counter[0]}"
+        df = spark.createDataFrame(list(enumerate(vals)), "id long, s string")
+        write_table(df, pg_server, "rt", table, primary_key=("id",))
+        back = {
+            r["id"]: r["s"]
+            for r in read_table(spark, pg_server, "rt", table).collect()
+        }
+        assert back == dict(enumerate(vals)), vals
+
+    roundtrip()
