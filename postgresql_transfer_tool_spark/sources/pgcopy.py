@@ -353,6 +353,12 @@ def write_table(
         .write.option("nullValue", NULL_MARKER)
         .option("emptyValue", '""')
         .option("escape", '"')
+        # the WRITER's whitespace-trim options default to TRUE (the
+        # reader's default to false) — without these, ' padded ' values
+        # silently lose their spaces in flight (found by the hypothesis
+        # round-trip sweep)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(staged)
     )
     columns = [f.name for f in df.schema.fields]
