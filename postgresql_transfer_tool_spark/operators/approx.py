@@ -358,6 +358,160 @@ def ndv_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kth).select("ndv_exact", est.alias("ndv_kmv"))
 
 
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog — register-level, built from relational
+# primitives so the *approximate* answer itself is oracle-verified
+# bit-for-bit (unlike the engine-native sketch behind ``ndv_approx``,
+# which is rows-only by construction). Design notes, because HLL is a
+# minefield of cross-engine FP divergence:
+#
+# - hash: first 15 hex chars of md5 → 60-bit integer (the same recipe
+#   as the CMS/KMV/MinHash hashes above). bucket = h mod m (p low
+#   "bits"), w = h div m (50-bit field).
+# - rho (leading-zero rank of w): computed as 51 - length(bin(w)) —
+#   *string length of the binary representation*, identical on both
+#   engines, instead of floor(log2(w)) whose FP boundary behavior is
+#   not portable.
+# - register sum: Σ 2^-M_j is an FP sum whose addition order differs
+#   across partitions/engines. We scale by 2^51 so every term
+#   2^(51-M_j) is an exact BIGINT (max m·2^51 = 2^61 < 2^63) — the sum
+#   is exact integer arithmetic, order-independent, and the map-side
+#   partial aggregation IS the sketch merge (registers merge by MAX,
+#   sums merge by +). One double division at the end.
+# - linear-counting correction (E ≤ 2.5m with empty registers):
+#   E = m·ln(m/V) needs ln, and JVM Math.log disagrees with libm log
+#   by 1 ulp on ~18% of this domain (measured in-container). The Spark
+#   side therefore JOINS a driver-computed (CPython/libm) lookup table
+#   ln(m/V) for V ∈ 1..m, which is bit-identical to DuckDB's ln
+#   (verified 0 mismatches over the full grid) — the whole estimate
+#   stays engine-exact with no quantization step.
+# - classic Flajolet–Fuss–Gandouet–Meunier estimator; no HLL++ bias
+#   tables (engine-specific) and no large-range correction (it targets
+#   32-bit hash saturation; this hash space is 2^60).
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+#: bits left for the rho field after the bucket split
+HLL_W_BITS = 60 - HLL_P
+#: exact integer scale for the register sum: 2^(W_BITS + 1)
+HLL_SCALE = 1 << (HLL_W_BITS + 1)
+#: alpha_m · m² · 2^51 — every factor after alpha is a power of two, so
+#: the Python product is exact scaling of the alpha double; repr() of it
+#: round-trips into both engines bit-identically.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(HLL_SCALE)
+
+
+def hll_ln_table(spark: SparkSession):
+    """(V, m·ln(m/V)) for V ∈ 1..m, computed with CPython's libm ln —
+    bitwise-equal to DuckDB's ln on this grid, unlike JVM Math.log."""
+    import math
+
+    rows = [(v, HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+    return spark.createDataFrame(rows, "v_empty long, lin_est double")
+
+
+def hll_h_col(col: str):
+    """60-bit md5-derived hash column."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+
+
+#: same hash in DuckDB SQL
+HLL_H_SQL = "CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+#: rho(w) with w = h div m — string-length bit rank, both engines
+HLL_RHO_SPARK = (
+    f"CASE WHEN h DIV {HLL_M} = 0 THEN {HLL_W_BITS + 1} "
+    f"ELSE {HLL_W_BITS + 1} - length(bin(h DIV {HLL_M})) END"
+)
+HLL_RHO_SQL = (
+    f"CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1} "
+    f"ELSE {HLL_W_BITS + 1} - length(bin(h // {HLL_M})) END"
+)
+
+
+def hll_estimate_cols(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Attach the HLL estimate to an aggregated frame carrying
+    ``m_nonzero`` (registers hit) and ``reg_sum_scaled`` (exact integer
+    register sum). Adds ``ndv_hll``; keeps the integer evidence columns."""
+    e_raw = F.lit(HLL_NUMERATOR) / F.col("reg_sum_scaled").cast("double")
+    with_v = agg.withColumn("v_empty", F.lit(HLL_M) - F.col("m_nonzero"))
+    joined = with_v.join(F.broadcast(hll_ln_table(spark)), "v_empty", "left")
+    return joined.withColumn(
+        "ndv_hll",
+        F.when(
+            (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
+            F.col("lin_est"),
+        ).otherwise(e_raw),
+    ).drop("v_empty", "lin_est")
+
+
+#: shared SQL tail: estimate from (m_nonzero, reg_sum_scaled)
+HLL_EST_SQL = f"""
+       CASE WHEN {HLL_NUMERATOR!r} / CAST(reg_sum_scaled AS DOUBLE) <= {2.5 * HLL_M!r}
+                 AND m_nonzero < {HLL_M}
+            THEN {HLL_M} * ln({float(HLL_M)!r} / ({HLL_M} - m_nonzero))
+            ELSE {HLL_NUMERATOR!r} / CAST(reg_sum_scaled AS DOUBLE)
+       END AS ndv_hll
+"""
+
+
+@query(
+    "ndv_hll_deterministic",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {HLL_H_SQL.format(col="user_id")} AS h FROM events
+    ), reg AS (
+      SELECT event_type, h % {HLL_M} AS bucket, MAX({HLL_RHO_SQL}) AS m_j
+      FROM h GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             COUNT(*) AS m_nonzero,
+             CAST(SUM(1::BIGINT << ({HLL_W_BITS + 1} - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_W_BITS + 1})
+                  AS BIGINT) AS reg_sum_scaled
+      FROM reg GROUP BY event_type
+    )
+    SELECT event_type, m_nonzero, reg_sum_scaled,
+           {HLL_EST_SQL}
+    FROM agg
+    """,
+)
+def ndv_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a relational HyperLogLog whose
+    approximate estimate is itself deterministic and oracle-verified
+    (see the design notes above). At 100 TB this is the NDV shape that
+    wins: registers partial-aggregate map-side (MAX merges), the
+    per-group state is a constant m·6 bits regardless of cardinality,
+    and — unlike the engine-native ``ndv_approx`` sketch — the result
+    is reproducible across engines, so pipeline stages running on
+    different runtimes (Spark job vs DuckDB-backed validation) agree
+    bit-for-bit. Accuracy vs ``ndv_exact`` is bounded in
+    tests/test_approx.py. Reference analog: none (X5 extension)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", hll_h_col("user_id"))
+    reg = (
+        e.withColumn("bucket", F.col("h") % HLL_M)
+        .withColumn("rho", F.expr(HLL_RHO_SPARK))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = reg.groupBy("event_type").agg(
+        F.count("*").alias("m_nonzero"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS + 1} - m_j)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(HLL_SCALE)
+        ).alias("reg_sum_scaled"),
+    )
+    return hll_estimate_cols(agg, spark).select(
+        "event_type", "m_nonzero", "reg_sum_scaled", "ndv_hll"
+    )
+
+
 @query(
     "histogram_equi_depth",
     oracle="""

@@ -287,3 +287,96 @@ def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("d", "day")
     )
+
+# --- deterministic rolling HLL (register-level; see approx.py design notes) ---
+
+from .approx import (  # noqa: E402  (shared deterministic-HLL kernel)
+    HLL_EST_SQL,
+    HLL_H_SQL,
+    HLL_M,
+    HLL_RHO_SPARK,
+    HLL_RHO_SQL,
+    HLL_SCALE,
+    HLL_W_BITS,
+    hll_estimate_cols,
+    hll_h_col,
+)
+
+
+@query(
+    "active_users_rolling_hll_det",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), h AS (
+      SELECT day, {HLL_H_SQL.format(col="user_id")} AS h FROM act
+    ), reg AS (
+      SELECT day, h % {HLL_M} AS bucket, MAX({HLL_RHO_SQL}) AS m_j
+      FROM h GROUP BY 1, 2
+    ), days AS (
+      SELECT DISTINCT day AS d FROM act
+    ), merged AS (
+      SELECT d.d, r.bucket, MAX(r.m_j) AS m_j
+      FROM reg r JOIN days d
+        ON d.d >= r.day AND d.d <= r.day + {ROLLING_DAYS - 1}
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT d AS day,
+             COUNT(*) AS m_nonzero,
+             CAST(SUM(1::BIGINT << ({HLL_W_BITS + 1} - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_W_BITS + 1})
+                  AS BIGINT) AS reg_sum_scaled
+      FROM merged GROUP BY d
+    )
+    SELECT day, m_nonzero, reg_sum_scaled,
+           {HLL_EST_SQL}
+    FROM agg
+    """,
+)
+def active_users_rolling_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_DAYS}-day active users from per-day deterministic
+    HLL registers — the engine-portable twin of
+    :func:`active_users_rolling_hll`. The per-day sketch is a (bucket →
+    max rho) register table built once from one event-log scan; the
+    rolling union is a register-wise MAX across the ≤{ROLLING_DAYS}
+    days covering each window — the sketch-merge shape that replaces
+    the ×{ROLLING_DAYS} row fan-out of :func:`active_users_rolling` at
+    100 TB, with state per day independent of user cardinality. Unlike
+    the engine-native DataSketches variant (rows-only by construction),
+    these registers and the estimate itself are oracle-verified
+    bit-for-bit: exact integer register sums, libm-sourced ln lookup
+    (see operators/approx.py design notes). Estimate accuracy vs the
+    exact rolling counts is bounded in tests/test_approx.py."""
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    reg = (
+        act.select("day", hll_h_col("user_id"))
+        .withColumn("bucket", F.col("h") % HLL_M)
+        .withColumn("rho", F.expr(HLL_RHO_SPARK))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint(eager=False)
+    )
+    days = reg.select(F.col("day").alias("d")).distinct()
+    fanned = reg.withColumn(
+        "d",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_DAYS - 1}), interval 1 day)"
+            )
+        ),
+    ).join(F.broadcast(days), "d", "left_semi")
+    merged = fanned.groupBy("d", "bucket").agg(F.max("m_j").alias("m_j"))
+    agg = merged.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("m_nonzero"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS + 1} - m_j)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(HLL_SCALE)
+        ).alias("reg_sum_scaled"),
+    )
+    return hll_estimate_cols(agg, spark).select(
+        "day", "m_nonzero", "reg_sum_scaled", "ndv_hll"
+    )

@@ -86,6 +86,9 @@ _PRIORITY = [
     "q17_small_quantity_revenue", "q20_excess_availability_suppliers",
     # --- newly oracle-backed this round (was rows-only) ---
     "media_decode_features",
+    # deterministic relational HLL — oracle-exact siblings of the
+    # engine-native (rows-only) ndv_approx / active_users_rolling_hll
+    "ndv_hll_deterministic", "active_users_rolling_hll_det",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",

@@ -88,3 +88,41 @@ def test_kmv_overlap_estimator_error_bound(spark, sf_dir):
         else:
             se = (j * (1 - j) / KMV_K) ** 0.5
             assert abs(est - j) <= max(3 * se, 3 / KMV_K), r
+
+
+def test_hll_deterministic_within_bound(spark, sf_dir):
+    """The deterministic HLL's estimate tracks the exact NDV. In the
+    linear-counting regime (NDV << m=1024, which holds at fixture
+    scale) the expected relative error is ~sqrt(m)/NDV-ish — use a
+    conservative 15% + absolute slack of 3."""
+    from postgresql_transfer_tool_spark.operators.approx import ndv_hll_deterministic
+
+    exact = {r["event_type"]: r["ndv_users"] for r in ndv_exact(spark, sf_dir).collect()}
+    est = {
+        r["event_type"]: r["ndv_hll"]
+        for r in ndv_hll_deterministic(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= max(3, 0.15 * ex), (k, ex, est[k])
+
+
+def test_hll_rolling_det_matches_exact_rolling(spark, sf_dir):
+    """Register-merged rolling estimate vs the exact rolling distinct."""
+    from postgresql_transfer_tool_spark.operators.product_analytics import (
+        ROLLING_DAYS,
+        active_users_rolling,
+        active_users_rolling_hll_det,
+    )
+
+    exact = {
+        r["day"]: r[f"wau_{ROLLING_DAYS}d"]
+        for r in active_users_rolling(spark, sf_dir).collect()
+    }
+    est = {
+        r["day"]: r["ndv_hll"]
+        for r in active_users_rolling_hll_det(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for day, ex in exact.items():
+        assert abs(est[day] - ex) <= max(3, 0.15 * ex), (day, ex, est[day])

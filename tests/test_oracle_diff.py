@@ -30,8 +30,9 @@ def test_every_query_has_oracle_or_is_declared_weak(spark):
     # engine-native sketch/RNG whose EXACT value is legitimately
     # engine-specific (each has an error-bound pytest instead, and a
     # deterministic oracle-checked sibling registered alongside:
-    # ndv_exact/ndv_kmv, median_exact/histogram_equi_depth,
-    # stratified_sample_hash, active_users_rolling).
+    # ndv_exact/ndv_kmv/ndv_hll_deterministic,
+    # median_exact/histogram_equi_depth, stratified_sample_hash,
+    # active_users_rolling/active_users_rolling_hll_det).
     allowed_weak = {
         "ndv_approx",            # HLL sketch (approx_count_distinct)
         "quantiles_approx",      # KLL/GK sketch (percentile_approx)
