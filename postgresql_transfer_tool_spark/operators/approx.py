@@ -234,11 +234,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CMS_TOP)
         .drop("rk")
     )
+    # Build the sketch from the distinct-word counts rather than raw
+    # occurrences: this query materializes `exact` anyway (to grade the
+    # sketch), so summing exact_n into buckets computes the identical
+    # counter matrix with CMS_DEPTH md5s per *distinct* word instead of
+    # per occurrence. A pure production CMS (no exact branch) hashes
+    # per occurrence map-side — counts merge by + either way, so the
+    # two constructions are equal by associativity.
     sketch = (
-        words.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
-        .select("i", _cms_bucket_spark().alias("bucket"))
+        exact.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
+        .select("i", _cms_bucket_spark().alias("bucket"), "exact_n")
         .groupBy("i", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
     probe = top.withColumn(
         "i", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
