@@ -212,3 +212,205 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample: the remaining verbs of the multimodal surface
+# (decode and feature-extract are above). Both run the REAL Spark shape
+# — Arrow-batched mapInPandas doing Python work on decoded payloads —
+# and both stay fully oracle-checked (including content hashes) by
+# defining pixels/frames over the *character* sequence of the payload,
+# which Python slicing and SQL substr() index identically (code
+# points; the fixture corpus is ASCII so bytes == chars too). A real
+# codec swaps the character math for PIL.Image.resize / PyAV frame
+# iteration inside the same batch functions.
+# ---------------------------------------------------------------------------
+
+#: thumbnail bounding box (longest side after resize)
+THUMB_MAX = 32
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("thumb_chars", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched thumbnail stage: parse the FIMG header, integer
+    aspect-preserving resize to a THUMB_MAX box, window the payload to
+    the thumbnail's pixel budget, and fingerprint the result."""
+    import hashlib
+
+    for pdf in it:
+        out = {k: [] for k in ("width", "height", "new_width", "new_height",
+                               "thumb_chars", "thumb_md5")}
+        for blob in pdf["blob"]:
+            w, h, _ = _parse_decode(bytes(blob))
+            long_side = max(w, h)
+            nw = max(1, (w * THUMB_MAX) // long_side)
+            nh = max(1, (h * THUMB_MAX) // long_side)
+            text = bytes(blob)[_HDR_LEN:].decode("utf-8")
+            thumb = text[: nw * nh]
+            out["width"].append(w)
+            out["height"].append(h)
+            out["new_width"].append(nw)
+            out["new_height"].append(nh)
+            out["thumb_chars"].append(len(thumb))
+            out["thumb_md5"].append(hashlib.md5(thumb.encode("utf-8")).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": pd.array(out["width"], dtype="int32"),
+                "height": pd.array(out["height"], dtype="int32"),
+                "new_width": pd.array(out["new_width"], dtype="int32"),
+                "new_height": pd.array(out["new_height"], dtype="int32"),
+                "thumb_chars": out["thumb_chars"],
+                "thumb_md5": out["thumb_md5"],
+            }
+        )
+
+
+@query(
+    "media_resize_thumbnails",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, text,
+             16 + octet_length(encode(text)) % 64 AS w,
+             16 + (octet_length(encode(text)) // 64) % 64 AS h
+      FROM documents
+    ), resized AS (
+      SELECT doc_id, w, h,
+             greatest(1, (w * {THUMB_MAX}) // greatest(w, h)) AS nw,
+             greatest(1, (h * {THUMB_MAX}) // greatest(w, h)) AS nh,
+             text
+      FROM media
+    )
+    SELECT 'image/fake' AS media_type,
+           COUNT(*) AS n_media,
+           MIN(nw) AS min_new_width,
+           MAX(nh) AS max_new_height,
+           CAST(SUM(length(substr(text, 1, nw * nh))) AS BIGINT) AS total_thumb_chars,
+           COUNT(DISTINCT md5(substr(text, 1, nw * nh))) AS n_distinct_thumbs
+    FROM resized GROUP BY 1
+    """,
+)
+def media_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail the media table: aspect-preserving integer resize into
+    a {THUMB_MAX}×{THUMB_MAX} box plus a payload window sized to the new
+    pixel budget, Arrow-batched through mapInPandas. The oracle mirrors
+    the full stage — dims arithmetic AND thumbnail content hashes — so
+    a batching bug or an off-by-one in the window surfaces as a hash
+    mismatch. At 100 TB resize is map-only (no shuffle before the
+    summary agg) and scales with executors; blobs stream through Arrow
+    batches and never materialize on the driver."""
+    resized = media_table(spark, sf_dir).mapInPandas(resize_media_batches, RESIZE_SCHEMA)
+    return resized.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.min("new_width").alias("min_new_width"),
+        F.max("new_height").alias("max_new_height"),
+        F.sum("thumb_chars").alias("total_thumb_chars"),
+        F.countDistinct("thumb_md5").alias("n_distinct_thumbs"),
+    )
+
+
+#: FVID frame geometry: fixed-length frames, sample every k-th
+FRAME_LEN = 64
+FRAME_SAMPLE_EVERY = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_chars", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: one input row (video blob) fans out
+    to one output row per SAMPLED frame — the row-multiplying batch
+    shape a real video pipeline uses (decode keyframes, skip the rest)."""
+    import hashlib
+
+    for pdf in it:
+        rows = {k: [] for k in ("doc_id", "media_type", "n_frames",
+                                "frame_idx", "frame_chars", "frame_md5")}
+        for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+            text = bytes(blob)[_HDR_LEN:].decode("utf-8")
+            n_frames = max(1, -(-len(text) // FRAME_LEN))
+            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                frame = text[i * FRAME_LEN : (i + 1) * FRAME_LEN]
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["n_frames"].append(n_frames)
+                rows["frame_idx"].append(i)
+                rows["frame_chars"].append(len(frame))
+                rows["frame_md5"].append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "media_type": rows["media_type"],
+                "n_frames": pd.array(rows["n_frames"], dtype="int32"),
+                "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                "frame_chars": rows["frame_chars"],
+                "frame_md5": rows["frame_md5"],
+            }
+        )
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text,
+             greatest(1, CAST(ceil(length(text) / {FRAME_LEN}.0) AS INTEGER))
+               AS n_frames
+      FROM documents
+    ), sampled AS (
+      SELECT v.doc_id, v.n_frames, i.i,
+             substr(v.text, i.i * {FRAME_LEN} + 1, {FRAME_LEN}) AS frame
+      FROM vids v,
+           LATERAL (SELECT unnest(range(0, v.n_frames, {FRAME_SAMPLE_EVERY})) AS i) i
+    )
+    SELECT 'video/fake' AS media_type,
+           COUNT(DISTINCT doc_id) AS n_videos,
+           COUNT(*) AS n_sampled_frames,
+           CAST(SUM(frame_chars_per) AS BIGINT) AS total_sampled_chars,
+           COUNT(DISTINCT frame_md5) AS n_distinct_frames
+    FROM (SELECT doc_id, length(frame) AS frame_chars_per, md5(frame) AS frame_md5
+          FROM sampled) t
+    GROUP BY 1
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the video view of the media table: every
+    {FRAME_SAMPLE_EVERY}th fixed-length frame, one output row per
+    sampled frame via a row-multiplying mapInPandas (the keyframe-
+    extraction shape). The oracle rebuilds the same sampling with
+    range()+substr in SQL, including per-frame content hashes. Scale:
+    sampling is map-only with output ~1/{FRAME_SAMPLE_EVERY} of the
+    frame count; nothing shuffles until the summary aggregation, and
+    per-frame rows carry hashes (16 bytes) rather than frame payloads
+    once the downstream stage doesn't need pixels."""
+    vids = media_table(spark, sf_dir).withColumn(
+        "media_type", F.lit("video/fake")
+    )
+    frames = vids.mapInPandas(frame_sample_batches, FRAME_SCHEMA)
+    return frames.groupBy("media_type").agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count("*").alias("n_sampled_frames"),
+        F.sum("frame_chars").alias("total_sampled_chars"),
+        F.countDistinct("frame_md5").alias("n_distinct_frames"),
+    )

@@ -89,6 +89,9 @@ _PRIORITY = [
     # deterministic relational HLL — oracle-exact siblings of the
     # engine-native (rows-only) ndv_approx / active_users_rolling_hll
     "ndv_hll_deterministic", "active_users_rolling_hll_det",
+    # multimodal resize + frame-sample (mapInPandas stages, content-
+    # hash-checked oracles) — completes the X6 verb set
+    "media_resize_thumbnails", "media_frame_sample",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",

@@ -48,3 +48,48 @@ def test_decode_roundtrips_header():
     w, h, feat = _parse_decode(b"FIMG|0037|0079|" + b"x" * 100)
     assert (w, h) == (37, 79)
     assert feat == [100.0, float((ord("x") * 32) % 251), 37.0, 79.0]
+
+
+def test_resize_dims_within_box(spark, sf_dir):
+    from postgresql_transfer_tool_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        THUMB_MAX,
+        media_table,
+        resize_media_batches,
+    )
+
+    rows = (
+        media_table(spark, sf_dir)
+        .mapInPandas(resize_media_batches, RESIZE_SCHEMA)
+        .collect()
+    )
+    assert len(rows) == 500
+    for r in rows:
+        assert 1 <= r["new_width"] <= THUMB_MAX
+        assert 1 <= r["new_height"] <= THUMB_MAX
+        # the longest side hits the box (integer resize keeps aspect)
+        assert max(r["new_width"], r["new_height"]) == THUMB_MAX
+        assert r["thumb_chars"] <= r["new_width"] * r["new_height"]
+
+
+def test_frame_sample_covers_every_doc_and_stride(spark, sf_dir):
+    from postgresql_transfer_tool_spark.operators.multimodal import (
+        FRAME_SAMPLE_EVERY,
+        FRAME_SCHEMA,
+        frame_sample_batches,
+        media_table,
+    )
+
+    frames = (
+        media_table(spark, sf_dir)
+        .mapInPandas(frame_sample_batches, FRAME_SCHEMA)
+        .collect()
+    )
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 500  # every video yields >= 1 sampled frame
+    for doc_id, rs in by_doc.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        n_frames = rs[0]["n_frames"]
+        assert idxs == list(range(0, n_frames, FRAME_SAMPLE_EVERY)), doc_id
