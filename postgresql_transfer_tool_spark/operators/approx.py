@@ -579,3 +579,87 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.q").alias("decile"),
         (F.col("r.v").cast("double") / 10000).alias("boundary"),
     )
+
+
+#: bottom-k sample size for the hash-sample quantile estimator
+QSAMPLE_K = 256
+
+
+@query(
+    "quantiles_hash_sample",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT) AS v,
+             md5(CAST(event_id AS VARCHAR)) AS hh
+      FROM events
+    ), sampled AS (
+      SELECT event_type, v FROM (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY hh, event_id) AS hrk
+        FROM cents
+      ) t WHERE hrk <= {QSAMPLE_K}
+    ), ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk
+      FROM sampled
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS k_eff FROM sampled GROUP BY event_type
+    ), targets AS (
+      SELECT s.event_type, q.q, (q.q * s.k_eff + 9) // 10 AS target_rk
+      FROM sizes s CROSS JOIN (SELECT unnest(range(1, 10)) AS q) q
+    )
+    SELECT t.event_type, t.q AS decile,
+           CAST(r.v AS DOUBLE) / 10000 AS est_boundary
+    FROM targets t
+    JOIN ranked r ON r.event_type = t.event_type AND r.rk = t.target_rk
+    """,
+)
+def quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile estimates from a deterministic bottom-{QSAMPLE_K}-by-hash
+    row sample per event type — the bounded-state quantile path.
+
+    ``quantiles_approx`` (engine-native GK sketch) is rows-only by
+    construction; ``histogram_equi_depth`` is exact but ranks the FULL
+    group (a per-group sort of everything). This operator completes the
+    family: state is ≤{QSAMPLE_K} rows per group (the k smallest
+    md5(event_id) — a uniform row sample by hash avalanche, mergeable
+    like any bottom-k: per-partition k-min, one merge), and the decile
+    boundaries are percentile_disc-style rank arithmetic over the
+    sample's quantized integer values, so the *estimate itself* is
+    deterministic and oracle-verified — no RNG seeds, no sketch
+    internals, no FP interpolation. Expected rank error is
+    O(1/sqrt(k)) ≈ 6% of the group size at k={QSAMPLE_K}; bounded vs
+    the exact deciles in tests/test_approx.py. At 100 TB the sample
+    selection is the same shape as ``stratified_sample_hash``: hash
+    exchange on the group key with per-partition pre-top-k, never a
+    global sort. Reference analog: none (X5 extension)."""
+    cents = (dec("value", 14, 4) * 10000).cast("bigint").alias("v")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents,
+        F.md5(F.col("event_id").cast("string")).alias("hh"),
+    )
+    hw = Window.partitionBy("event_type").orderBy("hh", "event_id")
+    sampled = (
+        e.withColumn("hrk", F.row_number().over(hw))
+        .filter(F.col("hrk") <= QSAMPLE_K)
+        .select("event_type", "v")
+    )
+    ranked = sampled.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("event_type").orderBy("v"))
+    )
+    sizes = sampled.groupBy("event_type").agg(F.count("*").alias("k_eff"))
+    targets = sizes.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("q"), "k_eff"
+    ).select("event_type", "q", F.expr("(q * k_eff + 9) DIV 10").alias("target_rk"))
+    r, t = ranked.alias("r"), targets.alias("t")
+    return r.join(
+        F.broadcast(t),
+        (F.col("r.event_type") == F.col("t.event_type"))
+        & (F.col("r.rk") == F.col("t.target_rk")),
+    ).select(
+        F.col("r.event_type").alias("event_type"),
+        F.col("t.q").alias("decile"),
+        (F.col("r.v").cast("double") / 10000).alias("est_boundary"),
+    )

@@ -92,6 +92,8 @@ _PRIORITY = [
     # multimodal resize + frame-sample (mapInPandas stages, content-
     # hash-checked oracles) — completes the X6 verb set
     "media_resize_thumbnails", "media_frame_sample",
+    # bounded-state deterministic quantiles (sibling of quantiles_approx)
+    "quantiles_hash_sample",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",

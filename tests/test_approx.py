@@ -126,3 +126,31 @@ def test_hll_rolling_det_matches_exact_rolling(spark, sf_dir):
     assert set(exact) == set(est)
     for day, ex in exact.items():
         assert abs(est[day] - ex) <= max(3, 0.15 * ex), (day, ex, est[day])
+
+
+def test_hash_sample_quantiles_near_exact_deciles(spark, sf_dir):
+    """Sample deciles land near the exact equi-depth boundaries: the
+    empirical CDF of each estimated boundary must be within
+    ~4/sqrt(k) of its target decile (k=256 → ±0.25 worst-case at the
+    tiny sf0.001 fixture where k_eff == group size makes it exact;
+    keep the loose bound so the test also holds at larger SFs)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.approx import quantiles_hash_sample
+
+    est = quantiles_hash_sample(spark, sf_dir).collect()
+    assert len(est) == 45  # 5 event types x 9 deciles
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("value")).alias("vs"),
+        )
+        .collect()
+    )
+    by_type = {r["event_type"]: (r["n"], r["vs"]) for r in vals}
+    for r in est:
+        n, vs = by_type[r["event_type"]]
+        cdf = sum(1 for v in vs if v <= r["est_boundary"]) / n
+        assert abs(cdf - r["decile"] / 10) <= 0.25, (r, cdf)
