@@ -641,10 +641,13 @@ def quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("event_id").cast("string")).alias("hh"),
     )
     hw = Window.partitionBy("event_type").orderBy("hh", "event_id")
+    # the sample feeds both the rank branch and the size branch —
+    # materialize it once so the event scan + hash top-k don't run twice
     sampled = (
         e.withColumn("hrk", F.row_number().over(hw))
         .filter(F.col("hrk") <= QSAMPLE_K)
         .select("event_type", "v")
+        .localCheckpoint(eager=False)
     )
     ranked = sampled.withColumn(
         "rk", F.row_number().over(Window.partitionBy("event_type").orderBy("v"))

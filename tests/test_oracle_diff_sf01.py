@@ -4,9 +4,10 @@ fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
 under larger groups).
 
 Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
-0/141 failed (round 3, 2026-08-14, incl. the two-phase cumsum rewrite,
-FIMG media-decode oracle, MAD-outlier oracle, and serial-id prefix
-count).
+0/148 failed (round 3, 2026-08-14 — 143 swept in one run, plus the
+five queries registered later that day checked individually at sf0.1:
+deterministic HLL pair, media resize/frame-sample, hash-sample
+quantiles).
 """
 
 from __future__ import annotations
