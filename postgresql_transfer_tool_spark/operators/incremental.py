@@ -15,7 +15,7 @@ The streaming realization (Structured Streaming + watermark) lives in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -208,5 +208,83 @@ def event_time_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_users",
             "total_value",
+        )
+    )
+
+
+#: sparse-metric threshold for the gap-fill query (tuned so every
+#: fixture SF has both observed and missing (type, day) cells)
+GAP_FILL_MIN_VALUE = 250
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {dd("SUM(CAST(value AS DECIMAL(14,4)))")} AS daily_sum
+      FROM events WHERE value > {GAP_FILL_MIN_VALUE}
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT t.event_type, d.day FROM types t CROSS JOIN days d
+    )
+    SELECT s.event_type, s.day,
+           m.daily_sum,
+           last_value(m.daily_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+           (m.daily_sum IS NULL
+            AND last_value(m.daily_sum IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL)
+             AS is_filled
+    FROM spine s
+    LEFT JOIN daily m ON m.event_type = s.event_type AND m.day = s.day
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill a sparse daily metric: build the complete
+    (event_type × day) spine, left-join the observed daily sums (only
+    days with any value > {GAP_FILL_MIN_VALUE} event exist), and
+    forward-fill missing days with the last observation
+    (``last(..., ignorenulls=True)`` ↔ DuckDB ``last_value(...IGNORE
+    NULLS)`` — verified identical frame semantics). Days before the
+    first observation stay NULL — the honest answer, not zero. This is
+    the metric-repair pass every monitoring/training-data pipeline runs
+    before trend math. Scale: the spine and daily relations are
+    day-level (tiny vs the event log — the one scan aggregates with
+    map-side combine); the fill window partitions by series key, so
+    parallelism is per-series. For high-cardinality series (per-user
+    fill) the same two-phase trick as functions/cumsum.py applies:
+    per-partition last-observation, broadcast partition-boundary
+    carry-ins. Reference analog: none (event-table time-series family,
+    SURVEY §2.8/I3 derivative)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    daily = (
+        e.filter(F.col("value") > GAP_FILL_MIN_VALUE)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(dsum("value", 14, 4).alias("daily_sum"))
+    )
+    spine = types.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("daily_sum", ignorenulls=True).over(w)
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "daily_sum",
+            filled.alias("filled_sum"),
+            (F.col("daily_sum").isNull() & filled.isNotNull()).alias("is_filled"),
         )
     )

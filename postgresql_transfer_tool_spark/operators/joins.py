@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import FIXTURE_FOREIGN_KEYS, load_table
@@ -283,4 +283,62 @@ def broadcast_join_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+#: dirty probe strings for the fuzzy entity-match query — typo classes:
+#: transposition, deletion, substitution, insertion, digit-for-letter
+FUZZY_PROBES = [
+    "NATOIN_7",
+    "NTION_21",
+    "NATI0N_4",
+    "NATION__18",
+    "NACION_19",
+    "NATION-22",
+    "NATON_13",
+    "XNATION_6",
+]
+
+_PROBE_VALUES = ", ".join(f"('{p}')" for p in FUZZY_PROBES)
+
+
+@query(
+    "fuzzy_entity_match",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {_PROBE_VALUES}),
+    scored AS (
+      SELECT p.probe, n.n_name, levenshtein(p.probe, n.n_name) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.probe
+               ORDER BY levenshtein(p.probe, n.n_name), n.n_name) AS rk
+      FROM probes p CROSS JOIN nation n
+    )
+    SELECT probe, n_name AS matched_name, dist
+    FROM scored WHERE rk = 1
+    """,
+)
+def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution against a reference dimension: match each dirty
+    probe string to its closest nation name by edit distance
+    (deterministic tie-break on distance then name). The classic
+    data-cleaning join for free-text fields pointing at a controlled
+    vocabulary. Scale shape: the reference dim broadcasts (dimension
+    tables are small by definition), the edit distance runs JVM-side
+    in whole-stage codegen, and the per-probe top-1 is a partial
+    aggregation — so at 100 TB the dirty side (here a literal probe
+    list; in production a billion-row column) streams map-side with no
+    shuffle of the big table, only of (probe, best) pairs. Blocking
+    (first-token / length bands) bounds candidates when the reference
+    is large. Reference analog: none (extension; entity-resolution
+    family of SURVEY §2.8)."""
+    probes = spark.createDataFrame([(p,) for p in FUZZY_PROBES], "probe string")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    scored = probes.crossJoin(F.broadcast(nation)).withColumn(
+        "dist", F.levenshtein("probe", "n_name")
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "n_name")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe", F.col("n_name").alias("matched_name"), "dist")
     )

@@ -180,3 +180,30 @@ def test_streaming_hopping_window_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_gap_fill_semantics(spark, sf_dir):
+    """Forward-fill invariants: observed rows pass through unfilled,
+    filled rows carry the latest earlier observation, and days before a
+    series' first observation stay NULL."""
+    from postgresql_transfer_tool_spark.operators.incremental import timeseries_gap_fill
+
+    rows = sorted(
+        timeseries_gap_fill(spark, sf_dir).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    assert rows
+    last_seen = {}
+    saw_gap = False
+    for r in rows:
+        k = r["event_type"]
+        if r["daily_sum"] is not None:
+            assert r["filled_sum"] == r["daily_sum"]
+            assert not r["is_filled"]
+            last_seen[k] = r["daily_sum"]
+        elif k in last_seen:
+            assert r["is_filled"] and r["filled_sum"] == last_seen[k], r
+            saw_gap = True
+        else:
+            assert r["filled_sum"] is None and not r["is_filled"], r
+    assert saw_gap  # the fixture threshold must actually produce gaps
