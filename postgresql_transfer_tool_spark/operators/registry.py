@@ -94,8 +94,9 @@ _PRIORITY = [
     "media_resize_thumbnails", "media_frame_sample",
     # bounded-state deterministic quantiles (sibling of quantiles_approx)
     "quantiles_hash_sample",
-    # time-series repair + entity resolution
+    # time-series repair + entity resolution + multi-column ANALYZE
     "timeseries_gap_fill", "fuzzy_entity_match",
+    "correlation_matrix_lineitem",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",

@@ -387,3 +387,104 @@ def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2.0) * mean * mean * mean) / (sd * sd * sd)
     return b.select("event_type", "n", "mean", variance.alias("variance"),
                     skew.alias("skewness"))
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix — the multi-column generalization of
+# corr_quantity_price. Both the Spark aggregation and the DuckDB oracle
+# are generated from one column spec so the moment set and the closing
+# arithmetic can never drift apart.
+# ---------------------------------------------------------------------------
+
+#: measure columns and their exact decimal shapes
+_CM_COLS = {
+    "l_quantity": (8, 2),
+    "l_extendedprice": (12, 2),
+    "l_discount": (4, 2),
+    "l_tax": (4, 2),
+}
+_CM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CM_COLS)
+    for b in list(_CM_COLS)[i + 1 :]
+]
+
+
+def _cm_oracle() -> str:
+    def dd(e):  # decimal→double via VARCHAR (see relational.dd)
+        return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+
+    def dc(c):
+        p, s = _CM_COLS[c]
+        return f"CAST({c} AS DECIMAL({p},{s}))"
+
+    sums = ["COUNT(*) AS n"]
+    for c in _CM_COLS:
+        sums.append(f"SUM({dc(c)}) AS s_{c}")
+        sums.append(f"SUM({dc(c)} * {dc(c)}) AS ss_{c}")
+    for a, b in _CM_PAIRS:
+        sums.append(f"SUM({dc(a)} * {dc(b)}) AS sp_{a}_{b}")
+    selects = []
+    for a, b in _CM_PAIRS:
+        r = (
+            f"(CAST(n AS DOUBLE) * {dd(f'sp_{a}_{b}')} - {dd(f's_{a}')} * {dd(f's_{b}')})"
+            f" / (sqrt(CAST(n AS DOUBLE) * {dd(f'ss_{a}')} - {dd(f's_{a}')} * {dd(f's_{a}')})"
+            f" * sqrt(CAST(n AS DOUBLE) * {dd(f'ss_{b}')} - {dd(f's_{b}')} * {dd(f's_{b}')}))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, {r} AS pearson_r FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query("correlation_matrix_lineitem", oracle=_cm_oracle())
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between all four lineitem measures
+    in ONE aggregation pass — the ANALYZE-style dependency profile a
+    cost-based optimizer (or a feature-selection pass) consumes. The
+    pass collects n + per-column exact decimal sums/sums-of-squares +
+    per-pair cross-product sums (15 accumulators, map-side combined);
+    every pairwise r then closes over the same moment row with a fixed
+    sequence of correctly-rounded double ops, identical in both
+    engines, so the whole matrix is bit-portable. Scale: one narrow
+    shuffle of a constant-width accumulator row regardless of table
+    size — adding a measure column adds O(k) accumulators, never
+    another scan. Generalizes corr_quantity_price (same recipe, k
+    columns); reference analog: none (X5 ANALYZE family)."""
+    def dc(c):
+        p, s = _CM_COLS[c]
+        return F.col(c).cast(f"decimal({p},{s})")
+
+    aggs = [F.count("*").alias("n")]
+    for c in _CM_COLS:
+        aggs.append(F.sum(dc(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dc(c) * dc(c)).alias(f"ss_{c}"))
+    for a, b in _CM_PAIRS:
+        aggs.append(F.sum(dc(a) * dc(b)).alias(f"sp_{a}_{b}"))
+    m = load_table(spark, sf_dir, "lineitem").agg(*aggs).localCheckpoint(eager=False)
+
+    def d(c):
+        return F.col(c).cast("string").cast("double")
+
+    nd = F.col("n").cast("double")
+    outs = []
+    for a, b in _CM_PAIRS:
+        r = (nd * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")) / (
+            F.sqrt(nd * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
+            * F.sqrt(nd * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                "n",
+                r.alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

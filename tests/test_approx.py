@@ -154,3 +154,26 @@ def test_hash_sample_quantiles_near_exact_deciles(spark, sf_dir):
         n, vs = by_type[r["event_type"]]
         cdf = sum(1 for v in vs if v <= r["est_boundary"]) / n
         assert abs(cdf - r["decile"] / 10) <= 0.25, (r, cdf)
+
+
+def test_correlation_matrix_matches_builtin_corr(spark, sf_dir):
+    """The exact-moment pairwise r agrees with Spark's built-in corr
+    (streaming accumulation) to float tolerance, for every pair."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.stats import (
+        _CM_PAIRS,
+        correlation_matrix_lineitem,
+    )
+
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in correlation_matrix_lineitem(spark, sf_dir).collect()
+    }
+    assert set(got) == set(_CM_PAIRS)
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = li.agg(
+        *[F.corr(a, b).alias(f"{a}:{b}") for a, b in _CM_PAIRS]
+    ).collect()[0]
+    for a, b in _CM_PAIRS:
+        assert abs(got[(a, b)] - ref[f"{a}:{b}"]) < 1e-9, (a, b)
