@@ -263,14 +263,27 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition last-observation, broadcast partition-boundary
     carry-ins. Reference analog: none (event-table time-series family,
     SURVEY §2.8/I3 derivative)."""
-    e = load_table(spark, sf_dir, "events")
-    days = e.select(F.to_date("ts").alias("day")).distinct()
-    types = e.select("event_type").distinct()
-    daily = (
-        e.filter(F.col("value") > GAP_FILL_MIN_VALUE)
+    # ONE event-log scan: the day-level base carries the (possibly NULL)
+    # sparse metric for every (type, day) with any event; spine axes and
+    # observed sums all derive from it, so the 100 TB log is read once.
+    base = (
+        load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(dsum("value", 14, 4).alias("daily_sum"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("value") > GAP_FILL_MIN_VALUE,
+                    F.col("value").cast("decimal(14,4)"),
+                )
+            )
+            .cast("double")
+            .alias("daily_sum")
+        )
+        .localCheckpoint(eager=False)
     )
+    days = base.select("day").distinct()
+    types = base.select("event_type").distinct()
+    daily = base.filter(F.col("daily_sum").isNotNull())
     spine = types.crossJoin(F.broadcast(days))
     w = (
         Window.partitionBy("event_type")
