@@ -617,20 +617,20 @@ QSAMPLE_K = 256
     """,
 )
 def quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile estimates from a deterministic bottom-{QSAMPLE_K}-by-hash
+    """Decile estimates from a deterministic bottom-256-by-hash
     row sample per event type — the bounded-state quantile path.
 
     ``quantiles_approx`` (engine-native GK sketch) is rows-only by
     construction; ``histogram_equi_depth`` is exact but ranks the FULL
     group (a per-group sort of everything). This operator completes the
-    family: state is ≤{QSAMPLE_K} rows per group (the k smallest
+    family: state is ≤256 (QSAMPLE_K) rows per group (the k smallest
     md5(event_id) — a uniform row sample by hash avalanche, mergeable
     like any bottom-k: per-partition k-min, one merge), and the decile
     boundaries are percentile_disc-style rank arithmetic over the
     sample's quantized integer values, so the *estimate itself* is
     deterministic and oracle-verified — no RNG seeds, no sketch
     internals, no FP interpolation. Expected rank error is
-    O(1/sqrt(k)) ≈ 6% of the group size at k={QSAMPLE_K}; bounded vs
+    O(1/sqrt(k)) ≈ 6% of the group size at k=256; bounded vs
     the exact deciles in tests/test_approx.py. At 100 TB the sample
     selection is the same shape as ``stratified_sample_hash``: hash
     exchange on the group key with per-partition pre-top-k, never a

@@ -137,8 +137,6 @@ def sessionization_gap_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via lag + cumulative sum —
     the batch equivalent of streaming session_window. Partition-parallel
     per user; no global state."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -249,7 +247,7 @@ GAP_FILL_MIN_VALUE = 250
 def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill a sparse daily metric: build the complete
     (event_type × day) spine, left-join the observed daily sums (only
-    days with any value > {GAP_FILL_MIN_VALUE} event exist), and
+    days with any value > 250 = GAP_FILL_MIN_VALUE event exist), and
     forward-fill missing days with the last observation
     (``last(..., ignorenulls=True)`` ↔ DuckDB ``last_value(...IGNORE
     NULLS)`` — verified identical frame semantics). Days before the

@@ -305,7 +305,7 @@ def resize_media_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def media_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail the media table: aspect-preserving integer resize into
-    a {THUMB_MAX}×{THUMB_MAX} box plus a payload window sized to the new
+    a 32×32 (THUMB_MAX) box plus a payload window sized to the new
     pixel budget, Arrow-batched through mapInPandas. The oracle mirrors
     the full stage — dims arithmetic AND thumbnail content hashes — so
     a batching bug or an off-by-one in the window surfaces as a hash
@@ -396,11 +396,11 @@ def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample the video view of the media table: every
-    {FRAME_SAMPLE_EVERY}th fixed-length frame, one output row per
+    4th (FRAME_SAMPLE_EVERY) fixed-length frame, one output row per
     sampled frame via a row-multiplying mapInPandas (the keyframe-
     extraction shape). The oracle rebuilds the same sampling with
     range()+substr in SQL, including per-frame content hashes. Scale:
-    sampling is map-only with output ~1/{FRAME_SAMPLE_EVERY} of the
+    sampling is map-only with output ~1/FRAME_SAMPLE_EVERY of the
     frame count; nothing shuffles until the summary aggregation, and
     per-frame rows carry hashes (16 bytes) rather than frame payloads
     once the downstream stage doesn't need pixels."""

@@ -334,13 +334,13 @@ from .approx import (  # noqa: E402  (shared deterministic-HLL kernel)
     """,
 )
 def active_users_rolling_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {ROLLING_DAYS}-day active users from per-day deterministic
+    """Rolling 7-day (ROLLING_DAYS) active users from per-day deterministic
     HLL registers — the engine-portable twin of
     :func:`active_users_rolling_hll`. The per-day sketch is a (bucket →
     max rho) register table built once from one event-log scan; the
-    rolling union is a register-wise MAX across the ≤{ROLLING_DAYS}
+    rolling union is a register-wise MAX across the ≤ROLLING_DAYS
     days covering each window — the sketch-merge shape that replaces
-    the ×{ROLLING_DAYS} row fan-out of :func:`active_users_rolling` at
+    the ×ROLLING_DAYS row fan-out of :func:`active_users_rolling` at
     100 TB, with state per day independent of user cardinality. Unlike
     the engine-native DataSketches variant (rows-only by construction),
     these registers and the estimate itself are oracle-verified

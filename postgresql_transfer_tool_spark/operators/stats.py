@@ -411,8 +411,7 @@ _CM_PAIRS = [
 
 
 def _cm_oracle() -> str:
-    def dd(e):  # decimal→double via VARCHAR (see relational.dd)
-        return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+    from .relational import dd
 
     def dc(c):
         p, s = _CM_COLS[c]
