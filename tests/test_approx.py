@@ -177,3 +177,27 @@ def test_correlation_matrix_matches_builtin_corr(spark, sf_dir):
     ).collect()[0]
     for a, b in _CM_PAIRS:
         assert abs(got[(a, b)] - ref[f"{a}:{b}"]) < 1e-9, (a, b)
+
+
+def test_hll_deterministic_partitioning_invariant(spark, sf_dir):
+    """The register sums are exact integers and registers merge by MAX,
+    so the HLL output must be BIT-identical under different shuffle
+    partitionings — the property that makes the sketch verifiable at
+    any cluster size."""
+    from postgresql_transfer_tool_spark.operators.approx import ndv_hll_deterministic
+
+    def run():
+        return sorted(
+            (r["event_type"], r["m_nonzero"], r["reg_sum_scaled"], r["ndv_hll"])
+            for r in ndv_hll_deterministic(spark, sf_dir).collect()
+        )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
