@@ -4,10 +4,9 @@ fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
 under larger groups).
 
 Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
-0/148 failed (round 3, 2026-08-14 — 143 swept in one run, plus the
-five queries registered later that day checked individually at sf0.1:
-deterministic HLL pair, media resize/frame-sample, hash-sample
-quantiles).
+0/149 failed in a single sweep at head (round 3, 2026-08-14, incl.
+the deterministic HLL pair, media resize/frame-sample, hash-sample
+quantiles, gap-fill, fuzzy match, and the correlation matrix).
 """
 
 from __future__ import annotations
