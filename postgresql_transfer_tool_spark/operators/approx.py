@@ -224,16 +224,10 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     exact = words.groupBy("w").agg(F.count("*").alias("exact_n"))
-    top = (
-        exact.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_n").desc(), F.col("w"))
-            ),
-        )
-        .filter(F.col("rk") <= CMS_TOP)
-        .drop("rk")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject — distributed
+    # per-partition top-k with one merge, never a single-task global
+    # rank window over the (unbounded) distinct-word relation.
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("w")).limit(CMS_TOP)
     # Build the sketch from the distinct-word counts rather than raw
     # occurrences: this query materializes `exact` anyway (to grade the
     # sketch), so summing exact_n into buckets computes the identical

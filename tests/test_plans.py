@@ -304,3 +304,18 @@ def test_serial_id_generation_no_serial_window(spark, sf_dir):
     from postgresql_transfer_tool_spark.plans import unpartitioned_window_count
 
     assert unpartitioned_window_count(serial_id_generation(spark, sf_dir)) == 0
+
+
+def test_cms_exact_topk_no_serial_window(spark, sf_dir):
+    """The CMS grading top-k must compile to TakeOrderedAndProject, not
+    a single-task rank window over the unbounded distinct-word
+    relation."""
+    from postgresql_transfer_tool_spark.operators.approx import heavy_hitters_cms
+    from postgresql_transfer_tool_spark.plans import (
+        physical_plan,
+        unpartitioned_window_count,
+    )
+
+    df = heavy_hitters_cms(spark, sf_dir)
+    assert unpartitioned_window_count(df) == 0
+    assert "TakeOrderedAndProject" in physical_plan(df)
