@@ -275,13 +275,18 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scaled = counts.withColumn(
         "s", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(24,9)")
-    )
-    return scaled.select(
+    ).localCheckpoint(eager=False)
+    # normalizer via a broadcast one-row aggregate, not an
+    # empty-partition window: the per-domain relation is small, but the
+    # global-WindowExec shape is banned engine-wide (and the detector in
+    # plans/ would rightly flag it); a cross join against the scalar
+    # total keeps the plan fully partitioned.
+    total = scaled.agg(F.sum("s").alias("s_total"))
+    return scaled.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        (
-            F.col("s").cast("double")
-            / F.sum("s").over(Window.partitionBy()).cast("double")
-        ).alias("mix_weight"),
+        (F.col("s").cast("double") / F.col("s_total").cast("double")).alias(
+            "mix_weight"
+        ),
     )

@@ -81,27 +81,40 @@ def has_wholestage_codegen(df: DataFrame) -> bool:
     return "*(" in plan or "WholeStageCodegen" in plan
 
 
-def _top_level_bracket_groups(s: str) -> int:
-    """Count top-level ``[...]`` groups in a plan Arguments line."""
+def _top_level_bracket_contents(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan Arguments line."""
     depth = 0
-    groups = 0
+    groups: list[str] = []
+    buf: list[str] = []
     for ch in s:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
+            else:
+                buf.append(ch)
             depth += 1
         elif ch == "]":
             depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
     return groups
 
 
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of Window nodes with NO partition spec — each one is a
     serial single-task bottleneck at scale (WindowExec moves all rows to
-    one partition). A partitioned Window's Arguments line has three
-    top-level bracket groups ``[exprs], [partSpec], [orderSpec]``; an
-    unpartitioned one has two. WindowGroupLimit nodes (partial top-k
-    pushdown) are not WindowExec and are skipped."""
+    one partition). The Arguments line carries up to three top-level
+    bracket groups ``[exprs], [partSpec], [orderSpec]``, but trailing
+    empty specs are omitted, so the group COUNT alone is ambiguous: an
+    ordered-but-unpartitioned window and an unordered-but-PARTITIONED
+    window both print two groups. Disambiguate by content — order specs
+    carry ``ASC``/``DESC NULLS`` markers, partition specs never do.
+    WindowGroupLimit nodes (partial top-k pushdown) are not WindowExec
+    and are skipped."""
     import re
 
     plan = physical_plan(df)
@@ -113,7 +126,16 @@ def unpartitioned_window_count(df: DataFrame) -> int:
                 continue
             for follow in lines[i + 1 : i + 6]:
                 if follow.startswith("Arguments:"):
-                    if _top_level_bracket_groups(follow) < 3:
-                        count += 1
+                    groups = _top_level_bracket_contents(follow)
+                    if len(groups) >= 3:
+                        pass  # [exprs], [part], [order] — partitioned
+                    elif len(groups) == 2:
+                        # second group is either a partition spec
+                        # (unordered partitioned window — fine) or an
+                        # order spec (ordered GLOBAL window — serial)
+                        if re.search(r"\b(ASC|DESC) NULLS", groups[1]):
+                            count += 1
+                    else:
+                        count += 1  # exprs only — unordered global
                     break
     return count

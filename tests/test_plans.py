@@ -319,3 +319,25 @@ def test_cms_exact_topk_no_serial_window(spark, sf_dir):
     df = heavy_hitters_cms(spark, sf_dir)
     assert unpartitioned_window_count(df) == 0
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_no_serial_windows_anywhere_in_the_registry(spark, sf_dir):
+    """Engine-wide invariant: no registered query may carry an
+    unpartitioned WindowExec over an unbounded relation. The only two
+    allowed sites rank inputs bounded BEFORE the window
+    (rank_dense_rank_ntile: a 200-row filtered dim;
+    corpus_ngram_topk: the 20-row TakeOrdered result) — anything else
+    is a single-task serial bottleneck at 100 TB and fails this test."""
+    from postgresql_transfer_tool_spark.operators import registry
+    from postgresql_transfer_tool_spark.plans import unpartitioned_window_count
+
+    registry.load_all()
+    allowed = {"rank_dense_rank_ntile", "corpus_ngram_topk"}
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        if name in allowed:
+            continue
+        n = unpartitioned_window_count(fn(spark, sf_dir))
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
