@@ -58,3 +58,43 @@ def purchase_error_attribution(purchases: DataFrame, errors: DataFrame) -> DataF
             AND e_ts <= p_ts"""
         ),
     ).select("p_event_id", "p_user_id", "p_ts", "e_event_id", "e_ts")
+
+
+def purchase_error_attribution_outer(
+    purchases: DataFrame, errors: DataFrame
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, paired with the
+    same user's errors in the preceding 30 minutes OR NULL-extended if
+    none arrived. The semantically hard streaming case: the engine can
+    only emit the NULL row once the error-side watermark has passed the
+    purchase's match window — before that, a matching error could still
+    arrive. So outer results trail the watermark by design: purchases
+    newer than (max event time - watermark) stay in state, unemitted,
+    until later input advances the clock. State stays bounded exactly
+    as in the inner form (watermark + range condition ⇒ eviction);
+    outer-ness changes only what is emitted at eviction time, not what
+    is stored. Batch equivalence on fully-arrived input modulo that
+    trailing window is asserted in tests/test_streaming_join.py."""
+    p = purchases.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = errors.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", _WATERMARK)
+    if errors.isStreaming:
+        e = e.withWatermark("e_ts", _WATERMARK)
+    return p.join(
+        e,
+        F.expr(
+            f"""p_user_id = e_user_id
+            AND e_ts >= p_ts - INTERVAL {_ATTRIBUTION}
+            AND e_ts <= p_ts"""
+        ),
+        "leftOuter",
+    ).select("p_event_id", "p_user_id", "p_ts", "e_event_id", "e_ts")

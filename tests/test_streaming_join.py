@@ -70,3 +70,62 @@ def test_streaming_join_plan_is_stateful(spark, sf_dir, tmp_path):
         ), ops
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_matches_batch_up_to_watermark(
+    spark, sf_dir, tmp_path
+):
+    """Left-outer streaming join: matched pairs equal the batch join's;
+    NULL-extended rows are exactly the batch NULL rows old enough that
+    the final watermark could prove 'no error will arrive' (purchases
+    inside the trailing watermark window legitimately stay in state)."""
+    import datetime as dt
+
+    from postgresql_transfer_tool_spark.streaming.joins import (
+        purchase_error_attribution_outer,
+    )
+
+    landing = str(tmp_path / "landing_ssoj")
+    prepare_landing(spark, sf_dir, landing)
+    schema = spark.read.parquet(landing).schema
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    joined = purchase_error_attribution_outer(*_split(stream))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssoj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_ssoj").collect()
+        wm_txt = (q.lastProgress.get("eventTime") or {}).get("watermark")
+    finally:
+        q.stop()
+    streamed_matched = {
+        (r["p_event_id"], r["e_event_id"]) for r in rows if r["e_event_id"] is not None
+    }
+    streamed_nulls = {r["p_event_id"]: r["p_ts"] for r in rows if r["e_event_id"] is None}
+
+    batch = purchase_error_attribution_outer(*_split(spark.read.parquet(landing)))
+    brows = batch.collect()
+    batch_matched = {
+        (r["p_event_id"], r["e_event_id"]) for r in brows if r["e_event_id"] is not None
+    }
+    batch_nulls = {r["p_event_id"]: r["p_ts"] for r in brows if r["e_event_id"] is None}
+
+    assert streamed_matched == batch_matched
+    assert batch_matched and batch_nulls, "fixture degenerate — vacuous test"
+    # streaming may only NULL-extend purchases the watermark has passed
+    assert set(streamed_nulls) <= set(batch_nulls)
+    if wm_txt:
+        wm = dt.datetime.strptime(wm_txt, "%Y-%m-%dT%H:%M:%S.%fZ")
+        # anything comfortably older than the final watermark must have
+        # been resolved (1h slack over the 30-min attribution window)
+        must_have = {
+            pid for pid, ts in batch_nulls.items()
+            if ts + dt.timedelta(hours=1) < wm
+        }
+        assert must_have <= set(streamed_nulls), (
+            len(must_have), len(streamed_nulls), wm_txt)
