@@ -518,3 +518,82 @@ def supplier_part_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_jaccard"),
         )
     )
+
+
+@query(
+    "inverted_index_conjunctive",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+    ), top2 AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, w) AS rk
+      FROM w GROUP BY w
+    ), terms AS (
+      SELECT MIN(CASE WHEN rk = 1 THEN w END) AS term_a,
+             MIN(CASE WHEN rk = 2 THEN w END) AS term_b
+      FROM top2 WHERE rk <= 2
+    ), postings AS (
+      SELECT w.doc_id,
+             MAX(CASE WHEN w.w = t.term_a THEN 1 ELSE 0 END) AS has_a,
+             MAX(CASE WHEN w.w = t.term_b THEN 1 ELSE 0 END) AS has_b
+      FROM w CROSS JOIN terms t
+      WHERE w.w = t.term_a OR w.w = t.term_b
+      GROUP BY w.doc_id
+    )
+    SELECT t.term_a, t.term_b,
+           CAST(SUM(has_a) AS BIGINT) AS n_docs_a,
+           CAST(SUM(has_b) AS BIGINT) AS n_docs_b,
+           CAST(SUM(has_a * has_b) AS BIGINT) AS n_docs_both
+    FROM postings CROSS JOIN terms t
+    GROUP BY t.term_a, t.term_b
+    """,
+)
+def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term retrieval through postings intersection: pick
+    the corpus's two highest-document-frequency terms (deterministic
+    tie-break), build their posting lists, and intersect — the
+    inverted-index shape a corpus search/decontamination service runs,
+    expressed declaratively. One tokenize pass produces the DISTINCT
+    (doc, term) relation; document frequencies top-2 via TakeOrdered
+    (never a global rank window over the vocabulary); the tiny term
+    pair broadcasts back so postings construction is a map-side filter
+    of the same relation — at 100 TB the full postings index is the
+    (doc, term) relation bucketed by term, and a conjunctive query
+    touches only the queried terms' buckets. Reference analog: none
+    (corpus retrieval family, SURVEY §2.8/X4 derivative)."""
+    dw = (
+        _spark_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    top2 = (
+        dw.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w"))
+        .limit(2)
+    )
+    # rank the two terms deterministically (higher df first, tie on
+    # word) WITHOUT any window: sort the 2-row result as an array
+    t = top2.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("df")).alias("negdf"), F.col("w")))
+        ).alias("arr")
+    ).select(
+        F.col("arr")[0]["w"].alias("term_a"),
+        F.col("arr")[1]["w"].alias("term_b"),
+    )
+    hits = (
+        dw.crossJoin(F.broadcast(t))
+        .filter((F.col("w") == F.col("term_a")) | (F.col("w") == F.col("term_b")))
+        .groupBy("doc_id", "term_a", "term_b")
+        .agg(
+            F.max(F.when(F.col("w") == F.col("term_a"), 1).otherwise(0)).alias("has_a"),
+            F.max(F.when(F.col("w") == F.col("term_b"), 1).otherwise(0)).alias("has_b"),
+        )
+    )
+    return hits.groupBy("term_a", "term_b").agg(
+        F.sum("has_a").alias("n_docs_a"),
+        F.sum("has_b").alias("n_docs_b"),
+        F.sum(F.col("has_a") * F.col("has_b")).alias("n_docs_both"),
+    )

@@ -100,9 +100,10 @@ _PRIORITY = [
     "media_resize_thumbnails", "media_frame_sample",
     # bounded-state deterministic quantiles (sibling of quantiles_approx)
     "quantiles_hash_sample",
-    # time-series repair + entity resolution + multi-column ANALYZE
+    # time-series repair + entity resolution + multi-column ANALYZE +
+    # postings-intersection retrieval
     "timeseries_gap_fill", "fuzzy_entity_match",
-    "correlation_matrix_lineitem",
+    "correlation_matrix_lineitem", "inverted_index_conjunctive",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
