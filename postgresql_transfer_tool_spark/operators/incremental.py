@@ -299,3 +299,81 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("daily_sum").isNull() & filled.isNotNull()).alias("is_filled"),
         )
     )
+
+
+@query(
+    "timeseries_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS ds
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, ds,
+             COUNT(*) OVER w AS n_prior,
+             SUM(ds) OVER w AS s_prior,
+             SUM(ds * ds) OVER w AS ss_prior
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           {dd("ds")} AS daily_sum,
+           CASE WHEN n_prior >= 3 THEN
+             ({dd("ds")} - {dd("s_prior")} / CAST(n_prior AS DOUBLE))
+             / sqrt(({dd("ss_prior")} - {dd("s_prior")} * {dd("s_prior")}
+                     / CAST(n_prior AS DOUBLE)) / CAST(n_prior AS DOUBLE))
+           END AS zscore
+    FROM win
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily metric: each
+    (event_type, day) scored against the mean/stddev of its own
+    preceding 7 days (current day excluded — the day under test must
+    not contaminate its own baseline; days with under 3 priors get
+    NULL, the honest cold-start answer). The moments come from exact
+    decimal window sums (order-independent under any partitioning) and
+    the z closes with the same correctly-rounded double sequence on
+    both engines — sqrt and division are IEEE-exact, so even the
+    *score* is bit-portable and oracle-verified. Scale: the window
+    partitions by series key over the day-level relation (tiny vs the
+    event log, which is read once with map-side combine); this is the
+    alerting pass a metrics pipeline runs after gap-fill. Division by
+    a zero stddev yields NULL/Infinity identically in both engines
+    only for constant windows — the fixture's continuous values make
+    that measure-zero, and the n_prior floor already guards the
+    degenerate 1-2 day case. Reference analog: none (event-table
+    time-series family, SURVEY §2.8/I3 derivative)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("ds"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "ds",
+        F.count("*").over(w).alias("n_prior"),
+        F.sum("ds").over(w).alias("s_prior"),
+        F.sum(F.col("ds") * F.col("ds")).over(w).alias("ss_prior"),
+    )
+
+    def d(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n_prior").cast("double")
+    mean = d("s_prior") / n
+    var = (d("ss_prior") - d("s_prior") * d("s_prior") / n) / n
+    z = (d("ds") - mean) / F.sqrt(var)
+    return win.select(
+        "event_type",
+        "day",
+        d("ds").alias("daily_sum"),
+        F.when(F.col("n_prior") >= 3, z).alias("zscore"),
+    )

@@ -104,6 +104,7 @@ _PRIORITY = [
     # postings-intersection retrieval
     "timeseries_gap_fill", "fuzzy_entity_match",
     "correlation_matrix_lineitem", "inverted_index_conjunctive",
+    "timeseries_anomaly_zscore",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
