@@ -4,9 +4,10 @@ fixtures can't (decimal overflow, HUGEINT edges, tie-break instability
 under larger groups).
 
 Slow (~3 min); enable with SPARK_GRAFT_SWEEP_SF01=1. Last full run:
-0/149 failed in a single sweep at head (round 3, 2026-08-14, incl.
-the deterministic HLL pair, media resize/frame-sample, hash-sample
-quantiles, gap-fill, fuzzy match, and the correlation matrix).
+0/151 failed in a single sweep at the round-3 final head (2026-08-14,
+incl. the deterministic HLL pair, media resize/frame-sample,
+hash-sample quantiles, gap-fill, fuzzy match, correlation matrix,
+postings retrieval, and z-score anomaly).
 """
 
 from __future__ import annotations
