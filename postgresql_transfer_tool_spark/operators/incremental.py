@@ -306,13 +306,17 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             SUM(CAST(value AS DECIMAL(18,4))) AS ds
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS ds
       FROM events GROUP BY 1, 2
     ), win AS (
       SELECT event_type, day, ds,
              COUNT(*) OVER w AS n_prior,
              SUM(ds) OVER w AS s_prior,
-             SUM(ds * ds) OVER w AS ss_prior
+             -- widen one operand to DECIMAL(19,4): DuckDB then squares
+             -- in int128 at DECIMAL(37,8) — exact and identical to
+             -- Spark's decimal(18,4)*decimal(18,4) product (an
+             -- unwidened square runs in int64 and overflows)
+             SUM(CAST(ds AS DECIMAL(19,4)) * ds) OVER w AS ss_prior
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -348,7 +352,15 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("ds"))
+        # re-bound the widened sum to decimal(18,4): ds*ds is then
+        # decimal(37,8) — exact in Spark AND at the oracle's scale-8
+        # product, instead of the decimal(38,6) precision-loss rounding
+        # a decimal(28,4) square would trigger (ADVICE r3, medium)
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("ds")
+        )
     )
     w = (
         Window.partitionBy("event_type")

@@ -336,9 +336,14 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = probes.crossJoin(F.broadcast(nation)).withColumn(
         "dist", F.levenshtein("probe", "n_name")
     )
-    w = Window.partitionBy("probe").orderBy("dist", "n_name")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("probe", F.col("n_name").alias("matched_name"), "dist")
+    # top-1 as a true partial aggregate: struct min is lexicographic, so
+    # min(struct(dist, name)) IS the (dist asc, name asc) tie-break — a
+    # map-side-combinable HashAggregate, no per-probe sort/window
+    best = scored.groupBy("probe").agg(
+        F.min(F.struct("dist", "n_name")).alias("best")
+    )
+    return best.select(
+        "probe",
+        F.col("best.n_name").alias("matched_name"),
+        F.col("best.dist").alias("dist"),
     )

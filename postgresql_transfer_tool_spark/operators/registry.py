@@ -16,6 +16,9 @@ Rules enforced by convention here (SURVEY.md §5):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,26 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Names promoted to the front of the registry. The verification driver
-#: checks a bounded ~50-query prefix per round; rounds 1+2 together
-#: covered 98 of 141 registered queries (94 green, 4 declared
-#: rows-only). The round-3 prefix is the 43 queries that had never
-#: received a driver row (VERDICT.md r2 "Next round" #1 — all
-#: oracle-backed and green in the repo's own sf0.001/sf0.01/sf0.1
-#: sweeps), followed by media_decode_features (decode stage gained a
-#: real header parse + DuckDB oracle this round, VERDICT #4) and the
-#: operators added later in round 3 (deterministic HLL pair, multimodal
-#: resize/frame-sample, hash-sample quantiles, gap-fill, fuzzy match,
-#: correlation matrix — each oracle-verified at all three SFs locally;
-#: the tail of this block sits at positions 51-52, so if the driver's
-#: prefix is exactly 50 the last one-or-two wait for the next round's
-#: gate — their only verification until then is the local sweep).
-#: The sampling family's driver-facing representative is the
-#: deterministic stratified_sample_hash (VERDICT #3), in the
-#: never-checked block. The remainder keeps prior order; all have green
-#: rows from r1/r2 and stay covered by tests/test_oracle_diff.py.
+#: Static tie-break ordering. Since round 4 the *primary* registry order
+#: is computed automatically by :func:`driver_rounds` — queries are
+#: sorted by "rounds since last driver CORRECTNESS row" (never-checked
+#: first, then oldest-checked), so every newly added operator lands in
+#: the driver's ~50-query verification prefix in the round it ships and
+#: older rows get refreshed round-robin (VERDICT.md r3 "Next round" #2).
+#: `_PRIORITY` only breaks ties between queries whose last driver row is
+#: from the same round. The four round-3 gate-overflow queries
+#: (fuzzy_entity_match, correlation_matrix_lineitem,
+#: inverted_index_conjunctive, timeseries_anomaly_zscore) head the list
+#: per VERDICT r3 #1 — with no CORRECTNESS row yet, the rotation also
+#: sorts them into positions 1-4 on its own.
 _PRIORITY = [
-    # --- never-driver-checked (round-2 additions), block 1: text/dedup/ANN ---
+    # --- round-3 gate overflow: never driver-checked, go first ---
+    "fuzzy_entity_match", "correlation_matrix_lineitem",
+    "inverted_index_conjunctive", "timeseries_anomaly_zscore",
+    # --- previously never-driver-checked (round-2 additions) ---
     "text_winnowing_fingerprint", "dedup_winnowing_overlap",
     "text_segment_dedup", "text_bigram_lm_score",
     "text_repetition_ratio", "text_pii_scrub",
@@ -100,11 +100,9 @@ _PRIORITY = [
     "media_resize_thumbnails", "media_frame_sample",
     # bounded-state deterministic quantiles (sibling of quantiles_approx)
     "quantiles_hash_sample",
-    # time-series repair + entity resolution + multi-column ANALYZE +
-    # postings-intersection retrieval
-    "timeseries_gap_fill", "fuzzy_entity_match",
-    "correlation_matrix_lineitem", "inverted_index_conjunctive",
-    "timeseries_anomaly_zscore",
+    # time-series repair (entity resolution / correlation / inverted
+    # index / z-score anomaly moved to the head of this list)
+    "timeseries_gap_fill",
     # --- previously green (r1/r2 rows); keep ordering for stability ---
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
@@ -130,9 +128,63 @@ _PRIORITY = [
 ]
 
 
+def driver_rounds() -> dict[str, int]:
+    """Last round in which each query received a driver CORRECTNESS row.
+
+    Scans the committed ``CORRECTNESS_r*.json`` files at the repo root
+    (three directories up from this module). Presence of a row counts as
+    "checked" regardless of outcome — rows-only sketches rotate on the
+    same schedule as hash-verified queries. Queries absent from every
+    file are simply missing from the returned dict.
+    """
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path)
+        try:
+            rnd = int(stem.split("_r")[1].split(".")[0])
+            with open(path) as f:
+                rows = json.load(f)
+        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+            continue  # malformed file name/content — ignore, never crash import
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def gate_order(names: list[str]) -> list[str]:
+    """Order queries for the driver's bounded verification prefix.
+
+    Primary key: last driver-checked round ascending, with never-checked
+    queries first (they MUST land inside the ~50-query prefix the round
+    they ship). Secondary key: oracle-backed before rows-only — a hash
+    row is the stronger signal, so when slots are scarce it wins.
+    Tie-break: `_PRIORITY` position, then registration order — fully
+    deterministic for a given set of CORRECTNESS files.
+    """
+    last = driver_rounds()
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
+    base = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int, int]:
+        return (
+            last.get(n, -1),
+            0 if n in ORACLES else 1,
+            prio.get(n, len(_PRIORITY)),
+            base[n],
+        )
+
+    return sorted(names, key=key)
+
+
 def load_all() -> None:
     """Import every operator module so registration side-effects run,
-    then reorder the registry so `_PRIORITY` names come first."""
+    then reorder the registry by driver-gate priority (never-checked
+    first, then stalest CORRECTNESS row) — see :func:`gate_order`."""
     from . import (  # noqa: F401
         relational,
         joins,
@@ -162,9 +214,7 @@ def load_all() -> None:
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 
-    ordered = [n for n in _PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _PRIORITY
-    ]
+    ordered = gate_order(list(QUERIES))
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()

@@ -33,11 +33,14 @@ def canon_rows(rows, colnames: list[str]) -> list[tuple[str, ...]]:
     return sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
 
 
-def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duckdb_connection(
+    sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> duckdb.DuckDBPyConnection:
     """A DuckDB connection with every fixture table registered as a view
-    (matching the driver's pre-registered views)."""
+    (matching the driver's pre-registered views). ``tables`` narrows the
+    set for tests running against a synthesized partial fixture dir."""
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
     return con
 

@@ -1,0 +1,58 @@
+"""Driver-gate rotation invariants (VERDICT r3 "Next round" #1/#2).
+
+The verification driver checks a bounded ~50-query prefix of the
+registry per round. ``load_all`` orders the registry via ``gate_order``
+so coverage rotates automatically: queries with no driver CORRECTNESS
+row ever sort first, then queries whose last row is stalest. These
+tests pin that contract against the committed CORRECTNESS_r*.json
+files so a future query addition can never silently ship unverified.
+"""
+
+from __future__ import annotations
+
+from postgresql_transfer_tool_spark.operators import registry
+
+PREFIX = 50  # the driver's per-round verification budget
+
+
+def _loaded():
+    registry.load_all()
+    return list(registry.QUERIES)
+
+
+def test_never_checked_oracle_queries_lead_the_prefix():
+    """Any oracle-backed query absent from the union of all
+    CORRECTNESS_r*.json files must sort into the driver's first-50
+    prefix — otherwise it ships without a hard driver signal."""
+    names = _loaded()
+    last = registry.driver_rounds()
+    never = [n for n in names if n not in last and n in registry.ORACLES]
+    assert len(never) <= PREFIX, "more unchecked queries than gate slots"
+    head = set(names[:PREFIX])
+    missing = [n for n in never if n not in head]
+    assert not missing, f"unchecked oracle queries outside the gate: {missing}"
+
+
+def test_prefix_prefers_stalest_rows():
+    """Within the prefix, no checked query may outrank a staler one:
+    the sequence of last-checked rounds along the registry order is
+    non-decreasing (never-checked = -1 first)."""
+    names = _loaded()
+    last = registry.driver_rounds()
+    seq = [last.get(n, -1) for n in names]
+    assert seq == sorted(seq), "registry order is not stalest-first"
+
+
+def test_driver_rounds_sees_all_three_recorded_rounds():
+    """Sanity: the scan actually parses the committed files (each of
+    r1..r3 recorded 50 rows; union is 147 of 151 as of round 3)."""
+    last = registry.driver_rounds()
+    assert len(last) >= 147
+    assert set(last.values()) >= {1, 2, 3}
+
+
+def test_gate_order_is_deterministic_and_total():
+    names = _loaded()
+    assert registry.gate_order(list(registry.QUERIES)) == names
+    assert len(set(names)) == len(names)
+    assert set(names) == set(registry.QUERIES)
