@@ -44,6 +44,32 @@ HEADLINE = [
 ]
 
 
+#: Queries whose plans reuse the session-shared memoized relations
+#: (shingle/LSH-pair/PQ-codebook localCheckpoints). Their warm numbers
+#: embed whichever family member ran first paying the materialization;
+#: the cold pass clears the memos before each one so BENCH_FULL.json
+#: also records the standalone cost (VERDICT r3 "What's wrong" #2).
+MEMO_QUERIES = [
+    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_survivors", "dedup_winnowing_overlap",
+    "text_winnowing_fingerprint", "text_segment_dedup",
+    "dedup_semantic_clusters", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_topk",
+    "ann_pq_topk", "knn_label_vote",
+]
+
+
+def clear_memos() -> None:
+    """Drop the cross-query memoized relations so the next execution
+    pays its own materialization (memo-cold, JVM-warm)."""
+    from postgresql_transfer_tool_spark.operators import dedup, similarity
+
+    dedup._SHINGLE_CACHE.clear()
+    dedup._LSH_PAIRS_CACHE.clear()
+    similarity._QUANT_CACHE.clear()
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
@@ -92,6 +118,7 @@ def main() -> None:
             "value": round(sum(t for t in timings.values() if t >= 0), 4),
             "unit": "sec",
             "queries": dict(timings),
+            "queries_cold": dict(cold),
             "sf": sf_from_dir(sf_dir),
             "n_queries": len(timings),
             "n_failed": sum(1 for t in timings.values() if t < 0),
@@ -103,6 +130,7 @@ def main() -> None:
         os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for i, name in enumerate(names):
         fn = qs[name]
         try:
@@ -115,6 +143,22 @@ def main() -> None:
             timings[name] = -1.0
         if i % 5 == 4:
             _flush(partial=True)
+    # second pass: memo-cold standalone numbers for the shared-memo
+    # families (the warm session above is what a shared production
+    # pipeline sees; this column is what a single isolated query costs)
+    for name in MEMO_QUERIES:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        try:
+            clear_memos()
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            cold[name] = round(time.time() - t0, 4)
+        except Exception as exc:
+            print(f"bench: cold {name} failed: {exc}", file=sys.stderr)
+            cold[name] = -1.0
+    clear_memos()
     try:
         timings["transfer_pipeline"] = bench_transfer(spark, sf_dir)
     except Exception as exc:
@@ -133,6 +177,7 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                "n_cold": len(cold),
                 "full_table": "BENCH_FULL.json",
             }
         )
