@@ -158,6 +158,20 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: cold {name} failed: {exc}", file=sys.stderr)
             cold[name] = -1.0
+    # flagged production-hash variant (same survivor/cluster sets,
+    # asserted by tests/test_shingle_hash.py): record the md5→xxhash64
+    # delta as a clearly-labeled extra cold row
+    try:
+        clear_memos()
+        os.environ["SPARK_GRAFT_SHINGLE_HASH"] = "xxhash64"
+        t0 = time.time()
+        qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+        cold["dedup_minhash_lsh[xxhash64]"] = round(time.time() - t0, 4)
+    except Exception as exc:
+        print(f"bench: xxhash64 variant failed: {exc}", file=sys.stderr)
+        cold["dedup_minhash_lsh[xxhash64]"] = -1.0
+    finally:
+        os.environ.pop("SPARK_GRAFT_SHINGLE_HASH", None)
     clear_memos()
     try:
         timings["transfer_pipeline"] = bench_transfer(spark, sf_dir)

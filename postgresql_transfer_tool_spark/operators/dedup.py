@@ -116,11 +116,37 @@ def _spark_shingles_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+#: Shingle-hash selector. ``md5`` (default) is the oracle-parity hash —
+#: DuckDB computes the identical 32-bit prefix, so the driver gate can
+#: verify signatures bit-for-bit. ``xxhash64`` is the production path:
+#: BASELINE.md records md5 as the dedup family's dominant per-row cost,
+#: and Spark's built-in xxhash64 is a non-cryptographic codegen
+#: intrinsic (~5-10× cheaper per shingle). Both yield a uniform 32-bit
+#: key feeding the same affine MinHash permutations; the survivor /
+#: cluster / verified-pair SETS are asserted equal across the two
+#: hashes at sf0.01 and sf0.1 (tests/test_shingle_hash.py) — exact-
+#: Jaccard verification makes LSH candidate differences vanish unless
+#: recall itself differs, which the test would catch.
+SHINGLE_HASH_ENV = "SPARK_GRAFT_SHINGLE_HASH"
+
+
+def _shingle_hash_method() -> str:
+    import os
+
+    m = os.environ.get(SHINGLE_HASH_ENV, "md5")
+    if m not in ("md5", "xxhash64"):
+        raise ValueError(f"{SHINGLE_HASH_ENV} must be md5 or xxhash64, got {m!r}")
+    return m
+
+
 def _spark_hashed_from(sh: DataFrame) -> DataFrame:
-    """(doc_id, s, h) with h = 32-bit md5-prefix hash of the shingle."""
-    return sh.withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
-    )
+    """(doc_id, s, h) with h = uniform 32-bit hash of the shingle
+    (md5 prefix for oracle parity, or xxhash64 — see SHINGLE_HASH_ENV)."""
+    if _shingle_hash_method() == "xxhash64":
+        h = F.xxhash64("s").bitwiseAND(F.lit(4294967295))
+    else:
+        h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+    return sh.withColumn("h", h)
 
 
 #: DuckDB CTEs producing the same (doc_id, s) / (doc_id, s, h) relations.
@@ -335,7 +361,9 @@ _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # keyed by hash method too: the verified pair set is hash-dependent
+    # in principle (candidate recall), so flag flips must not alias
+    key = (spark.sparkContext.applicationId, sf_dir, _shingle_hash_method())
     cached = _LSH_PAIRS_CACHE.get(key)
     if cached is None:
         cached = _compute_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
