@@ -117,6 +117,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no data scan.
+
+    The statistics source for size-adaptive operators (LSH bit width,
+    IVF cell count): reading the footer costs milliseconds regardless of
+    table size, where a ``df.count()`` at 100 TB is a full scan job just
+    to learn n. Parquet footers store num_rows exactly (not an
+    estimate), so sizing decisions are identical to the count() they
+    replace. Handles both single files and directory-style datasets.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 

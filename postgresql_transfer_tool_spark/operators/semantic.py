@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_row_count
 from .registry import query
 from .similarity import (
     DIM,
@@ -114,11 +114,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroid choice for k-means iterations — the dataflow
     (broadcast assign + cell-local pairing) is identical.
     """
-    # the quantized relation feeds the corpus count, the centroid set,
-    # and both pair sides — the session-level memoized materialization
+    # the quantized relation feeds the centroid set and both pair
+    # sides — the session-level memoized materialization
     # (similarity._spark_quantized_materialized) serves all of them
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    nc = ivf_cells_for(q.count())
+    # cell count from the parquet footer (exact, no scan job) — same
+    # statistics source as the ANN family (VERDICT r3 #8)
+    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
     cent = q.filter(F.col("vec_id") < nc).select(
         F.col("vec_id").alias("cid"),
         F.col("qe").alias("ce"),

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_row_count
 from .registry import query
 
 DIM = 64
@@ -248,7 +248,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature, bucket-capped. Exposed separately so tests can assert
     sub-quadratic candidate growth across scale factors."""
     q = _spark_quantized_materialized(spark, sf_dir)
-    bits = lsh_bits_for(q.count())
+    # n from the parquet footer, not a count() job: quantization is a
+    # 1:1 map of the embeddings table, and footer num_rows is exact —
+    # same bits at every SF, no extra scan (VERDICT r3 #8)
+    bits = lsh_bits_for(table_row_count(sf_dir, "embeddings"))
     bucketed = q.select(
         "vec_id", "qe", "nq", _band_sigs_udf(bits)("qe").alias("sigs")
     ).select(
@@ -422,7 +425,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive in corpus size), probe the query's NPROBE best cells,
     exact-rerank candidates."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    n_centroids = ivf_cells_for(q.count())
+    # footer-metadata n (exact, no scan job) — see lsh_candidate_pairs
+    n_centroids = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
     cent = q.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
         F.col("qe").alias("ce"),
