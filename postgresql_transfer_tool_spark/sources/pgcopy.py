@@ -49,6 +49,8 @@ import subprocess
 import tempfile
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -167,10 +169,72 @@ def copy_out(server: PgServer, schema: str, table: str, dest: str) -> None:
     copy_query_out(server, f"SELECT * FROM {quote_qualified(schema, table)}", dest)
 
 
+def parse_pg_array_literal(s: str | None) -> list[str | None] | None:
+    """Decode one PostgreSQL 1-D array output literal into its elements.
+
+    Implements the array-output quoting rules (PostgreSQL docs, "Array
+    Input and Output Syntax"): elements are comma-separated inside
+    ``{}``; an element is double-quoted when it contains
+    ``{ } , " \\`` or whitespace, is empty, or spells NULL; inside
+    quotes ``\\`` escapes the next character. The bare unquoted token
+    ``NULL`` is a NULL element; the quoted string ``"NULL"`` is the
+    four-letter word. Multidimensional arrays are out of scope (the
+    reflected Spark type is 1-D).
+    """
+    if s is None:
+        return None
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f"not an array literal: {s!r}")
+    body = s[1:-1]
+    if body == "":
+        return []
+    out: list[str | None] = []
+    i, n = 0, len(body)
+    while True:
+        if i < n and body[i] == '"':
+            i += 1
+            buf: list[str] = []
+            while True:
+                ch = body[i]
+                if ch == "\\":
+                    buf.append(body[i + 1])
+                    i += 2
+                elif ch == '"':
+                    i += 1
+                    break
+                else:
+                    buf.append(ch)
+                    i += 1
+            out.append("".join(buf))
+        else:
+            j = body.find(",", i)
+            tok = body[i:] if j < 0 else body[i:j]
+            out.append(None if tok == "NULL" else tok)
+            i = n if j < 0 else j
+        if i == n:
+            return out
+        if body[i] != ",":
+            raise ValueError(f"malformed array literal at offset {i}: {s!r}")
+        i += 1
+
+
+def _parse_pg_array_col(c: Column) -> Column:
+    """Arrow-batched decode of a PG array-literal column → array<string>
+    (quoting rules need real state, beyond what split/regex expresses;
+    one vectorized batch pass, never row-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def decode(col: pd.Series) -> pd.Series:
+        return col.map(parse_pg_array_literal, na_action="ignore")
+
+    return decode(c)
+
+
 def _from_pg_text(field: T.StructField) -> Column:
     """Cast one all-string CSV column to its reflected Spark type, using
     PostgreSQL's COPY output conventions (t/f booleans, \\x hex bytea,
-    {a,b,c} arrays)."""
+    {a,b,c} arrays with PG element quoting)."""
     c = F.col(field.name)
     dt = field.dataType
     if isinstance(dt, T.BooleanType):
@@ -178,23 +242,48 @@ def _from_pg_text(field: T.StructField) -> Column:
     elif isinstance(dt, T.BinaryType):
         out = F.unhex(c.substr(F.lit(3), F.length(c)))  # strip leading \x
     elif isinstance(dt, T.ArrayType):
-        if not isinstance(dt.elementType, T.NumericType):
-            raise NotImplementedError(
-                "pgcopy read supports numeric arrays only; "
-                f"{field.name} is {dt.simpleString()}"
+        if isinstance(dt.elementType, T.NumericType):
+            # numeric elements are never quoted — pure JVM split/cast
+            elems = F.split(c.substr(F.lit(2), F.length(c) - 2), ",")
+            inner = F.transform(
+                elems, lambda x: F.nullif(x, F.lit("NULL")).cast(dt.elementType)
             )
-        elems = F.split(c.substr(F.lit(2), F.length(c) - 2), ",")
-        inner = F.transform(
-            elems, lambda x: F.nullif(x, F.lit("NULL")).cast(dt.elementType)
-        )
-        out = F.when(c == "{}", F.array().cast(dt)).otherwise(inner)
+            out = F.when(c == "{}", F.array().cast(dt)).otherwise(inner)
+        else:
+            # text/varchar (or other quoted-element) arrays: stateful
+            # literal decode, then element-wise cast for non-string types
+            parsed = _parse_pg_array_col(c)
+            if isinstance(dt.elementType, T.StringType):
+                out = parsed
+            else:
+                out = F.transform(parsed, lambda x: x.cast(dt.elementType))
     elif isinstance(dt, (T.MapType, T.StructType)):
         raise NotImplementedError(
-            f"pgcopy read keeps json/composite as text; declare {field.name} string"
+            f"pgcopy read keeps json/composite as text; declare {field.name} "
+            "string, or pass json_promote={name: type} to read_table/"
+            "read_query for a from_json promotion"
         )
     else:
         out = c.cast(dt)  # numerics, timestamp, date, string: ANSI cast
     return out.alias(field.name)
+
+
+def _promote_json(df: DataFrame, json_promote: dict[str, T.DataType]) -> DataFrame:
+    """Promote string-carried json/jsonb columns to typed Map/Struct via
+    from_json — the same promotion contract as the parquet-side
+    ``operators/scalarfuncs.json_schema_promotion`` (SURVEY §1.3), here
+    applied at the bridge boundary so a reflected jsonb column lands
+    typed instead of as its text carrier."""
+    cols = [
+        F.from_json(F.col(f.name), json_promote[f.name]).alias(f.name)
+        if f.name in json_promote
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    missing = set(json_promote) - {f.name for f in df.schema.fields}
+    if missing:
+        raise ValueError(f"json_promote names absent from result: {sorted(missing)}")
+    return df.select(*cols)
 
 
 def read_query(
@@ -204,6 +293,7 @@ def read_query(
     result_schema: T.StructType,
     scratch_dir: str | None = None,
     label: str = "query",
+    json_promote: dict[str, T.DataType] | None = None,
 ) -> DataFrame:
     """Live query scan over the COPY bridge: stream ``inner_sql``'s
     result to scratch CSV, parse distributed with an all-string schema,
@@ -219,7 +309,8 @@ def read_query(
     )
     os.close(fd)
     copy_query_out(server, inner_sql, path)
-    return _parse_pg_csv(spark, [path], result_schema)
+    df = _parse_pg_csv(spark, [path], result_schema)
+    return _promote_json(df, json_promote) if json_promote else df
 
 
 def _parse_pg_csv(
@@ -248,14 +339,17 @@ def read_table(
     schema: str,
     table: str,
     scratch_dir: str | None = None,
+    json_promote: dict[str, T.DataType] | None = None,
 ) -> DataFrame:
     """Live full-table scan (S2 over the COPY bridge): reflect the
-    schema, then ``read_query`` the whole table."""
+    schema, then ``read_query`` the whole table. ``json_promote`` maps
+    json/jsonb column names to the Map/Struct type they should land as
+    (reflection carries them as string)."""
     st = reflect_table_schema(server, schema, table)
     return read_query(
         spark, server,
         f"SELECT * FROM {quote_qualified(schema, table)}",
-        st, scratch_dir=scratch_dir, label=table,
+        st, scratch_dir=scratch_dir, label=table, json_promote=json_promote,
     )
 
 
@@ -274,14 +368,33 @@ def _to_pg_text(field: T.StructField) -> Column:
     if isinstance(dt, T.BinaryType):
         out = F.concat(F.lit("\\x"), F.lower(F.hex(c)))
     elif isinstance(dt, T.ArrayType):
-        out = F.when(
-            c.isNotNull(),
-            F.concat(
-                F.lit("{"),
-                F.array_join(c.cast("array<string>"), ",", "NULL"),
-                F.lit("}"),
-            ),
-        )
+        if isinstance(dt.elementType, (T.StringType, T.CharType, T.VarcharType)):
+            # PG array-input quoting: always-quote each element (legal
+            # for any content), backslash-escaping \ and " — JVM-side
+            # regexp, no UDF. NULL elements stay the bare NULL token.
+            quoted = F.transform(
+                c,
+                lambda x: F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(
+                        F.regexp_replace(x, r"\\", r"\\\\"), '"', '\\\\"'
+                    ),
+                    F.lit('"'),
+                ),
+            )
+            out = F.when(
+                c.isNotNull(),
+                F.concat(F.lit("{"), F.array_join(quoted, ",", "NULL"), F.lit("}")),
+            )
+        else:
+            out = F.when(
+                c.isNotNull(),
+                F.concat(
+                    F.lit("{"),
+                    F.array_join(c.cast("array<string>"), ",", "NULL"),
+                    F.lit("}"),
+                ),
+            )
     elif isinstance(dt, (T.MapType, T.StructType)):
         out = F.to_json(c)  # lands in json/jsonb columns
     elif isinstance(dt, T.TimestampType):

@@ -1,0 +1,129 @@
+"""PG array-literal codec unit tests + server-less render/parse
+round-trip (VERDICT r3 "Next round" #5 — text[]/jsonb typed read).
+
+The live end-to-end test (real PostgreSQL COPY both ways) is
+test_pgcopy_live.py::test_text_array_and_jsonb_typed_roundtrip; these
+cover the codec itself, including the quoting corners, without a
+server in the loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgresql_transfer_tool_spark.sources.pgcopy import (
+    _from_pg_text,
+    _to_pg_text,
+    parse_pg_array_literal,
+)
+
+
+@pytest.mark.parametrize(
+    "lit,expected",
+    [
+        ("{}", []),
+        ("{a,b,c}", ["a", "b", "c"]),
+        ('{a,"b c",NULL}', ["a", "b c", None]),
+        ('{"NULL"}', ["NULL"]),  # quoted: the word, not the marker
+        ("{NULL}", [None]),
+        ('{""}', [""]),
+        ('{"a,b","{x}","\\"q\\""}', ["a,b", "{x}", '"q"']),
+        ('{"back\\\\slash"}', ["back\\slash"]),
+        ('{"línea\nnueva",plain}', ["línea\nnueva", "plain"]),
+        ("{ leading, trailing }", [" leading", " trailing "]),
+    ],
+)
+def test_parse_pg_array_literal(lit, expected):
+    assert parse_pg_array_literal(lit) == expected
+
+
+def test_parse_rejects_malformed():
+    assert parse_pg_array_literal(None) is None
+    with pytest.raises(ValueError):
+        parse_pg_array_literal("1,2,3")
+    with pytest.raises(ValueError):
+        parse_pg_array_literal('{"a"x}')
+
+
+def _roundtrip(spark, values):
+    """Render text[] with the write path, parse with the read path —
+    identity must hold for any element content."""
+    field = T.StructField("arr", T.ArrayType(T.StringType(), True), True)
+    df = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([field])
+    )
+    rendered = df.select(_to_pg_text(field))
+    lits = [r["arr"] for r in rendered.collect()]
+    return [parse_pg_array_literal(x) for x in lits]
+
+
+def test_render_parse_identity_adversarial(spark):
+    values = [
+        ["a", "b c", None, "NULL", "", 'quo"te', "back\\slash", "{brace},comma"],
+        [],
+        None,
+        ["\n", "\t", " ", "héllo 世界"],
+    ]
+    assert _roundtrip(spark, values) == values
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                max_size=12,
+            ),
+        ),
+        max_size=6,
+    )
+)
+def test_render_parse_identity_property(arr):
+    """Driver-side property: the render rule (always-quote + backslash
+    escapes) inverts through the parser for arbitrary content."""
+
+    def render(a):
+        if a is None:
+            return None
+        parts = [
+            "NULL"
+            if x is None
+            else '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            for x in a
+        ]
+        return "{" + ",".join(parts) + "}"
+
+    assert parse_pg_array_literal(render(arr)) == arr
+
+
+def test_spark_read_cast_string_array(spark):
+    """The distributed read path: array<string> column through
+    _from_pg_text decodes PG quoting (incl. NULL vs "NULL")."""
+    field = T.StructField("arr", T.ArrayType(T.StringType(), True), True)
+    df = spark.createDataFrame(
+        [('{a,"b,c",NULL,"NULL",""}',), ("{}",), (None,)],
+        T.StructType([T.StructField("arr", T.StringType(), True)]),
+    )
+    out = [r["arr"] for r in df.select(_from_pg_text(field)).collect()]
+    assert out == [["a", "b,c", None, "NULL", ""], [], None]
+
+
+def test_spark_read_cast_date_array(spark):
+    """Non-string quoted-element arrays cast element-wise after decode."""
+    field = T.StructField("ds", T.ArrayType(T.DateType(), True), True)
+    df = spark.createDataFrame(
+        [("{2024-01-02,NULL}",)],
+        T.StructType([T.StructField("ds", T.StringType(), True)]),
+    )
+    [row] = df.select(_from_pg_text(field)).collect()
+    import datetime
+
+    assert row["ds"] == [datetime.date(2024, 1, 2), None]

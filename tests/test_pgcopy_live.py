@@ -474,3 +474,92 @@ def test_property_arbitrary_strings_full_roundtrip(spark, pg_server):
         assert back == dict(enumerate(vals)), vals
 
     roundtrip()
+
+
+def test_text_array_and_jsonb_typed_roundtrip(spark, pg_server):
+    """text[] + jsonb through the bridge, both directions, bit-exact
+    (VERDICT r3 #5). Mirrors the reference's motivating table shape —
+    JSONB payload columns (event-table.sql:15-16) — plus the text-array
+    quoting corners ({a,"b c",NULL} rules: commas, quotes, backslashes,
+    braces, whitespace, empty string, the NULL-vs-"NULL" distinction)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        run_sql,
+        write_table,
+    )
+
+    run_sql(
+        pg_server,
+        "CREATE TABLE rt.arrjson (id int PRIMARY KEY, tags text[],"
+        " properties jsonb)",
+    )
+    run_sql(
+        pg_server,
+        "INSERT INTO rt.arrjson VALUES"
+        """ (1, ARRAY['a', 'b c', NULL, 'NULL', '', 'quo"te', 'back\\slash',"""
+        """ '{brace},comma'], '{"k": "v", "n": 7}'),"""
+        " (2, '{}', '{}'),"
+        " (3, NULL, NULL)",
+    )
+    promoted = read_table(
+        spark, pg_server, "rt", "arrjson",
+        json_promote={"properties": T.MapType(T.StringType(), T.StringType())},
+    )
+    rows = {r["id"]: r for r in promoted.collect()}
+    assert rows[1]["tags"] == [
+        "a", "b c", None, "NULL", "", 'quo"te', "back\\slash", "{brace},comma",
+    ]
+    assert rows[1]["properties"] == {"k": "v", "n": "7"}
+    assert rows[2]["tags"] == [] and rows[2]["properties"] == {}
+    assert rows[3]["tags"] is None and rows[3]["properties"] is None
+
+    # write the typed relation back out (map renders via to_json → jsonb,
+    # text[] via PG element quoting) and read it again: fixed point
+    write_table(promoted, pg_server, "rt", "arrjson2", primary_key=("id",))
+    [(t,)] = run_sql(
+        pg_server,
+        "SELECT data_type FROM information_schema.columns WHERE"
+        " table_schema='rt' AND table_name='arrjson2' AND column_name='tags'",
+    )
+    assert t == "ARRAY"
+    # server-side equality of the array payloads (no bridge in the loop)
+    assert run_sql(
+        pg_server,
+        "SELECT COUNT(*) FROM rt.arrjson a JOIN rt.arrjson2 b USING (id)"
+        " WHERE a.tags IS NOT DISTINCT FROM b.tags",
+    ) == [("3",)]
+    back = read_table(
+        spark, pg_server, "rt", "arrjson2",
+        json_promote={"properties": T.MapType(T.StringType(), T.StringType())},
+    )
+    assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
+        promoted.collect(), key=lambda r: r["id"]
+    )
+
+
+def test_read_query_json_promote_struct(spark, pg_server):
+    """json_promote with a StructType target (typed field extraction at
+    the bridge boundary, reusing the from_json promotion contract)."""
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_query
+
+    st = T.StructType([T.StructField("j", T.StringType(), True)])
+    df = read_query(
+        spark, pg_server,
+        """SELECT '{"a": 1, "b": "x"}'::jsonb AS j""",
+        st,
+        json_promote={
+            "j": T.StructType(
+                [
+                    T.StructField("a", T.LongType(), True),
+                    T.StructField("b", T.StringType(), True),
+                ]
+            )
+        },
+    )
+    [row] = df.collect()
+    assert row["j"]["a"] == 1 and row["j"]["b"] == "x"
