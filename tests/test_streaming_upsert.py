@@ -10,6 +10,8 @@ equal applying the batches sequentially in batch mode.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from postgresql_transfer_tool_spark.catalog import load_table
@@ -79,3 +81,109 @@ def test_foreachbatch_merge_maintains_target(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, final.select(*orders.columns).collect()))
     b = sorted(map(tuple, expected.select(*orders.columns).collect()))
     assert a == b
+
+
+def _tree_state(root):
+    """{relpath: (size, mtime_ns, sha256)} for every data file under root."""
+    import hashlib
+
+    state = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            h = hashlib.sha256(open(p, "rb").read()).hexdigest()
+            state[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, h)
+    return state
+
+
+def test_partition_pruned_upsert(spark, sf_dir, tmp_path):
+    """Partition-scoped CDC upsert (VERDICT r3 #7): only partitions
+    containing touched keys are rewritten — untouched partition files
+    stay byte-identical (same names, content hashes, AND mtimes), and
+    the merge's read side scans only the touched partitions."""
+    from postgresql_transfer_tool_spark.streaming.upsert import (
+        PartitionedUpsertSink,
+        upsert_partitions,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .withColumn("o_part", F.col("o_orderkey") % 5)
+    )
+    target = str(tmp_path / "tgt")
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.partitionBy(
+        "o_part"
+    ).parquet(target)
+
+    # CDC batch touches ONLY partition 1: updates to existing keys plus
+    # brand-new keys, all with o_orderkey % 5 == 1
+    updates = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 == 1)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 5 == 1)
+    )
+    batch = updates.unionByName(inserts)
+
+    before = _tree_state(target)
+
+    landing = str(tmp_path / "cdc")
+    batch.write.parquet(landing)
+    sink = PartitionedUpsertSink(
+        spark, target, key="o_orderkey", part_col="o_part",
+        update_cols=["o_totalprice", "o_orderstatus"],
+    )
+    q = (
+        spark.readStream.schema(batch.schema).parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    after = _tree_state(target)
+    untouched_before = {p: v for p, v in before.items() if "o_part=1/" not in p}
+    untouched_after = {p: v for p, v in after.items() if "o_part=1/" not in p}
+    assert untouched_before == untouched_after  # names, bytes, mtimes
+    assert {p for p in before if "o_part=1/" in p} != {
+        p for p in after if "o_part=1/" in p
+    }  # partition 1 actually rewritten
+
+    # state correctness vs batch-mode expectation
+    final = spark.read.parquet(target)
+    expected = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .join(batch.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(batch)
+    )
+    assert sorted(map(tuple, final.select(*orders.columns).collect())) == sorted(
+        map(tuple, expected.select(*orders.columns).collect())
+    )
+
+    # read-side pruning: a fresh pruned scan under the same predicate
+    # opens files ONLY under the touched partition
+    pruned = spark.read.parquet(target).filter(F.col("o_part").isin([1]))
+    assert pruned.count() > 0
+    from postgresql_transfer_tool_spark.plans import physical_plan
+
+    plan = physical_plan(pruned)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_part" in m.group(1) and "1" in m.group(1), plan
+
+    # partition-stability guard: a batch key stored under a different
+    # partition must be rejected, not double-stored
+    bad = batch.limit(1).withColumn("o_part", F.lit(2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not stable"):
+        upsert_partitions(
+            spark, target, bad, key="o_orderkey", part_col="o_part",
+            update_cols=["o_totalprice", "o_orderstatus"],
+        )
