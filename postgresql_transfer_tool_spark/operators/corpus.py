@@ -597,3 +597,179 @@ def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_b").alias("n_docs_b"),
         F.sum(F.col("has_a") * F.col("has_b")).alias("n_docs_both"),
     )
+
+
+#: BM25 constants (write 2.2 literally, never 1.2+1.0 — both engines
+#: must parse the identical double literal)
+_BM25_K1 = "1.2"
+_BM25_K1P1 = "2.2"
+_BM25_B = "0.75"
+_BM25_1MB = "0.25"
+#: query terms: document-frequency ranks 5-7 (skipping the saturated
+#: top stopword-like terms keeps the ranking discriminative)
+_BM25_RANKS = (5, 6, 7)
+_BM25_TOPN = 20
+
+
+@query(
+    "bm25_ranked_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+      WHERE len({_SQL_TOKS}) > 0
+    ),
+    dl AS (SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents
+           WHERE len({_SQL_TOKS}) > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS sum_dl
+          FROM documents WHERE len({_SQL_TOKS}) > 0),
+    dfr AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df,
+             ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, w) AS rk
+      FROM tok GROUP BY w
+    ),
+    terms AS (
+      SELECT MIN(CASE WHEN rk = {_BM25_RANKS[0]} THEN w END) AS term_a,
+             MIN(CASE WHEN rk = {_BM25_RANKS[0]} THEN df END) AS df_a,
+             MIN(CASE WHEN rk = {_BM25_RANKS[1]} THEN w END) AS term_b,
+             MIN(CASE WHEN rk = {_BM25_RANKS[1]} THEN df END) AS df_b,
+             MIN(CASE WHEN rk = {_BM25_RANKS[2]} THEN w END) AS term_c,
+             MIN(CASE WHEN rk = {_BM25_RANKS[2]} THEN df END) AS df_c
+      FROM dfr WHERE rk IN {_BM25_RANKS}
+    ),
+    tf AS (
+      SELECT tok.doc_id,
+             CAST(SUM(CASE WHEN tok.w = t.term_a THEN 1 ELSE 0 END) AS BIGINT) AS tf_a,
+             CAST(SUM(CASE WHEN tok.w = t.term_b THEN 1 ELSE 0 END) AS BIGINT) AS tf_b,
+             CAST(SUM(CASE WHEN tok.w = t.term_c THEN 1 ELSE 0 END) AS BIGINT) AS tf_c
+      FROM tok CROSS JOIN terms t
+      WHERE tok.w = t.term_a OR tok.w = t.term_b OR tok.w = t.term_c
+      GROUP BY tok.doc_id
+    ),
+    scored AS (
+      SELECT tf.doc_id, t.term_a, t.term_b, t.term_c,
+             tf.tf_a, tf.tf_b, tf.tf_c, dl.dl,
+             (CASE WHEN tf.tf_a > 0 THEN
+               ((CAST(n.n_docs AS DOUBLE) - CAST(t.df_a AS DOUBLE) + 0.5)
+                / (CAST(t.df_a AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf_a AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(tf.tf_a AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}
+                     + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+              ELSE 0.0 END
+             +
+             CASE WHEN tf.tf_b > 0 THEN
+               ((CAST(n.n_docs AS DOUBLE) - CAST(t.df_b AS DOUBLE) + 0.5)
+                / (CAST(t.df_b AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf_b AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(tf.tf_b AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}
+                     + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+              ELSE 0.0 END)
+             +
+             CASE WHEN tf.tf_c > 0 THEN
+               ((CAST(n.n_docs AS DOUBLE) - CAST(t.df_c AS DOUBLE) + 0.5)
+                / (CAST(t.df_c AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf_c AS DOUBLE) * {_BM25_K1P1})
+                  / (CAST(tf.tf_c AS DOUBLE) + {_BM25_K1} * ({_BM25_1MB}
+                     + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))))
+              ELSE 0.0 END AS score
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN terms t
+    )
+    SELECT doc_id, term_a, term_b, term_c, tf_a, tf_b, tf_c, dl, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+)
+def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOPN} ranked retrieval for a fixed 3-term query
+    (the corpus's document-frequency ranks 5-7 — deterministic, and
+    mid-frequency terms keep the ranking discriminative).
+
+    The score is the textbook Okapi form with a RATIONAL idf
+    ((N - df + 0.5)/(df + 0.5), no log): libm-vs-JVM log differs by
+    1 ulp (the engine's documented cross-engine FP trap), while this
+    form is a fixed sequence of correctly-rounded IEEE ops — the same
+    division-only portability trick as tfidf_top_terms, so even the
+    SCORE is bit-identical to the oracle. Per-doc scores add in fixed
+    (a, b, c) term order; zero-tf terms contribute an exact 0.0.
+
+    Scale shape: one tokenize pass; df ranks via TakeOrdered over the
+    term aggregate (no vocabulary-wide rank window); the 1-row query
+    relation broadcasts into a map-side postings filter (only rows for
+    the 3 queried terms survive the scan — at 100 TB with the postings
+    relation bucketed by term this touches 3 buckets); scoring is one
+    groupBy(doc_id) over those postings plus a broadcast join of the
+    per-doc length relation; the final top-{_BM25_TOPN} is
+    TakeOrderedAndProject, never a global sort. Reference analog: none
+    (corpus retrieval family, SURVEY §2.8/X4 derivative alongside
+    inverted_index_conjunctive)."""
+    toks = _spark_tokens(spark, sf_dir)
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    n = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("bigint")).alias("sum_dl"),
+    )
+    dfr = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    top = dfr.orderBy(F.col("df").desc(), "w").limit(max(_BM25_RANKS))
+    # rank rows 5-7 without a window: sort the 7-row result as an array
+    t = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("df")).alias("negdf"), "w", "df"))
+        ).alias("arr")
+    ).select(
+        *[
+            c
+            for i, name in zip(_BM25_RANKS, ("a", "b", "c"))
+            for c in (
+                F.col("arr")[i - 1]["w"].alias(f"term_{name}"),
+                F.col("arr")[i - 1]["df"].alias(f"df_{name}"),
+            )
+        ]
+    )
+    hits = (
+        tok.crossJoin(F.broadcast(t))
+        .filter(
+            (F.col("w") == F.col("term_a"))
+            | (F.col("w") == F.col("term_b"))
+            | (F.col("w") == F.col("term_c"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("w") == F.col(f"term_{x}"), 1).otherwise(0)
+                ).alias(f"tf_{x}")
+                for x in ("a", "b", "c")
+            ]
+        )
+    )
+    k1, k1p1 = float(_BM25_K1), float(_BM25_K1P1)
+    b, onemb = float(_BM25_B), float(_BM25_1MB)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(x: str):
+        tf = F.col(f"tf_{x}").cast("double")
+        dfx = F.col(f"df_{x}").cast("double")
+        idf = (F.col("n_docs").cast("double") - dfx + 0.5) / (dfx + 0.5)
+        denom = tf + F.lit(k1) * (
+            F.lit(onemb) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        return F.when(
+            F.col(f"tf_{x}") > 0, idf * ((tf * k1p1) / denom)
+        ).otherwise(F.lit(0.0))
+
+    score = (term_score("a") + term_score("b")) + term_score("c")
+    return (
+        hits.join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id", "term_a", "term_b", "term_c",
+            "tf_a", "tf_b", "tf_c", "dl",
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )
