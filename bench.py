@@ -63,11 +63,12 @@ MEMO_QUERIES = [
 def clear_memos() -> None:
     """Drop the cross-query memoized relations so the next execution
     pays its own materialization (memo-cold, JVM-warm)."""
-    from postgresql_transfer_tool_spark.operators import dedup, similarity
+    from postgresql_transfer_tool_spark.operators import corpus, dedup, similarity
 
     dedup._SHINGLE_CACHE.clear()
     dedup._LSH_PAIRS_CACHE.clear()
     similarity._QUANT_CACHE.clear()
+    corpus._TOKS_CACHE.clear()
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -42,6 +42,29 @@ def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: materialized token relation memo, keyed by (applicationId, sf_dir) —
+#: same pattern (and same reason) as dedup._SHINGLE_CACHE
+_TOKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _spark_tokens_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) lineage-cut BEFORE any explode consumer.
+
+    Generate's codegen re-evaluates its child array expression per
+    OUTPUT element, so ``explode(split(trim(text), '\\s+'))`` re-runs
+    the regex split once per token — O(tokens × doc_len) regex work per
+    document (the exact trap measured 7.2 s → 0.3 s on the shingle
+    pipeline, dedup.py:94-100). The checkpoint makes the explode a
+    plain column read; the memo shares the one materialization across
+    every corpus query in a session (tf-idf, inverted index, BM25)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TOKS_CACHE.get(key)
+    if cached is None:
+        cached = _spark_tokens(spark, sf_dir).localCheckpoint(eager=False)
+        _TOKS_CACHE[key] = cached
+    return cached
+
+
 @query(
     "corpus_ngram_topk",
     oracle=f"""
@@ -70,7 +93,7 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform into Generate's child, which re-evaluates the array per
     # output element (O(tokens²) per doc — see dedup.py's shingle memo).
     gram_arrays = (
-        _spark_tokens(spark, sf_dir)
+        _spark_tokens_materialized(spark, sf_dir)
         .filter(F.size("toks") >= 3)
         .select(
             F.expr(
@@ -124,7 +147,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     would rank identically for ties-free data but is not exactly
     portable). df is one extra aggregation over the same token relation;
     n_docs joins in as a broadcast scalar, never a driver collect."""
-    toks = _spark_tokens(spark, sf_dir)
+    toks = _spark_tokens_materialized(spark, sf_dir)
     tok = toks.select("doc_id", F.explode("toks").alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
@@ -195,7 +218,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches — materialize once instead of re-running the CPU-heavy
     # tokenize+5-gram expression per branch (same pattern as dedup.py).
     g = (
-        _spark_tokens(spark, sf_dir)
+        _spark_tokens_materialized(spark, sf_dir)
         .filter(F.size("toks") >= _NGRAM)
         .select("doc_id", grams_expr.alias("grams"))
         .repartition(32)
@@ -562,7 +585,7 @@ def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the queried terms' buckets. Reference analog: none
     (corpus retrieval family, SURVEY §2.8/X4 derivative)."""
     dw = (
-        _spark_tokens(spark, sf_dir)
+        _spark_tokens_materialized(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("w"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -704,7 +727,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort. Reference analog: none
     (corpus retrieval family, SURVEY §2.8/X4 derivative alongside
     inverted_index_conjunctive)."""
-    toks = _spark_tokens(spark, sf_dir)
+    toks = _spark_tokens_materialized(spark, sf_dir)
     tok = toks.select("doc_id", F.explode("toks").alias("w"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
     n = toks.agg(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_row_count
+from .corpus import _spark_tokens_materialized
 from .registry import query
 from .similarity import (
     DIM,
@@ -211,11 +212,11 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split of "" still yields one element), so the segment sequence is
     always non-degenerate.
     """
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-    )
+    # memoized pre-explode materialization: without the lineage cut,
+    # Generate re-evaluates the segment-hash array expression — and the
+    # regex split feeding it — per output element, O(segments × doc_len)
+    # regex per document (dedup.py's shingle trap, corpus._TOKS_CACHE)
+    docs = _spark_tokens_materialized(spark, sf_dir)
     segs = docs.select(
         "doc_id",
         F.explode(
