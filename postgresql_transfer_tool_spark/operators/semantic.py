@@ -57,6 +57,41 @@ ASSIGN_PROBES = 2
 SEG_WORDS = 10
 
 
+def _assigned_cells(spark: SparkSession, sf_dir: str):
+    """(quantized relation, (vec_id, cluster_id) assignment) — the
+    broadcast-centroid multi-probe assignment shared by the SemDeDup
+    query and the scale tests (which assert per-cell candidate volume
+    stays linear across decades)."""
+    # the quantized relation feeds the centroid set and both pair
+    # sides — the session-level memoized materialization
+    # (similarity._spark_quantized_materialized) serves all of them
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
+    # cell count from the parquet footer (exact, no scan job) — same
+    # statistics source as the ANN family (VERDICT r3 #8)
+    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
+    cent = q.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("ncent"),
+    )
+    cdot = _spark_dot("qe", "ce")
+    ccos = cdot.cast("double") / (
+        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    # assignment is self-joined for pairing — checkpoint the (vec_id,
+    # cluster_id) relation so the broadcast-assign pass runs once
+    assigned = (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= ASSIGN_PROBES)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    return q, assigned
+
+
 @query(
     "dedup_semantic_clusters",
     oracle=f"""
@@ -115,33 +150,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroid choice for k-means iterations — the dataflow
     (broadcast assign + cell-local pairing) is identical.
     """
-    # the quantized relation feeds the centroid set and both pair
-    # sides — the session-level memoized materialization
-    # (similarity._spark_quantized_materialized) serves all of them
-    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    # cell count from the parquet footer (exact, no scan job) — same
-    # statistics source as the ANN family (VERDICT r3 #8)
-    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
-    cent = q.filter(F.col("vec_id") < nc).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("ce"),
-        F.col("nq").alias("ncent"),
-    )
-    cdot = _spark_dot("qe", "ce")
-    ccos = cdot.cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
-    )
-    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    # assignment is self-joined for pairing — checkpoint the (vec_id,
-    # cluster_id) relation so the broadcast-assign pass runs once
-    assigned = (
-        q.join(F.broadcast(cent))
-        .select("vec_id", "cid", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(cw))
-        .filter(F.col("crk") <= ASSIGN_PROBES)
-        .select("vec_id", F.col("cid").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
+    q, assigned = _assigned_cells(spark, sf_dir)
     cand = (
         assigned.select(F.col("vec_id").alias("doc_a"), "cluster_id")
         .join(

@@ -24,8 +24,14 @@ from postgresql_transfer_tool_spark.operators.text import winnow_fps_df
 
 
 def _kept_bucket_sizes(spark, sf_dir):
-    fp = winnow_fps_df(spark, sf_dir).select(
-        "doc_id", F.explode("fps").alias("fp")
+    # checkpoint before the explode (same reason as the engine's
+    # dedup_winnowing_overlap): without the barrier, the generate-infer
+    # filter inlines the fps chain and re-evaluates it per window
+    fp = (
+        winnow_fps_df(spark, sf_dir)
+        .select("doc_id", "fps")
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("fps").alias("fp"))
     )
     counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
     return counts.filter(F.col("df") <= WINNOW_DF_CAP)
