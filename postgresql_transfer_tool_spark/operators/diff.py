@@ -256,3 +256,124 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents_delta"),
         )
     )
+
+
+_COLDIFF_ORACLE = """
+    WITH old AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             o_orderstatus, o_orderpriority
+      FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN cents + 100 ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 79 = 0 THEN '9-RUSH' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM old WHERE o_orderkey % 97 <> 0
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.cents <> n.cents THEN 1 ELSE 0 END AS d_price,
+             CASE WHEN o.o_orderstatus <> n.o_orderstatus THEN 1 ELSE 0 END AS d_status,
+             CASE WHEN o.o_orderpriority <> n.o_orderpriority THEN 1 ELSE 0 END AS d_priority
+      FROM old o JOIN new n USING (o_orderkey)
+    )
+    SELECT col, n_changed, changed_key_sum FROM (
+      SELECT 'o_totalprice' AS col, CAST(SUM(d_price) AS BIGINT) AS n_changed,
+             CAST(SUM(d_price * o_orderkey) AS BIGINT) AS changed_key_sum FROM j
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(SUM(d_status) AS BIGINT),
+             CAST(SUM(d_status * o_orderkey) AS BIGINT) FROM j
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(SUM(d_priority) AS BIGINT),
+             CAST(SUM(d_priority * o_orderkey) AS BIGINT) FROM j
+    ) t
+    """
+
+
+@query("snapshot_diff_columns", oracle=_COLDIFF_ORACLE)
+def snapshot_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drill-down of the keyed snapshot diff: for keys
+    present in BOTH snapshots, count per COLUMN how many rows changed
+    (price repriced on keys %89, status flipped on %83, priority
+    rewritten on %79; %97 keys dropped so the matched set is real).
+    This is the audit a sync operator runs after ``snapshot_diff``
+    says "3 1 2 changed": WHICH columns drifted, with a key checksum per
+    column so divergent rows can be fetched. Shape at scale: one keyed
+    equi-join (same shuffle as the row diff), then the per-column
+    comparisons fold into ONE aggregation producing a fixed-width row —
+    the long (column, count) form is a constant-size unpivot of that
+    single row, so column count multiplies neither shuffles nor scans.
+    Reference analog: verify_data_transfer_script.py's count check,
+    upgraded to column granularity (SURVEY §2.6)."""
+    cents = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents, "o_orderstatus", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    new = old.filter(key % 97 != 0).select(
+        "o_orderkey",
+        F.when(key % 89 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(key % 83 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(key % 79 == 0, F.lit("9-RUSH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    o = old.select(
+        "o_orderkey",
+        F.col("cents").alias("_o_cents"),
+        F.col("o_orderstatus").alias("_o_status"),
+        F.col("o_orderpriority").alias("_o_priority"),
+    )
+    j = o.join(new, "o_orderkey")
+    flags = j.select(
+        "o_orderkey",
+        (F.col("_o_cents") != F.col("cents")).cast("bigint").alias("d_price"),
+        (F.col("_o_status") != F.col("o_orderstatus"))
+        .cast("bigint")
+        .alias("d_status"),
+        (F.col("_o_priority") != F.col("o_orderpriority"))
+        .cast("bigint")
+        .alias("d_priority"),
+    )
+    wide = flags.agg(
+        F.sum("d_price").alias("n_price"),
+        F.sum(F.col("d_price") * F.col("o_orderkey")).alias("k_price"),
+        F.sum("d_status").alias("n_status"),
+        F.sum(F.col("d_status") * F.col("o_orderkey")).alias("k_status"),
+        F.sum("d_priority").alias("n_priority"),
+        F.sum(F.col("d_priority") * F.col("o_orderkey")).alias("k_priority"),
+    )
+    # constant-size unpivot of the single aggregated row
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_price").alias("n_changed"),
+                    F.col("k_price").alias("changed_key_sum"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("n_status").alias("n_changed"),
+                    F.col("k_status").alias("changed_key_sum"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("n_priority").alias("n_changed"),
+                    F.col("k_priority").alias("changed_key_sum"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.col", "c.n_changed", "c.changed_key_sum")

@@ -389,3 +389,59 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         d("ds").alias("daily_sum"),
         F.when(F.col("n_prior") >= 3, z).alias("zscore"),
     )
+
+
+#: debounce gap: a repeat (user, event_type) arrival within this many
+#: microseconds of its predecessor is a bounce, not a new signal
+DEBOUNCE_GAP_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "events_debounce_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap >= {DEBOUNCE_GAP_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap >= {DEBOUNCE_GAP_US}
+                         THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM g GROUP BY user_id, event_type
+    """,
+)
+def events_debounce_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-debounce event dedup: within each (user, event_type) series,
+    an arrival closer than DEBOUNCE_GAP_US to its predecessor is a
+    bounce (double-click, retry storm, at-least-once replay) and is
+    dropped; the first arrival of each burst survives. The batch analog
+    of streaming dropDuplicates-within-watermark, and the standard
+    pre-aggregation pass a clickstream pipeline runs before counting.
+
+    This is the lag-gap (predecessor-relative) form — one partitioned
+    lag window per series plus one aggregation, fully parallel per
+    (user, type) key with deterministic (ts, event_id) ordering; the
+    burst-anchor-relative form needs a running-state scan
+    (applyInPandasWithState in streaming/stateful.py covers that
+    shape). Output is the per-series audit (total, kept, checksum of
+    kept ids) rather than the kept rows, keeping the driver compare
+    compact at any SF. Reference analog: none (event-table family,
+    SURVEY §2.8/I3 derivative)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    kept = gap.isNull() | (gap >= DEBOUNCE_GAP_US)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("kept", kept)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("event_id")).otherwise(F.lit(0)))
+            .alias("kept_id_sum"),
+        )
+    )
