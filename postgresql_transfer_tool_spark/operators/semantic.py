@@ -244,3 +244,121 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_segments"),
         (dup.cast("double") / F.count("*").cast("double")).alias("dup_frac"),
     )
+
+
+_SQL_D2 = f"list_sum(list_transform(range({DIM}), i -> (v[i+1] - ce[i+1]) * (v[i+1] - ce[i+1])))"
+
+
+@query(
+    "ivf_kmeans_refine",
+    oracle=f"""
+    WITH {_SQL_QUANTIZED},
+    {_SQL_NCELLS},
+    cent0 AS (
+      SELECT vec_id AS cid, qe AS ce FROM q
+      WHERE vec_id < (SELECT nc FROM params)
+    ),
+    a0 AS (
+      SELECT vec_id, cid, qe FROM (
+        SELECT q.vec_id, c.cid, q.qe,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range({DIM}),
+                   i -> (q.qe[i+1] - c.ce[i+1]) * (q.qe[i+1] - c.ce[i+1]))),
+                 c.cid) AS rk
+        FROM q CROSS JOIN cent0 c
+      ) t WHERE rk = 1
+    ),
+    cent1 AS (
+      SELECT cid,
+             list_transform(range({DIM}), d -> CAST(FLOOR(
+               CAST(list_sum(list_transform(vecs, v -> v[d+1])) AS DOUBLE)
+               / CAST(len(vecs) AS DOUBLE)) AS BIGINT)) AS ce
+      FROM (SELECT cid, list(qe ORDER BY vec_id) AS vecs FROM a0 GROUP BY cid) g
+    ),
+    a1 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(range({DIM}),
+                 i -> (q.qe[i+1] - c.ce[i+1]) * (q.qe[i+1] - c.ce[i+1]))) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range({DIM}),
+                   i -> (q.qe[i+1] - c.ce[i+1]) * (q.qe[i+1] - c.ce[i+1]))),
+                 c.cid) AS rk
+        FROM q CROSS JOIN cent1 c
+      ) t WHERE rk = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM a1 GROUP BY cid
+    """,
+)
+def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means refinement pass over the IVF cells, oracle-exact.
+
+    The docstring promise of dedup_semantic_clusters ("real deployments
+    would swap the deterministic centroid choice for k-means
+    iterations") made concrete: init centroids = lowest-nc vec_ids,
+    Lloyd assign (exact integer squared distance, ties to lowest cid),
+    recompute centroids as the floor of each dimension's member mean
+    (floor(Σ/ n) in double — Σ < 2⁵³ so the division is correctly
+    rounded and the floor is engine-portable; integer-division
+    semantics differ between engines on negatives, FLOOR does not),
+    reassign, and report per-cell membership + exact integer inertia.
+
+    Scale shape: the centroid relation (nc rows) broadcasts both
+    times; assignment is a map-side cross against the broadcast with a
+    min(struct(d2, cid)) partial aggregate — the corpus never
+    shuffles for assignment, only the (cid, per-dim partial sums)
+    relation moves for the recompute step (posexplode → groupBy(cid,
+    dim) is mergeable map-side). Each added Lloyd iteration repeats
+    the same two stages — cost is iterations × O(n·nc·DIM) flops and
+    one small shuffle, the standard distributed k-means layout.
+    Reference analog: none (clustering family, SURVEY §2.8/X3
+    derivative)."""
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe")
+    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
+    cent0 = q.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+
+    def d2():
+        return F.aggregate(
+            F.zip_with("qe", "ce", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        """argmin centroid per vector — min(struct) partial aggregate,
+        never a per-vector sort window."""
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "qe", F.struct(d2().alias("d2"), F.col("cid")).alias("s")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min("s").alias("best"), F.first("qe").alias("qe")
+        ).select(
+            "vec_id", "qe",
+            F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"),
+        )
+
+    a0 = assign(cent0).localCheckpoint(eager=True)
+    # recompute: per-dim member sums via posexplode (map-side combinable)
+    sums = (
+        a0.select("cid", F.posexplode("qe").alias("d", "v"))
+        .groupBy("cid", "d")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    mean = F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast(
+        "bigint"
+    )
+    cent1 = (
+        sums.select("cid", "d", mean.alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select("cid", F.col("dm.m").alias("ce"))
+    )
+    a1 = assign(cent1)
+    return a1.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d2").alias("inertia"),
+    )

@@ -113,3 +113,45 @@ def test_segment_dedup_property_vs_python_reference(spark):
         assert got == reference(texts)
 
     check()
+
+
+def test_kmeans_refine_reduces_inertia(spark, sf_dir):
+    """Lloyd guarantee: one refinement iteration must not increase the
+    total within-cell squared distance (floor-rounded centroids can in
+    principle nudge it, so assert <= with the exact integer sums)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.semantic import (
+        ivf_kmeans_refine,
+    )
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        _spark_quantized_materialized,
+        ivf_cells_for,
+    )
+    from postgresql_transfer_tool_spark.catalog import table_row_count
+
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe")
+    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
+    cent0 = q.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    [init_inertia] = (
+        q.crossJoin(F.broadcast(cent0))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("cid")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("best"))
+        .agg(F.sum("best.d2").cast("bigint"))
+        .first()
+    )
+    [refined_inertia] = (
+        ivf_kmeans_refine(spark, sf_dir)
+        .agg(F.sum("inertia").cast("bigint"))
+        .first()
+    )
+    assert refined_inertia <= init_inertia, (init_inertia, refined_inertia)
+    assert refined_inertia > 0
