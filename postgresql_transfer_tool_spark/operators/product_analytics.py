@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cumsum import running_sum
 from .registry import query
 
 #: retention horizon (days after the cohort day)
@@ -380,3 +381,48 @@ def active_users_rolling_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_cols(agg, spark).select(
         "day", "m_nonzero", "reg_sum_scaled", "ndv_hll"
     )
+
+
+@query(
+    "running_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+)
+def running_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the product growth curve.
+
+    A naive COUNT(DISTINCT) per day over an expanding frame is
+    quadratic state; the standard linear decomposition is: each user
+    contributes only at their FIRST day (one groupBy(user) min), the
+    per-day new-user counts are a day-level relation, and the running
+    total is a cumsum over days. The cumsum uses the two-phase
+    range-partitioned form (functions/cumsum.py) — no single-task
+    WindowExec even though the day relation is small here, because at
+    100 TB the same query runs at hour/minute granularity over years
+    (the oracle's serial window is fine for DuckDB; the Spark plan must
+    not mirror it). Reference analog: none (product-analytics family,
+    SURVEY §2.8 derivative)."""
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("n_new"))
+    return running_sum(
+        per_day,
+        order_by=[F.col("day")],
+        value=F.col("n_new"),
+        alias="cumulative_users",
+    ).select("day", "n_new", F.col("cumulative_users").cast("bigint").alias("cumulative_users"))
