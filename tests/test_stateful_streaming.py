@@ -36,3 +36,52 @@ def test_stateful_user_activity_converges_to_batch(spark, sf_dir, tmp_path):
         # float sum tolerance: streaming folds in micro-batch order
         assert math.isclose(s["total_value"], b["total_value"], rel_tol=1e-9), uid
         assert s["last_seen"] == b["last_seen"], uid
+
+
+def test_streaming_debounce_matches_batch_anchor(spark, sf_dir, tmp_path):
+    """Burst-anchor debounce as a stateful streaming operator: two
+    time-split landing files processed as TWO micro-batches (state
+    carries the last-kept timestamp across the batch boundary) must
+    produce exactly the batch ground truth — including bursts that
+    straddle the file split, which a stateless per-batch debounce
+    would re-arm."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.streaming.stateful import (
+        batch_debounce_anchor,
+        streaming_debounce,
+    )
+
+    gap_us = 600_000_000  # 10 minutes, same as the batch lag-gap query
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    [(split_ts,)] = (
+        events.agg(F.expr("percentile_approx(ts, 0.5)")).collect()
+    )
+    landing = str(tmp_path / "landing")
+    # one file per half, written separately so maxFilesPerTrigger=1
+    # yields one micro-batch per time slice, in time order
+    events.filter(F.col("ts") <= split_ts).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    events.filter(F.col("ts") > split_ts).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+
+    q = streaming_debounce(
+        spark, landing, gap_us, query_name="debounce_t", max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM debounce_t")
+    expected = batch_debounce_anchor(spark, landing, gap_us)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert g == e and len(g) > 0
+    # kept set is strictly smaller than the input (bursts exist) and
+    # every kept gap within a series clears the threshold
+    n_in = events.count()
+    assert 0 < len(g) < n_in
