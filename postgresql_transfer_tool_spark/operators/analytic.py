@@ -288,3 +288,46 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+@query(
+    "salted_hotkey_value_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hotkey_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation through a salted intermediate key
+    (functions/skew.py), driver-verified against the plain GROUP BY —
+    the point of salting is that it is CORRECTNESS-NEUTRAL: sum/count
+    decompose over the salt, so both plans produce identical values
+    while the salted one spreads each hot key over n_salts reducers.
+    The fixture's event_type column has single-digit cardinality over
+    hundreds of thousands of rows — exactly the shape where a plain
+    groupBy funnels everything through ~5 reducers and a 100 TB run
+    stalls on the hottest one. (Spark's own partial aggregation already
+    combines map-side; the salt additionally splits the REDUCE side,
+    which matters when per-key reduce state is large — collect_list,
+    exact distinct — or AQE skew handling is unavailable mid-pipeline.)
+    The decimal sum keeps the total exact so the salted regrouping is
+    bit-identical to the oracle's single-pass sum under any row
+    distribution. Reference analog: none (scale-infrastructure family,
+    SURVEY §2.8 derivative; see also tests/test_skew.py)."""
+    from ..functions.skew import salted_count_sum
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_count_sum(
+        events,
+        "event_type",
+        F.col("value").cast("decimal(14,4)"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total").cast("string").cast("double").alias("total_value"),
+    )
