@@ -722,8 +722,13 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation broadcasts into a map-side postings filter (only rows for
     the 3 queried terms survive the scan — at 100 TB with the postings
     relation bucketed by term this touches 3 buckets); scoring is one
-    groupBy(doc_id) over those postings plus a broadcast join of the
-    per-doc length relation; the final top-{_BM25_TOPN} is
+    groupBy(doc_id) over those postings plus a plain equi-join with
+    the per-doc length relation on doc_id — NO broadcast hint: the
+    length relation is O(N_docs) (one row per corpus document), so a
+    forced broadcast would overflow driver/executor memory at 10^8+
+    docs; the hits side is the bounded one (docs containing the 3
+    query terms), and AQE converts the join to a broadcast at runtime
+    whenever either side is genuinely small. The final top-{_BM25_TOPN} is
     TakeOrderedAndProject, never a global sort. Reference analog: none
     (corpus retrieval family, SURVEY §2.8/X4 derivative alongside
     inverted_index_conjunctive)."""
@@ -785,7 +790,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     score = (term_score("a") + term_score("b")) + term_score("c")
     return (
-        hits.join(F.broadcast(dl), "doc_id")
+        hits.join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(t))
         .select(

@@ -51,6 +51,17 @@ def merge_into(
     (one narrow column of the target moves, not the table). Spark
     cannot broadcast a full-outer join, so the single-join formulation
     would silently sort-merge-shuffle 100 TB.
+
+    ``broadcast_source=True`` is a CALLER CONTRACT: the source must be
+    bounded by construction (a CDC micro-batch, a bounded key range) —
+    the hint exists because Catalyst's size estimate for a derived
+    batch is often unknown, exactly when a hint is justified. Pass
+    ``broadcast_source=False`` whenever the source can grow with the
+    data; the plain join lets AQE pick broadcast vs shuffle at runtime.
+    The registry demo queries synthesize their batches from base
+    tables, so the plan-sweep (``tests/test_plans.py`` broadcast-hint
+    sweep) carries an explicit allowlist entry for them citing this
+    contract.
     """
     t = target.alias("t")
     s = (F.broadcast(source) if broadcast_source else source).alias("s")

@@ -274,7 +274,7 @@ def active_users_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).join(
-        F.broadcast(daily.select(F.col("day").alias("d"))),
+        F.broadcast(daily.select(F.col("day").alias("d")).distinct()),
         "d",
         "left_semi",
     )

@@ -112,7 +112,10 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promo revenue share (conditional-sum ratio; part side broadcasts)."""
+    """Promo revenue share (conditional-sum ratio). No broadcast hint on
+    the part side: part grows with SF (O(N) at 100 TB), so the join is
+    a plain equi-join — AQE broadcasts it at runtime when genuinely
+    small, and shuffles on p_partkey when not."""
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
@@ -120,7 +123,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _revenue_col()
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
@@ -195,7 +198,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | band("Brand#13", 20, 50, 20, 50)
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(_revenue_col()).cast("double").alias("revenue"),
@@ -225,7 +228,7 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
     )
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -104,6 +104,82 @@ def _top_level_bracket_contents(s: str) -> list[str]:
     return groups
 
 
+#: Logical-plan node classes that bound the cardinality of everything
+#: above them: an aggregation collapses to one row per group key and a
+#: limit to a constant. (A groupBy on a high-cardinality key is not
+#: truly bounded, but per the sweep's contract an *intervening
+#: aggregation* counts — the target bug class is hinting a raw or
+#: merely-projected/filtered unbounded relation, VERDICT r4 #1.)
+#: Deduplicate (``.distinct()``) counts for the same reason Aggregate
+#: does: it collapses to the key domain's cardinality.
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+#: Leaf classes whose cardinality is a plan-time constant.
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "OneRowRelation$"}
+
+#: Base tables that are bounded by the data model itself (TPC-H fixes
+#: region at 5 rows and nation at 25 at every scale factor) —
+#: recognized by their column-name prefix on the relation's output.
+_BOUNDED_TABLE_PREFIXES = ("r_", "n_")
+
+
+def _hint_subtree_unbounded_leaves(node) -> list[str]:
+    """Leaves of a ResolvedHint subtree that are NOT plan-time bounded,
+    stopping descent at bounding nodes (Aggregate/Limit). Empty list ⇒
+    the hinted relation's size is independent of base-table size."""
+    cls = node.getClass().getSimpleName()
+    if cls in _BOUNDING_NODES:
+        return []
+    children = node.children()
+    if children.length() == 0:
+        if cls in _BOUNDED_LEAVES:
+            return []
+        out = node.output()
+        names = [out.apply(i).name() for i in range(out.length())]
+        if names and any(
+            all(n.startswith(p) for n in names) for p in _BOUNDED_TABLE_PREFIXES
+        ):
+            return []
+        return [f"{cls}[{','.join(names[:6])}{'…' if len(names) > 6 else ''}]"]
+    bad: list[str] = []
+    for i in range(children.length()):
+        bad.extend(_hint_subtree_unbounded_leaves(children.apply(i)))
+    return bad
+
+
+def broadcast_hint_violations(df: DataFrame) -> list[str]:
+    """Every ``F.broadcast()`` hint in the analyzed logical plan whose
+    hinted subtree is derived from an unbounded base table with no
+    intervening aggregation or limit — the bug class of VERDICT r4
+    "What's wrong" #1 (bm25 broadcast-hinting the O(N_docs) doc-length
+    relation). A forced broadcast of a relation that grows with the
+    data ODMs the driver at 100 TB no matter how small it is at test
+    scale; Catalyst's *auto* broadcast (size-threshold / AQE) is not a
+    hint and is not flagged.
+
+    Works on the ANALYZED plan because hints are erased during
+    optimization (EliminateResolvedHint folds them into the join), so
+    the physical plan cannot distinguish a hinted broadcast from an
+    auto one. Returns one descriptive string per offending hint."""
+    violations: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+            bad = _hint_subtree_unbounded_leaves(node)
+            if bad:
+                violations.append(
+                    "broadcast hint over unbounded leaves "
+                    + ", ".join(sorted(set(bad)))
+                )
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return violations
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of Window nodes with NO partition spec — each one is a
     serial single-task bottleneck at scale (WindowExec moves all rows to

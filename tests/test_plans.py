@@ -341,3 +341,105 @@ def test_no_serial_windows_anywhere_in_the_registry(spark, sf_dir):
         if n:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_broadcast_hint_detector_sees_unbounded_hint(spark, sf_dir):
+    """Meta-test: restoring the VERDICT-r4 bm25 bug (a broadcast hint
+    on a projection of an unbounded base table with no intervening
+    aggregation/limit — corpus.py's old ``F.broadcast(dl)``) must be
+    flagged, otherwise the registry sweep below proves nothing."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.plans import broadcast_hint_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.length("text").alias("dl"))  # O(N_docs)
+    hits = docs.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    bad = hits.join(F.broadcast(dl), "doc_id")
+    assert broadcast_hint_violations(bad), "detector missed an O(N) hint"
+    # and the bounded forms it must NOT flag:
+    agg = docs.groupBy().agg(F.count("*").alias("n"))
+    assert broadcast_hint_violations(hits.crossJoin(F.broadcast(agg))) == []
+    top = dl.orderBy("dl").limit(10)
+    assert broadcast_hint_violations(hits.join(F.broadcast(top), "doc_id")) == []
+
+
+def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
+    """Engine-wide invariant (VERDICT r4 "Next round" #2, the sibling of
+    the serial-window sweep): no registered query may apply an
+    ``F.broadcast()`` hint to a relation that grows with the base data
+    unless an aggregation/limit/distinct intervenes. A forced broadcast
+    of an O(N) relation ODMs the driver at 100 TB regardless of how
+    small it is at test scale — the exact way bm25's ``broadcast(dl)``
+    slipped through r4 (since fixed, and this sweep fails if restored).
+
+    ALLOWLIST — every entry is bounded by construction but the plan
+    cannot prove it (the directive's "documented 1-row / dimension /
+    salt / spine relations"), keyed to the EXACT violation signature so
+    a new bad hint in an allowlisted query still fails:
+
+    - ann_bruteforce_topk / ann_ivf_topk / ann_pq_topk / knn_label_vote:
+      the query-vector relation is ``vec_id < N_QUERIES`` (keyset
+      filter-to-constant, ≤ N_QUERIES rows at any scale); the
+      ``localCheckpoint`` barrier renders it as an opaque LogicalRDD.
+    - ndv_hll_deterministic / active_users_rolling_hll_det:
+      ``hll_ln_table`` is a 1024-row Python-literal lookup grid
+      (createDataFrame from a local list parses as LogicalRDD, not
+      LocalRelation).
+    - range_join_value_bands: a 3-row literal bands table, same
+      createDataFrame-as-LogicalRDD rendering.
+    - supplier_part_overlap_kmv: sketches are keyset-bounded upstream
+      (``l_suppkey <= KMV_SUPPLIERS`` → ≤ KMV_SUPPLIERS·KMV_K rows);
+      the checkpoint hides the filter.
+    - timeseries_gap_fill: the broadcast side is the checkpointed
+      per-(event_type, day) aggregate — bounded by the type×day domain,
+      invisible behind the LogicalRDD barrier.
+    - merge_upsert_orders / merge_scd2_customer_balance:
+      ``merge_into(broadcast_source=True)`` is a documented CALLER
+      CONTRACT (CDC batches bounded by construction; see merge.py
+      docstring) — the demo queries synthesize their batches from base
+      tables, which is what the sweep sees.
+    """
+    from postgresql_transfer_tool_spark.operators import registry
+    from postgresql_transfer_tool_spark.plans import broadcast_hint_violations
+
+    registry.load_all()
+    V_QUERYVEC = "broadcast hint over unbounded leaves LogicalRDD[vec_id,label,qe,nq]"
+    V_LNTABLE = "broadcast hint over unbounded leaves LogicalRDD[v_empty,lin_est]"
+    allowed = {
+        "ann_bruteforce_topk": [V_QUERYVEC],
+        "ann_ivf_topk": [V_QUERYVEC],
+        "ann_pq_topk": [V_QUERYVEC],
+        "knn_label_vote": [V_QUERYVEC],
+        "ndv_hll_deterministic": [V_LNTABLE],
+        "active_users_rolling_hll_det": [V_LNTABLE],
+        "range_join_value_bands": [
+            "broadcast hint over unbounded leaves LogicalRDD[band,lo,hi]"
+        ],
+        "supplier_part_overlap_kmv": [
+            "broadcast hint over unbounded leaves LogicalRDD[sk,h]"
+        ],
+        "timeseries_gap_fill": [
+            "broadcast hint over unbounded leaves LogicalRDD[event_type,day,daily_sum]"
+        ],
+        "merge_upsert_orders": [
+            "broadcast hint over unbounded leaves LogicalRelation"
+            "[o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,"
+            "o_orderpriority]"
+        ],
+        "merge_scd2_customer_balance": [
+            "broadcast hint over unbounded leaves LogicalRelation"
+            "[c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment]"
+        ],
+    }
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        v = sorted(set(broadcast_hint_violations(fn(spark, sf_dir))))
+        if v and v != allowed.get(name):
+            offenders[name] = v
+    assert not offenders, offenders
+    stale = {n for n in allowed if not broadcast_hint_violations(
+        registry.QUERIES[n](spark, sf_dir)
+    )}
+    assert not stale, f"allowlist entries no longer needed: {stale}"
