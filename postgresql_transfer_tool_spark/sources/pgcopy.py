@@ -231,17 +231,87 @@ def _parse_pg_array_col(c: Column) -> Column:
     return decode(c)
 
 
+def parse_pg_row_literal(s: str | None) -> list[str | None] | None:
+    """Decode one PostgreSQL composite (row-type) output literal into
+    its field strings (PostgreSQL docs, "Composite Type Input and
+    Output Syntax"): fields are comma-separated inside ``()``; a field
+    is double-quoted on output when it is empty or contains
+    ``( ) , " \\`` or whitespace; embedded quotes/backslashes are
+    DOUBLED on output (``""`` / ``\\\\``), though input also accepts
+    backslash escapes — both are handled. A completely empty unquoted
+    field is NULL (unlike arrays, there is no NULL keyword; the quoted
+    empty string ``""`` is an empty string)."""
+    if s is None:
+        return None
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"not a row literal: {s!r}")
+    body = s[1:-1]
+    out: list[str | None] = []
+    i, n = 0, len(body)
+    while True:
+        if i < n and body[i] == '"':
+            i += 1
+            buf: list[str] = []
+            while True:
+                if i >= n:
+                    raise ValueError(f"unterminated quote in row literal: {s!r}")
+                ch = body[i]
+                if ch == "\\":
+                    buf.append(body[i + 1])
+                    i += 2
+                elif ch == '"':
+                    if i + 1 < n and body[i + 1] == '"':  # doubled quote
+                        buf.append('"')
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    buf.append(ch)
+                    i += 1
+            out.append("".join(buf))
+        else:
+            j = body.find(",", i)
+            tok = body[i:] if j < 0 else body[i:j]
+            out.append(None if tok == "" else tok)
+            i = n if j < 0 else j
+        if i == n:
+            return out
+        if body[i] != ",":
+            raise ValueError(f"malformed row literal at offset {i}: {s!r}")
+        i += 1
+
+
+def _parse_pg_row_col(c: Column) -> Column:
+    """Arrow-batched decode of a PG row-literal column → array<string>
+    of its field strings (same vectorized-batch discipline as
+    ``_parse_pg_array_col``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def decode(col: pd.Series) -> pd.Series:
+        return col.map(parse_pg_row_literal, na_action="ignore")
+
+    return decode(c)
+
+
+def _scalar_from_pg_text(c: Column, dt: T.DataType) -> Column:
+    """COPY-text → typed value for one SCALAR (the shared conversion
+    for top-level columns, array elements, and composite fields)."""
+    if isinstance(dt, T.BooleanType):
+        return c == "t"  # null-preserving: NULL == 't' is NULL
+    if isinstance(dt, T.BinaryType):
+        return F.unhex(c.substr(F.lit(3), F.length(c)))  # strip leading \x
+    return c.cast(dt)  # numerics, timestamp, date, string: ANSI cast
+
+
 def _from_pg_text(field: T.StructField) -> Column:
     """Cast one all-string CSV column to its reflected Spark type, using
     PostgreSQL's COPY output conventions (t/f booleans, \\x hex bytea,
     {a,b,c} arrays with PG element quoting)."""
     c = F.col(field.name)
     dt = field.dataType
-    if isinstance(dt, T.BooleanType):
-        out = c == "t"  # null-preserving: NULL == 't' is NULL
-    elif isinstance(dt, T.BinaryType):
-        out = F.unhex(c.substr(F.lit(3), F.length(c)))  # strip leading \x
-    elif isinstance(dt, T.ArrayType):
+    if isinstance(dt, T.ArrayType):
         if isinstance(dt.elementType, T.NumericType):
             # numeric elements are never quoted — pure JVM split/cast
             elems = F.split(c.substr(F.lit(2), F.length(c) - 2), ",")
@@ -250,21 +320,54 @@ def _from_pg_text(field: T.StructField) -> Column:
             )
             out = F.when(c == "{}", F.array().cast(dt)).otherwise(inner)
         else:
-            # text/varchar (or other quoted-element) arrays: stateful
-            # literal decode, then element-wise cast for non-string types
+            # text/bool/bytea/… arrays: stateful literal decode, then the
+            # shared element-wise scalar conversion. bytea elements go
+            # through the \x-hex unhex branch — a bare string→binary
+            # cast would yield the UTF-8 bytes of the hex LITERAL, not
+            # the decoded bytes (ADVICE r4).
             parsed = _parse_pg_array_col(c)
             if isinstance(dt.elementType, T.StringType):
                 out = parsed
+            elif isinstance(
+                dt.elementType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                raise NotImplementedError(
+                    f"pgcopy read: nested container elements in array "
+                    f"column {field.name} are unsupported"
+                )
             else:
-                out = F.transform(parsed, lambda x: x.cast(dt.elementType))
-    elif isinstance(dt, (T.MapType, T.StructType)):
+                out = F.transform(
+                    parsed, lambda x: _scalar_from_pg_text(x, dt.elementType)
+                )
+    elif isinstance(dt, T.StructType):
+        # PG composite (row-type) column: stateful row-literal decode,
+        # then per-field scalar conversion (directive r5 #6). Nested
+        # containers inside a composite stay out of scope.
+        for f2 in dt.fields:
+            if isinstance(f2.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                raise NotImplementedError(
+                    f"pgcopy read: nested container field "
+                    f"{field.name}.{f2.name} in a composite is unsupported"
+                )
+        parsed = _parse_pg_row_col(c)
+        out = F.when(
+            c.isNotNull(),
+            F.struct(
+                *[
+                    _scalar_from_pg_text(parsed[i], f2.dataType).alias(f2.name)
+                    for i, f2 in enumerate(dt.fields)
+                ]
+            ),
+        )
+    elif isinstance(dt, T.MapType):
         raise NotImplementedError(
-            f"pgcopy read keeps json/composite as text; declare {field.name} "
-            "string, or pass json_promote={name: type} to read_table/"
-            "read_query for a from_json promotion"
+            f"pgcopy read keeps json as text; declare {field.name} string, "
+            "or pass json_promote={name: type} to read_table/read_query "
+            "for a from_json promotion (StructType columns decode as PG "
+            "composites — use json_promote if the source column is jsonb)"
         )
     else:
-        out = c.cast(dt)  # numerics, timestamp, date, string: ANSI cast
+        out = _scalar_from_pg_text(c, dt)
     return out.alias(field.name)
 
 
@@ -358,11 +461,61 @@ def read_table(
 # ---------------------------------------------------------------------------
 
 
-def _to_pg_text(field: T.StructField) -> Column:
+def _scalar_to_pg_text(c: Column, dt: T.DataType) -> Column:
+    """Typed value → COPY-text for one SCALAR (shared by top-level
+    columns and composite fields)."""
+    if isinstance(dt, T.BooleanType):
+        # mirror PG's own output (t/f) so render→parse is an identity;
+        # PG input accepts both t/f and true/false
+        return F.when(c.isNotNull(), F.when(c, "t").otherwise("f"))
+    if isinstance(dt, T.BinaryType):
+        return F.concat(F.lit("\\x"), F.lower(F.hex(c)))
+    if isinstance(dt, T.TimestampType):
+        # instant → timestamptz: explicit offset, micro precision (see
+        # the top-level branch's comment)
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSSXXX")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return c.cast("string")
+
+
+def _struct_to_pg_row_literal(c: Column, dt: T.StructType) -> Column:
+    """Render a StructType column as a PG composite row literal
+    ``("f1","f2",…)``: every non-NULL field always-quoted (legal for
+    any content) with embedded ``\\`` and ``"`` doubled per the
+    composite INPUT rules; NULL fields are the empty token. Pure JVM
+    concat/regexp — no UDF."""
+    for f2 in dt.fields:
+        if isinstance(f2.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            raise NotImplementedError(
+                f"pgcopy write: nested container field {f2.name} in a "
+                "composite is unsupported"
+            )
+    rendered = []
+    for f2 in dt.fields:
+        v = _scalar_to_pg_text(c.getField(f2.name), f2.dataType)
+        quoted = F.concat(
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(v, r"\\", r"\\\\"), '"', '""'
+            ),
+            F.lit('"'),
+        )
+        rendered.append(F.coalesce(quoted, F.lit("")))
+    return F.when(
+        c.isNotNull(),
+        F.concat(F.lit("("), F.concat_ws(",", *rendered), F.lit(")")),
+    )
+
+
+def _to_pg_text(field: T.StructField, composite_cols: frozenset = frozenset()) -> Column:
     """Render one column CSV-safe for COPY FROM, inverse of
     ``_from_pg_text``. Scalars pass through (Spark writes true/false,
     ISO timestamps — both COPY-acceptable); containers/binary get
-    PostgreSQL literal syntax."""
+    PostgreSQL literal syntax. StructType columns named in
+    ``composite_cols`` render as composite ROW literals (for a
+    composite-typed target column); other structs render as JSON (for
+    a json/jsonb target column — the pre-r5 behavior, unchanged)."""
     c = F.col(field.name)
     dt = field.dataType
     if isinstance(dt, T.BinaryType):
@@ -395,6 +548,8 @@ def _to_pg_text(field: T.StructField) -> Column:
                     F.lit("}"),
                 ),
             )
+    elif isinstance(dt, T.StructType) and field.name in composite_cols:
+        out = _struct_to_pg_row_literal(c, dt)  # composite-typed column
     elif isinstance(dt, (T.MapType, T.StructType)):
         out = F.to_json(c)  # lands in json/jsonb columns
     elif isinstance(dt, T.TimestampType):
@@ -438,6 +593,7 @@ def write_table(
     serial_columns: tuple[str, ...] = (),
     scratch_dir: str | None = None,
     max_parallel_loads: int = 4,
+    composite_cols: tuple[str, ...] = (),
 ) -> int:
     """Bulk-load a DataFrame into a live PostgreSQL table (K1/K2 over
     the COPY bridge): optional CREATE TABLE from the Spark schema
@@ -450,7 +606,12 @@ def write_table(
 
     Nulls are written as the bare unquoted marker (``quoteAll`` would
     quote the marker itself, turning NULLs into literal strings);
-    empty strings are written as ``""`` so COPY keeps them distinct."""
+    empty strings are written as ``""`` so COPY keeps them distinct.
+
+    ``composite_cols`` names StructType columns whose TARGET column is
+    a PG composite type — they render as row literals instead of JSON
+    (``create=True`` cannot emit composite DDL; create such tables
+    yourself and pass ``create=False``)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if create:
@@ -462,7 +623,9 @@ def write_table(
     out_dir = tempfile.mkdtemp(prefix=f"pgcopy_out_{table}_", dir=scratch_dir)
     staged = os.path.join(out_dir, "parts")
     (
-        df.select(*[_to_pg_text(f) for f in df.schema.fields])
+        df.select(
+            *[_to_pg_text(f, frozenset(composite_cols)) for f in df.schema.fields]
+        )
         .write.option("nullValue", NULL_MARKER)
         .option("emptyValue", '""')
         .option("escape", '"')

@@ -16,7 +16,7 @@ layout), an upsert only needs to:
    partitions are never opened);
 3. ``merge_into`` the batch (broadcast — batches are small by
    construction) and write the merged partitions to a staging dir;
-4. swap each touched partition directory atomically (rename), leaving
+4. swap each touched partition directory into place (rename), leaving
    every untouched partition's files byte-identical on disk.
 
 Contract: the partition column must be STABLE under updates — derived
@@ -24,12 +24,33 @@ from the key or an immutable attribute (an order's date, a user's
 shard). A key whose partition value changed between versions would
 leave its old row in the old partition; ``assert_stable`` (default on)
 fails fast if a batch key collides with a target row in a DIFFERENT
-partition, instead of silently double-storing.
+partition, instead of silently double-storing. NOTE the guard's real
+cost: it joins the batch keys against the KEY COLUMN of every
+*untouched* partition, i.e. a narrow single-column scan of nearly the
+whole table per micro-batch. That is cheap relative to a rewrite but
+is NOT ∝ touched partitions — for very large targets run it
+periodically (every Nth batch) or pass ``assert_stable=False`` once
+the partition derivation is trusted.
 
-At 100 TB this is the parquet-native equivalent of Delta/Iceberg
-MERGE with dynamic partition overwrite: cost ∝ touched partitions,
-not table size; the swap is per-partition-atomic (readers see old or
-new, never partial) exactly like ``transfer.py``'s staged table copy.
+Swap semantics (honest version): each touched partition is replaced
+with two ``os.rename`` calls — current dir parked in a sibling trash
+dir OUTSIDE the partition-discovery namespace
+(``<target>.upsert_old``), then the staged dir renamed in. Readers see
+each touched partition either whole-old or whole-new, never a partial
+file set — but a partition is briefly ABSENT between the two renames,
+and a crash mid-swap leaves some partitions new, some old, possibly
+one parked. Recovery is automatic: the next upsert first restores any
+parked partition whose target dir is missing and discards parked dirs
+that were superseded, then retries idempotently (merge is by key).
+This is the parquet-native best effort; a transactional log (Delta /
+Iceberg MERGE) is the answer when readers cannot tolerate the
+brief-absence window.
+
+Partition DIRECTORY NAMES are never reconstructed from values: Spark
+escapes them (percent-encoding for ``:`` ``%`` ``=`` etc., its own
+rendering for date/timestamp values), so the dirs Spark actually wrote
+under staging are enumerated and swapped by name — a reconstructed
+``f"{col}={value}"`` silently misses every escaped value (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -44,8 +65,19 @@ from pyspark.sql import functions as F
 from ..operators.merge import merge_into
 
 
-def _part_dir(target_path: str, part_col: str, value) -> str:
-    return os.path.join(target_path, f"{part_col}={value}")
+def _recover(target_path: str, staging: str, trash: str) -> None:
+    """Heal the target after a crashed prior upsert: a parked partition
+    whose target dir is MISSING was mid-swap — restore it; a parked dir
+    whose target dir exists was already superseded — discard it. Stale
+    staging is always discardable (never referenced by the target)."""
+    if os.path.isdir(trash):
+        for d in os.listdir(trash):
+            src = os.path.join(trash, d)
+            dst = os.path.join(target_path, d)
+            if os.path.isdir(src) and not os.path.exists(dst):
+                os.rename(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def upsert_partitions(
@@ -59,7 +91,11 @@ def upsert_partitions(
 ) -> list:
     """Merge ``batch`` into the partitioned target; returns the list of
     touched partition values. Batch rows must already carry
-    ``part_col``. Empty batches are a no-op."""
+    ``part_col``. Empty batches are a no-op. See the module docstring
+    for the swap/crash semantics and ``assert_stable``'s scan cost."""
+    staging = target_path.rstrip("/") + ".upsert_staging"
+    trash = target_path.rstrip("/") + ".upsert_old"
+    _recover(target_path, staging, trash)
     if batch.isEmpty():
         return []
     touched = sorted(
@@ -72,9 +108,8 @@ def upsert_partitions(
         F.col(part_col).isin(touched)
     )
     if assert_stable:
-        # a batch key already stored under a DIFFERENT partition would
-        # be double-stored after the merge — fail fast (one pruned-scan
-        # aggregate over the key projections, driver gets a single long)
+        # key-column scan of all UNTOUCHED partitions (see module
+        # docstring for why this is a near-full-table narrow scan)
         moved = (
             spark.read.parquet(target_path)
             .filter(~F.col(part_col).isin(touched))
@@ -91,23 +126,31 @@ def upsert_partitions(
     merged = merge_into(current, batch, key=key, update_cols=list(update_cols)).drop(
         "action"
     )
-
-    staging = target_path.rstrip("/") + ".upsert_staging"
-    shutil.rmtree(staging, ignore_errors=True)
     merged.write.partitionBy(part_col).mode("overwrite").parquet(staging)
 
-    for v in touched:
-        src = _part_dir(staging, part_col, v)
-        dst = _part_dir(target_path, part_col, v)
-        old = dst + ".old"
-        if not os.path.isdir(src):
-            # merge produced no rows for this value (possible only if the
-            # batch rows for it were all dropped upstream) — leave target
-            continue
+    prefix = f"{part_col}="
+    staged_dirs = sorted(
+        d
+        for d in os.listdir(staging)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(staging, d))
+    )
+    # merge_into never drops batch rows, so every touched value must
+    # have produced exactly one staged dir; anything else means updates
+    # would be silently lost — refuse to swap.
+    if len(staged_dirs) != len(touched):
+        raise RuntimeError(
+            f"staging holds {len(staged_dirs)} partition dir(s) "
+            f"({staged_dirs}) for {len(touched)} touched value(s) "
+            f"({touched}) — refusing to swap"
+        )
+    os.makedirs(trash, exist_ok=True)
+    for d in staged_dirs:
+        src = os.path.join(staging, d)
+        dst = os.path.join(target_path, d)
         if os.path.isdir(dst):
-            os.rename(dst, old)
-        os.rename(src, dst)  # atomic publish of the new partition
-        shutil.rmtree(old, ignore_errors=True)
+            os.rename(dst, os.path.join(trash, d))  # outside discovery
+        os.rename(src, dst)
+    shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return touched
 

@@ -127,3 +127,97 @@ def test_spark_read_cast_date_array(spark):
     import datetime
 
     assert row["ds"] == [datetime.date(2024, 1, 2), None]
+
+
+# ---------------------------------------------------------------------------
+# composite (row-type) literals — directive r5 #6
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from postgresql_transfer_tool_spark.sources.pgcopy import parse_pg_row_literal
+
+
+@_pytest.mark.parametrize(
+    "lit,expected",
+    [
+        ("(1,abc,t)", ["1", "abc", "t"]),
+        ('("a, b",,"")', ["a, b", None, ""]),  # quoted comma, NULL, empty str
+        ('("he said ""hi""","a\\\\b")', ['he said "hi"', "a\\b"]),  # doubled
+        ('("back\\"slash")', ['back"slash']),  # input-style backslash escape
+        ("(,)", [None, None]),
+        ("()", [None]),  # 1-field NULL row
+        ('("\\\\x6162",f)', ["\\x6162", "f"]),  # bytea field + bool
+    ],
+)
+def test_parse_pg_row_literal(lit, expected):
+    assert parse_pg_row_literal(lit) == expected
+
+
+def test_parse_row_rejects_malformed():
+    for bad in ("{1,2}", "(a,b", '("unterminated)'):
+        with _pytest.raises(ValueError):
+            parse_pg_row_literal(bad)
+    assert parse_pg_row_literal(None) is None
+
+
+def test_composite_render_parse_identity(spark):
+    """Spark-side inverse pair: _struct_to_pg_row_literal's output must
+    decode back to the same struct through _from_pg_text — including
+    quotes/commas/backslashes, NULL fields, NULL rows, bool and bytea
+    fields (the exact conventions PG's composite I/O uses)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        _from_pg_text,
+        _to_pg_text,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("b", T.BinaryType()),
+        ]
+    )
+    field = T.StructField("a", st)
+    rows = [
+        Row(a=Row(s='he said "hi", twice\\', n=7, ok=True, b=b"\x00\xffA")),
+        Row(a=Row(s="", n=None, ok=False, b=None)),
+        Row(a=None),
+    ]
+    df = spark.createDataFrame(rows, T.StructType([field]))
+    rendered = df.select(_to_pg_text(field, frozenset({"a"})))
+    lits = [r.a for r in rendered.collect()]
+    assert lits[2] is None
+    assert lits[1] == '("",,"f",)'  # empty string ≠ NULL; f for false
+    back = (
+        spark.createDataFrame([(x,) for x in lits], "a string")
+        .select(_from_pg_text(field))
+        .collect()
+    )
+    assert [r.a for r in back] == [r.a for r in rows]
+
+
+def test_bytea_array_elements_unhex(spark):
+    """ADVICE r4 (low): bytea[] elements must decode the \\x hex
+    literal to real bytes — a string→binary cast yields the UTF-8 bytes
+    of the literal itself."""
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import _from_pg_text
+
+    field = T.StructField("bs", T.ArrayType(T.BinaryType()))
+    # PG array output doubles the backslash of each \x literal inside
+    # quotes: {"\\x6162","\\x00ff",NULL}
+    lit = '{"\\\\x6162","\\\\x00ff",NULL}'
+    got = (
+        spark.createDataFrame([(lit,), (None,)], "bs string")
+        .select(_from_pg_text(field))
+        .collect()
+    )
+    assert got[0].bs == [bytearray(b"ab"), bytearray(b"\x00\xff"), None]
+    assert got[1].bs is None

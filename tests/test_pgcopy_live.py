@@ -563,3 +563,95 @@ def test_read_query_json_promote_struct(spark, pg_server):
     )
     [row] = df.collect()
     assert row["j"]["a"] == 1 and row["j"]["b"] == "x"
+
+
+def test_composite_column_roundtrip(spark, pg_server):
+    """Directive r5 #6: a PG composite-typed column round-trips through
+    the bridge — read decodes the row literal into the declared
+    StructType (quotes, commas, backslashes, empty-vs-NULL fields,
+    bool t/f, bytea); write renders row literals back into a
+    composite-typed target column."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_query,
+        run_sql,
+        write_table,
+    )
+
+    run_sql(
+        pg_server,
+        "CREATE TYPE rt.addr AS (street text, num int, ok boolean, tag bytea)",
+    )
+    run_sql(pg_server, "CREATE TABLE rt.comp (id int, a rt.addr)")
+    run_sql(
+        pg_server,
+        """INSERT INTO rt.comp VALUES
+        (1, ROW('main st, "unit 5"', 7, true, '\\x00ff'::bytea)),
+        (2, ROW('', NULL, false, NULL)),
+        (3, NULL),
+        (4, ROW(E'back\\\\slash', 0, NULL, '\\x41'::bytea))""",
+    )
+    st = T.StructType(
+        [
+            T.StructField("street", T.StringType()),
+            T.StructField("num", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("tag", T.BinaryType()),
+        ]
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("a", st)]
+    )
+    df = read_query(
+        spark, pg_server, "SELECT id, a FROM rt.comp ORDER BY id", schema
+    )
+    got = {r.id: r.a for r in df.collect()}
+    assert got[1] == Row(
+        street='main st, "unit 5"', num=7, ok=True, tag=bytearray(b"\x00\xff")
+    )
+    assert got[2] == Row(street="", num=None, ok=False, tag=None)
+    assert got[3] is None
+    assert got[4] == Row(street="back\\slash", num=0, ok=None, tag=bytearray(b"A"))
+
+    run_sql(pg_server, "CREATE TABLE rt.comp2 (id int, a rt.addr)")
+    write_table(
+        df, pg_server, "rt", "comp2", create=False, composite_cols=("a",)
+    )
+    back = read_query(
+        spark, pg_server, "SELECT id, a FROM rt.comp2 ORDER BY id", schema
+    )
+    assert {r.id: r.a for r in back.collect()} == got
+
+
+def test_bytea_array_live_read(spark, pg_server):
+    """ADVICE r4 (low): bytea[] through the bridge yields decoded bytes,
+    not the UTF-8 of the hex literal."""
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import read_query, run_sql
+
+    run_sql(pg_server, "CREATE TABLE rt.ba (id int, bs bytea[])")
+    run_sql(
+        pg_server,
+        "INSERT INTO rt.ba VALUES "
+        "(1, ARRAY['\\x6162'::bytea, '\\x00ff'::bytea]), "
+        "(2, ARRAY['\\x41'::bytea, NULL]), (3, NULL), (4, '{}')",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("bs", T.ArrayType(T.BinaryType())),
+        ]
+    )
+    got = {
+        r.id: r.bs
+        for r in read_query(
+            spark, pg_server, "SELECT id, bs FROM rt.ba ORDER BY id", schema
+        ).collect()
+    }
+    assert got[1] == [bytearray(b"ab"), bytearray(b"\x00\xff")]
+    assert got[2] == [bytearray(b"A"), None]
+    assert got[3] is None
+    assert got[4] == []

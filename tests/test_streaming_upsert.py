@@ -187,3 +187,65 @@ def test_partition_pruned_upsert(spark, sf_dir, tmp_path):
             spark, target, bad, key="o_orderkey", part_col="o_part",
             update_cols=["o_totalprice", "o_orderstatus"],
         )
+
+
+def test_upsert_escaped_partition_values(spark, sf_dir, tmp_path):
+    """Partition values Spark percent-encodes in directory names (':'
+    → '%3A') must still be swapped — the pre-r5 code reconstructed
+    'col=value' literally, never found the staged dir, and silently
+    dropped the batch's updates (ADVICE r4 medium)."""
+    from postgresql_transfer_tool_spark.streaming.upsert import upsert_partitions
+
+    tgt = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a:1"), (2, 20.0, "a:1"), (3, 30.0, "b:2")],
+        "k long, v double, shard string",
+    )
+    base.write.partitionBy("shard").parquet(tgt)
+    assert os.path.isdir(os.path.join(tgt, "shard=a%3A1"))  # escaped on disk
+
+    batch = spark.createDataFrame(
+        [(1, 11.0, "a:1"), (4, 40.0, "a:1")], "k long, v double, shard string"
+    )
+    touched = upsert_partitions(
+        spark, tgt, batch, key="k", part_col="shard", update_cols=["v"]
+    )
+    assert touched == ["a:1"]
+    got = {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == {(1, 11.0, "a:1"), (2, 20.0, "a:1"), (4, 40.0, "a:1"), (3, 30.0, "b:2")}
+    # nothing parked/staged left behind, and no phantom partitions
+    assert not os.path.exists(tgt + ".upsert_old")
+    assert not os.path.exists(tgt + ".upsert_staging")
+    assert {d for d in os.listdir(tgt) if d.startswith("shard=")} == {
+        "shard=a%3A1", "shard=b%3A2"
+    }
+
+
+def test_upsert_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames parks the live partition in
+    the sibling trash dir; the next upsert must restore it (target dir
+    missing) and discard superseded parked dirs (target dir present)
+    before merging — no phantom partitions, no lost rows."""
+    from postgresql_transfer_tool_spark.streaming.upsert import upsert_partitions
+
+    tgt = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2")], "k long, v double, shard string"
+    )
+    base.write.partitionBy("shard").parquet(tgt)
+    trash = tgt + ".upsert_old"
+    os.makedirs(trash)
+    # simulate: shard=p1 was mid-swap (parked, target dir gone) and
+    # shard=p2 was already superseded (parked stale copy, target dir new)
+    os.rename(os.path.join(tgt, "shard=p1"), os.path.join(trash, "shard=p1"))
+    os.makedirs(os.path.join(trash, "shard=p2"))
+    with open(os.path.join(trash, "shard=p2", "stale.parquet"), "w") as f:
+        f.write("stale")
+
+    batch = spark.createDataFrame([(2, 22.0, "p2")], "k long, v double, shard string")
+    upsert_partitions(spark, tgt, batch, key="k", part_col="shard", update_cols=["v"])
+    got = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, 10.0, "p1"), (2, 22.0, "p2")}  # p1 restored, p2 merged
+    assert not os.path.exists(trash)
