@@ -132,3 +132,58 @@ def test_binaryfile_source_ingests_media_blobs(spark, tmp_path):
     assert (decoded[17]["width"], decoded[17]["height"]) == (20, 40)
     assert (decoded[23]["width"], decoded[23]["height"]) == (64, 16)
     assert decoded[31]["n_bytes"] == len(blobs[31])
+
+
+def test_jpeg_decode_without_pillow_raises_clearly():
+    """Without Pillow, a JPEG blob must fail loudly — not mis-parse as
+    FIMG. (The positive-path test below runs iff Pillow is present.)"""
+    import pytest
+
+    from postgresql_transfer_tool_spark.operators import multimodal as mm
+
+    if mm._PILImage is not None:
+        pytest.skip("Pillow installed; covered by the positive-path test")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._parse_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_jpeg_decode_with_pillow(spark):
+    """Runs iff Pillow is importable (directive r5 #5): a generated
+    JPEG goes through the SAME mapInPandas decode contract as FIMG —
+    schema parity with DECODE_SCHEMA, correct dims, deterministic
+    features across two runs."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from postgresql_transfer_tool_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode_media_batches,
+    )
+
+    rng = np.random.default_rng(7)  # deterministic test image
+    img = PIL_Image.fromarray(
+        rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8), "RGB"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=90)
+    blob = buf.getvalue()
+    assert blob[:3] == b"\xff\xd8\xff"
+
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(blob))],
+        "doc_id long, media_type string, blob binary",
+    )
+    out = df.mapInPandas(decode_media_batches, DECODE_SCHEMA)
+    assert out.schema == DECODE_SCHEMA
+    r1 = out.collect()
+    r2 = df.mapInPandas(decode_media_batches, DECODE_SCHEMA).collect()
+    assert r1 == r2  # deterministic
+    row = r1[0]
+    assert (row.width, row.height) == (32, 24)
+    assert row.n_bytes == len(blob)
+    assert row.feature[3] == 32 * 24
+    assert all(0.0 <= c <= 255.0 for c in row.feature[:3])
