@@ -8,9 +8,13 @@ null):
 The full per-query table (all 87 + transfer_pipeline) is written to
 BENCH_FULL.json next to this script.
 
-Each query is executed once to warm the JVM/page cache (timed run is the
-second execution), and fully materialized via a count-style action so the
-measured time covers scan→shuffle→final stage, not lazy plan building.
+Each query is executed once to warm the JVM/page cache, then timed
+TWICE; the recorded number is the best of the two (VERDICT r4 directive
+#8: the host shows ±50% single-run jitter plus occasional multi-second
+GC outliers, so min-of-2 is the regression-detectable statistic). Both
+raw runs land in BENCH_FULL.json under "queries_warm_runs". Every run
+fully materializes via collect() so the measured time covers
+scan→shuffle→final stage, not lazy plan building.
 """
 
 from __future__ import annotations
@@ -119,6 +123,7 @@ def main() -> None:
             "value": round(sum(t for t in timings.values() if t >= 0), 4),
             "unit": "sec",
             "queries": dict(timings),
+            "queries_warm_runs": dict(warm_runs),
             "queries_cold": dict(cold),
             "sf": sf_from_dir(sf_dir),
             "n_queries": len(timings),
@@ -131,14 +136,19 @@ def main() -> None:
         os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
 
     timings: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     for i, name in enumerate(names):
         fn = qs[name]
         try:
             fn(spark, sf_dir).collect()  # warmup: JVM JIT + file cache
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 4)
+            runs = []
+            for _ in range(2):  # best-of-2 (see module docstring)
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                runs.append(round(time.time() - t0, 4))
+            warm_runs[name] = runs
+            timings[name] = min(runs)
         except Exception as exc:  # never let one query kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
