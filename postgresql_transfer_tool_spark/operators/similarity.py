@@ -146,16 +146,29 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Banded random-hyperplane LSH (AND/OR construction, corpus-adaptive).
 #
-# plane[q][d] = ((q*2654435761 + d*40503) % 2039) - 1019 — a fixed
-# integer pseudo-plane family, identical on both engines. The modulus
-# must be LARGE: the original ((q*131 + d*31) % 7) - 3 family reduced to
-# (5q + 3d) mod 7, i.e. only SEVEN distinct hyperplanes — every bit past
-# the 7th duplicated an earlier one, so the effective signature space
-# froze at 2^7 per band and candidate growth went quadratic beyond
-# ~1000 rows (caught by the three-point decade test, which measured 504
-# of 16384 buckets in use at 20k vectors). With a 2039-period family the
-# planes are pairwise distinct for every q the engine can reach
-# (BANDS×MAX_BITS = 96 ≪ 2039) and bits stay independent. The signature
+# plane[q][d] = ((q*2654435761 + d*40503 + q*d*69069) % 2039) - 1019 —
+# a fixed integer pseudo-plane family, identical on both engines. Two
+# family generations of lessons baked into this formula:
+#
+# 1. The modulus must be LARGE: the original ((q*131 + d*31) % 7) - 3
+#    family reduced to (5q + 3d) mod 7, i.e. only SEVEN distinct
+#    hyperplanes — the signature space froze at 2^7 per band and
+#    candidate growth went quadratic beyond ~1000 rows (caught by the
+#    r4 three-point decade test: 504 of 16384 buckets in use).
+# 2. The q- and d-terms must MIX (the bilinear q*d term): the r4 family
+#    ((q*A + d*B) % M) - off made plane q+Δ a CONSTANT VALUE-SPACE
+#    SHIFT of plane q (coefficient difference Δ·A mod M, independent of
+#    d, up to wraps), so bits within a band were strongly correlated —
+#    effective independent bits ≪ nominal bits, and moderate-cosine
+#    pairs were under-split: measured 25,032 pair-band incidences at
+#    bits=12 on the sf0.1 corpus vs 2,732 for true Gaussian planes
+#    (9.2× over). With the bilinear term the coefficient difference
+#    varies per dimension and the family lands within ~1.2× of the
+#    Gaussian gold standard (3,399), diagnosed+fixed in r5
+#    (tools/lsh_diagnose.py).
+#
+# Planes are pairwise distinct and decorrelated for every q the engine
+# can reach (BANDS×MAX_BITS = 96 ≪ 2039). The signature
 # space is BANDS independent bands; band b uses planes
 # q = b*MAX_BITS .. b*MAX_BITS+bits-1 where `bits` GROWS WITH THE CORPUS:
 #
@@ -187,7 +200,8 @@ def _plane_sql(q_expr: str) -> str:
     """DuckDB dot(qe, plane_q) with q given as a SQL expression."""
     return (
         f"list_sum(list_transform(range({DIM}),"
-        f" d -> qe[d+1] * (((({q_expr}) * 2654435761 + d * 40503) % 2039) - 1019)))"
+        f" d -> qe[d+1] * (((({q_expr}) * 2654435761 + d * 40503"
+        f" + ({q_expr}) * d * 69069) % 2039) - 1019)))"
     )
 
 
@@ -208,7 +222,10 @@ def _spark_plane_dot(q: int):
             "qe",
             F.transform(
                 F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda d: ((F.lit(q * 2654435761) + d * 40503) % 2039 - 1019).cast("bigint"),
+                lambda d: (
+                    (F.lit(q * 2654435761) + d * 40503 + d * (q * 69069))
+                    % 2039 - 1019
+                ).cast("bigint"),
             ),
             lambda x, c: x * c,
         ),
@@ -236,7 +253,13 @@ def _band_sigs_udf(bits: int):
 
     plane_idx = [b * MAX_BITS + j for b in range(BANDS) for j in range(bits)]
     coefs = np.array(
-        [[((q * 2654435761) + d * 40503) % 2039 - 1019 for d in range(DIM)] for q in plane_idx],
+        [
+            [
+                ((q * 2654435761) + d * 40503 + q * d * 69069) % 2039 - 1019
+                for d in range(DIM)
+            ]
+            for q in plane_idx
+        ],
         dtype=np.int64,
     )
     weights = 1 << np.arange(bits, dtype=np.int64)

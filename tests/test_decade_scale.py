@@ -9,23 +9,15 @@ curve stays linear-ish across sf0.01 → sf0.1 → 10×sf0.1 for LSH,
 SemDeDup, winnowing, and segment dedup, logging the skew-cap hit rates
 (BUCKET_CAP, WINNOW_DF_CAP) at each point.
 
-Perturbation design (the part that makes the assertion meaningful):
-copies must NOT be near-dups of their originals, or the corpus itself
-would grow quadratically-many true pairs and no engine could show
-linear growth. Documents: a per-copy alphabet ROTATION (translate over
-[a-z], [A-Z], [0-9] classes) — a bijection on characters, so every
-char n-gram / token shingle / winnowing fingerprint structure is
-EXACTLY preserved within a copy while every alnum-bearing gram is
-copy-specific (a token SUFFIX failed here: grams inside long tokens
-were copy-invariant, inflating corpus-wide document frequencies 10×
-and tripping the winnowing DF cap into dropping 90% of fingerprints).
-Embeddings: a per-copy deterministic ±1 sign mask — sign²=1 preserves
-every intra-copy dot product and norm exactly, while inter-copy dots
-decorrelate pseudo-randomly (a cyclic SHIFT failed here: the LSH plane
-family's coefficients are periodic in the dimension index mod 7, so
-shift-by-7 copies collided into the same buckets and candidate growth
-went quadratic). 10× data therefore carries ~10× true near-dup pairs,
-and a correct linear engine should produce ~10× candidates.
+Perturbation design (the part that makes the assertion meaningful)
+lives in tests/scale_corpus.py, shared with the 100× sweep: per-copy
+seeded character-class permutations for documents, per-copy ±1 sign
+masks for embeddings — bijections that preserve all intra-copy
+structure while decorrelating copies, so 10× data carries ~10× true
+near-dup pairs and a correct linear engine should produce ~10×
+candidates. (The failure modes that shaped those rules — token
+suffixes inflating document frequencies, cyclic shifts aliasing the
+LSH plane family — are documented there.)
 """
 
 from __future__ import annotations
@@ -60,67 +52,10 @@ N_FILES = 32
 
 @pytest.fixture(scope="module")
 def x10_dir(spark):
+    from scale_corpus import build_scaled_corpus
+
     out = tempfile.mkdtemp(prefix="x10_corpus_")
-    docs = load_table(spark, SF_MID, "documents")
-    embs = load_table(spark, SF_MID, "embeddings")
-    dim = len(embs.select("embedding").first()[0])
-
-    lower = "abcdefghijklmnopqrstuvwxyz"
-    upper = lower.upper()
-    digits = "0123456789"
-
-    def rotated_alphabet(k: int) -> tuple[str, str]:
-        src = lower + upper + digits
-        dst = (
-            lower[k % 26:] + lower[: k % 26]
-            + upper[k % 26:] + upper[: k % 26]
-            + digits[k % 10:] + digits[: k % 10]
-        )
-        return src, dst
-
-    def sign_mask(k: int) -> list[float]:
-        # deterministic ±1 per (copy, dim) via an LCG-style mix
-        return [
-            1.0 if ((d * 1103515245 + k * 2654435761) >> 7) % 2 == 0 else -1.0
-            for d in range(dim)
-        ]
-
-    doc_parts = []
-    emb_parts = []
-    for k in range(COPIES):
-        if k == 0:
-            doc_parts.append(docs)
-            emb_parts.append(embs)
-            continue
-        src, dst = rotated_alphabet(k)
-        rot = F.translate("text", src, dst)
-        doc_parts.append(
-            docs.select(
-                (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
-                rot.alias("text"),
-                "lang", "source",
-                "n_chars",  # translate is length-preserving
-            )
-        )
-        mask = F.array(*[F.lit(s) for s in sign_mask(k)])
-        flipped = F.zip_with(
-            "embedding", mask, lambda x, s: (x * s).cast("float")
-        )
-        emb_parts.append(
-            embs.select(
-                (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
-                flipped.alias("embedding"),
-                "label",
-            )
-        )
-    d = doc_parts[0]
-    for p in doc_parts[1:]:
-        d = d.unionByName(p)
-    e = emb_parts[0]
-    for p in emb_parts[1:]:
-        e = e.unionByName(p)
-    d.repartition(N_FILES).write.parquet(f"{out}/documents.parquet")
-    e.repartition(N_FILES).write.parquet(f"{out}/embeddings.parquet")
+    build_scaled_corpus(spark, out, COPIES, n_files=N_FILES)
     yield out
     shutil.rmtree(out, ignore_errors=True)
 
@@ -164,6 +99,14 @@ def test_lsh_candidate_growth_three_points(spark, x10_dir):
     print(f"LSH candidates: {list(zip(rows, counts))}")
     for (g, r), d in zip(_growth(counts, rows), dirs[1:]):
         assert g < r * r / 2, (counts, rows, d)  # sub-quadratic per step
+    # Directive r5 #3: with the decorrelated (bilinear-mixed) plane
+    # family, per-row candidate volume is FLAT across the decades —
+    # measured 17.2 / 19.2 / 17.4 at 500 / 2k / 20k (tools/
+    # lsh_diagnose.py; the r4 family's value-shift-correlated planes
+    # under-split moderate-cosine pairs and grew 20.8 → 39.9 → 93.2).
+    # The explicit ceiling makes any correlation regression loud:
+    for c, r_, d in zip(counts, rows, dirs):
+        assert c / r_ <= 30, (c, r_, d, "candidates/row ceiling")
     from postgresql_transfer_tool_spark.operators.similarity import (
         _band_sigs_udf,
         _spark_quantized_materialized,
