@@ -376,7 +376,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(spark, sf_dir)
 
 
-def _compute_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, band_key) relation candidates bucket on — exposed so
+    scale sweeps can measure per-band bucket populations (engine work =
+    Σ C(pop, 2)) without re-deriving the signature pipeline."""
     sh = _spark_shingles_materialized(spark, sf_dir)
     hashed = _spark_hashed_from(sh)
     sigs = hashed.groupBy("doc_id").agg(
@@ -391,9 +394,14 @@ def _compute_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_key")
         for b in range(N_BANDS)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+
+
+def _compute_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingles_materialized(spark, sf_dir)
+    bands = minhash_bands(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("da"), "band_key")
     b = bands.select(F.col("doc_id").alias("db"), F.col("band_key").alias("bk2"))
     cand = (

@@ -65,12 +65,18 @@ def permuted_alphabet(k: int) -> tuple[str, str]:
 
 
 def sign_mask(k: int, dim: int) -> list[float]:
-    """Deterministic ±1 per (copy, dim) via an LCG-style mix (identity
-    mask for k=0)."""
+    """Deterministic ±1 per (copy, dim) from md5 parity (identity mask
+    for k=0). An LCG-style mix failed here at 100 copies: bit-7 of a
+    linear form collides masks for distinct k (caught by
+    build_scaled_corpus's pairwise-distinctness assertion); md5 bits
+    are effectively random, so 100 copies of a 64-dim mask space
+    collide with probability ~2⁻⁵¹."""
+    import hashlib
+
     if k == 0:
         return [1.0] * dim
     return [
-        1.0 if ((d * 1103515245 + k * 2654435761) >> 7) % 2 == 0 else -1.0
+        1.0 if hashlib.md5(f"{k}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
         for d in range(dim)
     ]
 

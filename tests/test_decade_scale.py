@@ -101,7 +101,7 @@ def test_lsh_candidate_growth_three_points(spark, x10_dir):
         assert g < r * r / 2, (counts, rows, d)  # sub-quadratic per step
     # Directive r5 #3: with the decorrelated (bilinear-mixed) plane
     # family, per-row candidate volume is FLAT across the decades —
-    # measured 17.2 / 19.2 / 17.4 at 500 / 2k / 20k (tools/
+    # measured 17.2 / 19.2 / 17.1 at 500 / 2k / 20k (tools/
     # lsh_diagnose.py; the r4 family's value-shift-correlated planes
     # under-split moderate-cosine pairs and grew 20.8 → 39.9 → 93.2).
     # The explicit ceiling makes any correlation regression loud:
