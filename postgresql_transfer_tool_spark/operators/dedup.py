@@ -404,8 +404,19 @@ def _compute_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(spark, sf_dir)
     a = bands.select(F.col("doc_id").alias("da"), "band_key")
     b = bands.select(F.col("doc_id").alias("db"), F.col("band_key").alias("bk2"))
+    # the bands relation is O(N_BANDS·n_docs) — UNBOUNDED, so the
+    # self-join must never broadcast: at 500k docs (100× sweep) its
+    # shuffle-compressed size slips under the AQE auto-broadcast
+    # threshold and the driver OOMs deserializing 4M rows into a
+    # build-side hashmap. The explicit SHUFFLE_HASH hint pins the
+    # scale-safe strategy (partitioned hash join on band_key) at every
+    # size; same class of fix as the r5 broadcast-hint sweep, from the
+    # opposite direction (AQE choosing broadcast, not a hint forcing it).
     cand = (
-        a.join(b, (F.col("band_key") == F.col("bk2")) & (F.col("da") < F.col("db")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("band_key") == F.col("bk2")) & (F.col("da") < F.col("db")),
+        )
         .select("da", "db")
         .distinct()
     )

@@ -26,6 +26,7 @@ single final IEEE division — both bit-identical across engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -34,12 +35,14 @@ from .corpus import _spark_tokens_materialized
 from .registry import query
 from .similarity import (
     DIM,
+    _SQL_CENT_WHERE,
     _SQL_DOT,
     _SQL_NCELLS,
     _SQL_QUANTIZED,
     _spark_dot,
     _spark_quantized_materialized,
-    ivf_cells_for,
+    centroid_sample_filter,
+    centroid_stride,
 )
 
 #: same near-dup bar as the exact all-pairs baseline so recall is
@@ -59,34 +62,75 @@ SEG_WORDS = 10
 
 def _assigned_cells(spark: SparkSession, sf_dir: str):
     """(quantized relation, (vec_id, cluster_id) assignment) — the
-    broadcast-centroid multi-probe assignment shared by the SemDeDup
-    query and the scale tests (which assert per-cell candidate volume
-    stays linear across decades)."""
+    centroid multi-probe assignment shared by the SemDeDup query and
+    the scale tests (which assert per-cell candidate volume stays
+    linear across decades).
+
+    Assignment is a MAP-SIDE vectorized top-``ASSIGN_PROBES`` argmax:
+    the (bounded, ≲2^MAX_CELL_BITS-row) centroid matrix ships inside an
+    Arrow ``pandas_udf`` closure and every batch scores n×nc cosines as
+    one exact-int64 BLAS matmul. The pre-r5 shape — broadcast-join the
+    centroids and rank with a per-vec_id window — materialized n×nc
+    ROWS through a shuffle (3.3 B rows at the 100× sweep's 200k×16.6k
+    point; it never finished); the UDF path emits ASSIGN_PROBES rows
+    per vector and needs no shuffle at all. Values are bit-identical to
+    the window form (int64 dots are exact in both; the double cosine is
+    the same correctly-rounded expression; ties break min-cid exactly
+    like ROW_NUMBER ... ORDER BY ccos DESC, cid), so the SQL oracle is
+    unchanged. Flop cost is n·nc·DIM with nc capped at 2^MAX_CELL_BITS
+    — past the cap, per-cell population grows instead; raising
+    MAX_CELL_BITS (with a coarse-quantizer level for assignment) is the
+    100 TB knob, documented in SCALE.md."""
     # the quantized relation feeds the centroid set and both pair
     # sides — the session-level memoized materialization
     # (similarity._spark_quantized_materialized) serves all of them
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    # cell count from the parquet footer (exact, no scan job) — same
-    # statistics source as the ANN family (VERDICT r3 #8)
-    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
-    cent = q.filter(F.col("vec_id") < nc).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("ce"),
-        F.col("nq").alias("ncent"),
+    # stride from the parquet footer count (exact, no scan job) — same
+    # statistics source as the ANN family (VERDICT r3 #8); centroids
+    # are the id-hash sample (robust to any vec_id layout — the 100×
+    # sweep's strided ids broke the old dense-id vec_id < nc rule,
+    # see similarity._SQL_CENT_WHERE)
+    stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
+    cent_rows = (
+        q.filter(centroid_sample_filter(stride))
+        .select("vec_id", "qe", "nq")
+        .collect()
     )
-    cdot = _spark_dot("qe", "ce")
-    ccos = cdot.cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
-    )
-    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if not cent_rows:
+        raise ValueError(f"no centroids sampled (stride={stride})")
+    cent_rows.sort(key=lambda r: r.vec_id)  # searchsorted needs sorted cids
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.qe for r in cent_rows], dtype=np.int64)
+    csqrt = np.sqrt(np.array([r.nq for r in cent_rows], dtype=np.float64))
+    probes = ASSIGN_PROBES
+
+    @pandas_udf("array<bigint>")
+    def topcells(qe: pd.Series, nq: pd.Series) -> pd.Series:
+        m = np.array(qe.tolist(), dtype=np.int64)
+        # exact int64 dots, then the identical double expression the
+        # window form (and the oracle) computes
+        ccos = (m @ C.T).astype(np.float64) / (
+            np.sqrt(nq.to_numpy(dtype=np.float64))[:, None] * csqrt[None, :]
+        )
+        out = np.empty((len(m), probes), dtype=np.int64)
+        work = ccos.copy()
+        for p in range(probes):
+            best = work.max(axis=1)
+            # ties break to the LOWEST cid — exactly ROW_NUMBER()'s
+            # ORDER BY ccos DESC, cid
+            pick = np.where(work == best[:, None], cids[None, :], np.iinfo(np.int64).max).min(axis=1)
+            out[:, p] = pick
+            work[np.arange(len(m)), np.searchsorted(cids, pick)] = -np.inf
+        return pd.Series(list(out))
+
     # assignment is self-joined for pairing — checkpoint the (vec_id,
-    # cluster_id) relation so the broadcast-assign pass runs once
+    # cluster_id) relation so the assign pass runs once
     assigned = (
-        q.join(F.broadcast(cent))
-        .select("vec_id", "cid", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(cw))
-        .filter(F.col("crk") <= ASSIGN_PROBES)
-        .select("vec_id", F.col("cid").alias("cluster_id"))
+        q.select("vec_id", F.explode(topcells("qe", "nq")).alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
     return q, assigned
@@ -99,7 +143,7 @@ def _assigned_cells(spark: SparkSession, sf_dir: str):
     {_SQL_NCELLS},
     cent AS (
       SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q
-      WHERE vec_id < (SELECT nc FROM params)
+      WHERE {_SQL_CENT_WHERE}
     ),
     assigned AS (
       SELECT vec_id, cid AS cluster_id FROM (
@@ -134,8 +178,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: nearest-centroid clustering, then within-cluster
     cosine near-dup pairs.
 
-    Centroids are the quantized embeddings of the lowest ``nc`` vec_ids
-    (``nc`` corpus-adaptive via :func:`ivf_cells_for` — expected cell
+    Centroids are the quantized embeddings of a deterministic id-hash
+    sample (~``nc`` vectors, ``similarity.centroid_stride`` — robust to
+    any vec_id layout; ``nc`` corpus-adaptive — expected cell
     population stays ~TARGET_CELL regardless of corpus size, so the
     within-cell pairing is O(n·TARGET_CELL·ASSIGN_PROBES²), linear in
     n). Assignment is a broadcast-centroid map pass: every vector joins
@@ -256,7 +301,7 @@ _SQL_D2 = f"list_sum(list_transform(range({DIM}), i -> (v[i+1] - ce[i+1]) * (v[i
     {_SQL_NCELLS},
     cent0 AS (
       SELECT vec_id AS cid, qe AS ce FROM q
-      WHERE vec_id < (SELECT nc FROM params)
+      WHERE {_SQL_CENT_WHERE}
     ),
     a0 AS (
       SELECT vec_id, cid, qe FROM (
@@ -297,7 +342,7 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The docstring promise of dedup_semantic_clusters ("real deployments
     would swap the deterministic centroid choice for k-means
-    iterations") made concrete: init centroids = lowest-nc vec_ids,
+    iterations") made concrete: init centroids = the deterministic id-hash sample,
     Lloyd assign (exact integer squared distance, ties to lowest cid),
     recompute centroids as the floor of each dimension's member mean
     (floor(Σ/ n) in double — Σ < 2⁵³ so the division is correctly
@@ -316,8 +361,8 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (clustering family, SURVEY §2.8/X3
     derivative)."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe")
-    nc = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
-    cent0 = q.filter(F.col("vec_id") < nc).select(
+    stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
+    cent0 = q.filter(centroid_sample_filter(stride)).select(
         F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
     )
 

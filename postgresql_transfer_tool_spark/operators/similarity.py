@@ -396,13 +396,45 @@ def ivf_cells_for(n: int) -> int:
 
 #: SQL mirror of ivf_cells_for over the corpus count — bin()'s length is
 #: bit_length for x >= 1 (cross-checked in test_similarity_scale).
+#: ``stride`` drives the centroid SAMPLING rule below.
 _SQL_NCELLS = f"""
 params AS (
-  SELECT CAST(POWER(2, LEAST({MAX_CELL_BITS}, GREATEST({MIN_CELL_BITS},
-           length(bin((COUNT(*) - 1) // {TARGET_CELL}))))) AS BIGINT) AS nc
-  FROM q
+  SELECT nc, GREATEST(1, cnt // nc) AS stride FROM (
+    SELECT COUNT(*) AS cnt,
+           CAST(POWER(2, LEAST({MAX_CELL_BITS}, GREATEST({MIN_CELL_BITS},
+             length(bin((COUNT(*) - 1) // {TARGET_CELL}))))) AS BIGINT) AS nc
+    FROM q) p0
 )
 """
+
+#: Centroid selection is a deterministic ID-HASH SAMPLE — an expected
+#: ~nc vectors whatever the vec_id layout. The pre-r5 rule
+#: ``vec_id < nc`` assumed ids dense from 0: the 100× sweep's
+#: stride-10M id layout reduced it to ONE copy's worth of centroids
+#: (2000 instead of 6250) and SemDeDup's per-cell candidate volume grew
+#: 5× per decade (40M pairs at 200k vectors). Real 100 TB corpora never
+#: have dense ids; the md5 sample is layout-free, map-side, and
+#: bit-identical across engines (same hash the HLL/KMV families use).
+_SQL_CENT_WHERE = (
+    "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " % (SELECT stride FROM params)) = 0"
+)
+
+
+def centroid_stride(n: int) -> int:
+    """Sampling stride for an n-row corpus: every vec_id whose 32-bit
+    md5 prefix is ≡ 0 (mod stride) seeds a cell — expected n/stride ≈
+    ivf_cells_for(n) centroids."""
+    return max(1, n // ivf_cells_for(n))
+
+
+def centroid_sample_filter(stride: int):
+    """Spark mirror of _SQL_CENT_WHERE."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (h % F.lit(stride)) == 0
 
 
 @query(
@@ -412,7 +444,7 @@ params AS (
     {_SQL_NCELLS},
     cent AS (
       SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q
-      WHERE vec_id < (SELECT nc FROM params)
+      WHERE {_SQL_CENT_WHERE}
     ),
     scored_cells AS (
       SELECT q.vec_id, c.cid,
@@ -456,9 +488,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive in corpus size), probe the query's NPROBE best cells,
     exact-rerank candidates."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    # footer-metadata n (exact, no scan job) — see lsh_candidate_pairs
-    n_centroids = ivf_cells_for(table_row_count(sf_dir, "embeddings"))
-    cent = q.filter(F.col("vec_id") < n_centroids).select(
+    # footer-metadata n (exact, no scan job) — see lsh_candidate_pairs;
+    # centroids are the id-hash sample, robust to any vec_id layout
+    stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
+    cent = q.filter(centroid_sample_filter(stride)).select(
         F.col("vec_id").alias("cid"),
         F.col("qe").alias("ce"),
         F.col("nq").alias("ncent"),

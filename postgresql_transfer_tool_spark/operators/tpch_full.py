@@ -17,7 +17,10 @@ states with division (Q17's ``0.2*avg``, Q20's ``0.5*sum``) are
 rewritten division-free over integer quantity-cents so the predicate is
 exact on both engines, not 1-ulp-sensitive at the boundary.
 
-Scale notes: nation/region/part/supplier sides broadcast; the ps-proxy
+Scale notes: nation/region broadcast via explicit hints (bounded
+dims); part/supplier grow with SF, so their joins broadcast only when
+AQE's runtime sizes say so (static auto-broadcast is off engine-wide —
+see session.tuning_conf); the ps-proxy
 aggregations shuffle lineitem once on (l_partkey, l_suppkey) — the same
 key a real partsupp join would use — and Q11/Q15's scalar subqueries are
 one-row broadcasts, not driver collects.
@@ -82,7 +85,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
           FROM lineitem GROUP BY l_partkey, l_suppkey
         )
-        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+               s_acctbal, s_name, n_name, p_partkey, p_name,
                CAST(ps.supplycost AS DOUBLE) AS supplycost
         FROM part, ps, supplier, nation, region
         WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
@@ -90,7 +94,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'EUROPE'
           AND ps.supplycost = (
-            SELECT MIN(ps2.supplycost)
+            SELECT /*+ BROADCAST(n2), BROADCAST(r2) */ MIN(ps2.supplycost)
             FROM ps ps2, supplier s2, nation n2, region r2
             WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
               AND s2.s_nationkey = n2.n_nationkey

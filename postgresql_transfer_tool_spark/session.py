@@ -37,7 +37,17 @@ def tuning_conf(cpus: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Broadcast decisions are RUNTIME-ONLY (AQE), never static:
+        # static size estimates propagate through localCheckpoint
+        # barriers from the ORIGIN plan and wildly underestimate
+        # post-explode relations — at the 100× sweep the planner chose
+        # to broadcast the 100M-row shingle relation (twice) plus its
+        # per-doc counts and OOMed the driver. AQE converts to
+        # broadcast from EXACT shuffle-stage sizes, so genuinely small
+        # sides still broadcast at runtime, and explicit F.broadcast()
+        # hints on bounded dimensions are unaffected.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",

@@ -72,7 +72,13 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
       is localCheckpoint'd to cut that lineage.
     """
     confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # force SMJ at plan time AND at AQE re-plan time: the scenario
+        # emulates a fact-fact join whose sides are too big to
+        # broadcast at 100 TB — without the runtime override, AQE's
+        # broadcast conversion preempts the skew-split rule on this
+        # (deliberately tiny) fixture
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
