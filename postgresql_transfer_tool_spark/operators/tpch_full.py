@@ -126,7 +126,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     return spark.sql(
         f"""
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        SELECT /*+ BROADCAST(n1), BROADCAST(n2) */
+               n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
                CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
         FROM supplier, lineitem, orders, customer,
@@ -180,7 +181,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE) AS mkt_share
         FROM (
-          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(region) */
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  {_REVENUE} AS volume, n2.n_name AS supp_nation
           FROM part, supplier, lineitem, orders, customer,
                nation n1, nation n2, region
@@ -223,7 +225,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation")
     return spark.sql(
         f"""
-        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        SELECT /*+ BROADCAST(nation) */
+               n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                CAST(SUM({_PROFIT}) AS DOUBLE) AS sum_profit
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
@@ -259,7 +262,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH val AS (
-          SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+          SELECT /*+ BROADCAST(nation) */
+                 l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
           FROM lineitem, supplier, nation
           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
             AND n_name = 'NATION_3'
@@ -416,7 +420,7 @@ def q20_excess_availability_suppliers(spark: SparkSession, sf_dir: str) -> DataF
                           THEN {_QTY_C} ELSE 0 END) AS shipped97_c
           FROM lineitem GROUP BY l_partkey, l_suppkey
         )
-        SELECT s_suppkey, s_name, n_name
+        SELECT /*+ BROADCAST(nation) */ s_suppkey, s_name, n_name
         FROM supplier, nation
         WHERE s_nationkey = n_nationkey
           AND s_suppkey IN (
