@@ -443,3 +443,13 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
         registry.QUERIES[n](spark, sf_dir)
     )}
     assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
+def test_broadcast_decisions_are_runtime_only(spark):
+    """Pin the r5 posture: static auto-broadcast OFF (checkpoint-barrier
+    stats underestimate post-explode relations — the 100× sweep watched
+    the planner broadcast a 100M-row shingle relation), AQE runtime
+    conversion ON (exact shuffle sizes). See session.tuning_conf."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert int(adaptive.rstrip("b")) >= 1024 * 1024
