@@ -41,8 +41,10 @@ from .similarity import (
     _SQL_QUANTIZED,
     _spark_dot,
     _spark_quantized_materialized,
+    argmin_cell_sqdist,
     centroid_sample_filter,
     centroid_stride,
+    top_cells_by_cosine,
 )
 
 #: same near-dup bar as the exact all-pairs baseline so recall is
@@ -66,10 +68,10 @@ def _assigned_cells(spark: SparkSession, sf_dir: str):
     the scale tests (which assert per-cell candidate volume stays
     linear across decades).
 
-    Assignment is a MAP-SIDE vectorized top-``ASSIGN_PROBES`` argmax:
-    the (bounded, ≲2^MAX_CELL_BITS-row) centroid matrix ships inside an
-    Arrow ``pandas_udf`` closure and every batch scores n×nc cosines as
-    one exact-int64 BLAS matmul. The pre-r5 shape — broadcast-join the
+    Assignment is a MAP-SIDE vectorized top-``ASSIGN_PROBES`` argmax
+    (``similarity.top_cells_by_cosine``): the bounded centroid matrix
+    ships inside an Arrow ``pandas_udf`` closure and every batch scores
+    its cosines as one exact-int64 BLAS matmul. The pre-r5 shape — broadcast-join the
     centroids and rank with a per-vec_id window — materialized n×nc
     ROWS through a shuffle (3.3 B rows at the 100× sweep's 200k×16.6k
     point; it never finished); the UDF path emits ASSIGN_PROBES rows
@@ -100,33 +102,9 @@ def _assigned_cells(spark: SparkSession, sf_dir: str):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if not cent_rows:
-        raise ValueError(f"no centroids sampled (stride={stride})")
-    cent_rows.sort(key=lambda r: r.vec_id)  # searchsorted needs sorted cids
-    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    C = np.array([r.qe for r in cent_rows], dtype=np.int64)
-    csqrt = np.sqrt(np.array([r.nq for r in cent_rows], dtype=np.float64))
-    probes = ASSIGN_PROBES
-
-    @pandas_udf("array<bigint>")
-    def topcells(qe: pd.Series, nq: pd.Series) -> pd.Series:
-        m = np.array(qe.tolist(), dtype=np.int64)
-        # exact int64 dots, then the identical double expression the
-        # window form (and the oracle) computes
-        ccos = (m @ C.T).astype(np.float64) / (
-            np.sqrt(nq.to_numpy(dtype=np.float64))[:, None] * csqrt[None, :]
-        )
-        out = np.empty((len(m), probes), dtype=np.int64)
-        work = ccos.copy()
-        for p in range(probes):
-            best = work.max(axis=1)
-            # ties break to the LOWEST cid — exactly ROW_NUMBER()'s
-            # ORDER BY ccos DESC, cid
-            pick = np.where(work == best[:, None], cids[None, :], np.iinfo(np.int64).max).min(axis=1)
-            out[:, p] = pick
-            work[np.arange(len(m)), np.searchsorted(cids, pick)] = -np.inf
-        return pd.Series(list(out))
-
+    topcells = top_cells_by_cosine(
+        [(r.vec_id, r.qe, r.nq) for r in cent_rows], ASSIGN_PROBES
+    )
     # assignment is self-joined for pairing — checkpoint the (vec_id,
     # cluster_id) relation so the assign pass runs once
     assigned = (
@@ -350,43 +328,37 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics differ between engines on negatives, FLOOR does not),
     reassign, and report per-cell membership + exact integer inertia.
 
-    Scale shape: the centroid relation (nc rows) broadcasts both
-    times; assignment is a map-side cross against the broadcast with a
-    min(struct(d2, cid)) partial aggregate — the corpus never
-    shuffles for assignment, only the (cid, per-dim partial sums)
-    relation moves for the recompute step (posexplode → groupBy(cid,
-    dim) is mergeable map-side). Each added Lloyd iteration repeats
-    the same two stages — cost is iterations × O(n·nc·DIM) flops and
-    one small shuffle, the standard distributed k-means layout.
+    Scale shape: the bounded centroid set (≈nc ≤ 2^MAX_CELL_BITS rows)
+    ships in the assignment UDF's closure both times; assignment is a
+    map-side vectorized exact-int64 argmin (one BLAS matmul per Arrow
+    batch — the pre-r5 crossjoin + min(struct) pipeline pushed n×nc
+    rows through interpreted HOF lambdas, the 100× sweep's blowup
+    class) — the corpus never shuffles for assignment, only the (cid,
+    per-dim partial sums) relation moves for the recompute step
+    (posexplode → groupBy(cid, dim) is mergeable map-side). Each added
+    Lloyd iteration repeats the same two stages — cost is iterations ×
+    O(n·nc·DIM) BLAS flops and one small shuffle, the standard
+    distributed k-means layout.
     Reference analog: none (clustering family, SURVEY §2.8/X3
     derivative)."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe")
     stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
-    cent0 = q.filter(centroid_sample_filter(stride)).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
-    )
 
-    def d2():
-        return F.aggregate(
-            F.zip_with("qe", "ce", lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        """argmin centroid per vector — min(struct) partial aggregate,
-        never a per-vector sort window."""
-        scored = q.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "qe", F.struct(d2().alias("d2"), F.col("cid")).alias("s")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min("s").alias("best"), F.first("qe").alias("qe")
-        ).select(
+    def assign(cent_rows) -> DataFrame:
+        """argmin centroid per vector — map-side vectorized exact-int64
+        squared distance (similarity.argmin_cell_sqdist); never a
+        per-vector sort window nor an n×nc row pipeline."""
+        best = argmin_cell_sqdist(cent_rows)
+        return q.select("vec_id", "qe", best("qe").alias("b")).select(
             "vec_id", "qe",
-            F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"),
+            F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"),
         )
 
-    a0 = assign(cent0).localCheckpoint(eager=True)
+    cent0_rows = [
+        (r.vec_id, r.qe)
+        for r in q.filter(centroid_sample_filter(stride)).collect()
+    ]
+    a0 = assign(cent0_rows).localCheckpoint(eager=True)
     # recompute: per-dim member sums via posexplode (map-side combinable)
     sums = (
         a0.select("cid", F.posexplode("qe").alias("d", "v"))
@@ -402,7 +374,8 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
         .select("cid", F.col("dm.m").alias("ce"))
     )
-    a1 = assign(cent1)
+    cent1_rows = [(r.cid, r.ce) for r in cent1.collect()]
+    a1 = assign(cent1_rows)
     return a1.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.sum("d2").alias("inertia"),

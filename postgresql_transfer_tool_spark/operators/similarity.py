@@ -437,6 +437,81 @@ def centroid_sample_filter(stride: int):
     return (h % F.lit(stride)) == 0
 
 
+def top_cells_by_cosine(cent_rows, k: int):
+    """Arrow UDF: the top-``k`` cell ids per vector by cosine (ties to
+    the LOWEST cid — exactly ROW_NUMBER() ... ORDER BY ccos DESC, cid),
+    as one exact-int64 BLAS matmul per batch. ``cent_rows`` is the
+    collected (cid, ce, ncent) centroid sample (bounded by
+    2^MAX_CELL_BITS rows).
+
+    This is the map-side replacement for the broadcast-crossjoin +
+    window ranking, which materializes n×nc ROWS through a shuffle
+    (3.3 B at the 100× sweep's 200k×16.6k point — SCALE.md, 100×
+    findings #2); the UDF emits k values per vector and shuffles
+    nothing. The double cosine is the identical correctly-rounded
+    expression the SQL oracle computes, so results are bit-exact."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    if not rows:
+        raise ValueError("empty centroid sample")
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.int64)
+    csqrt = np.sqrt(np.array([r[2] for r in rows], dtype=np.float64))
+
+    @pandas_udf("array<bigint>")
+    def topcells(qe: pd.Series, nq: pd.Series) -> pd.Series:
+        m = np.array(qe.tolist(), dtype=np.int64)
+        ccos = (m @ C.T).astype(np.float64) / (
+            np.sqrt(nq.to_numpy(dtype=np.float64))[:, None] * csqrt[None, :]
+        )
+        out = np.empty((len(m), k), dtype=np.int64)
+        work = ccos.copy()
+        for p in range(k):
+            best = work.max(axis=1)
+            pick = np.where(
+                work == best[:, None], cids[None, :], np.iinfo(np.int64).max
+            ).min(axis=1)
+            out[:, p] = pick
+            work[np.arange(len(m)), np.searchsorted(cids, pick)] = -np.inf
+        return pd.Series(list(out))
+
+    return topcells
+
+
+def argmin_cell_sqdist(cent_rows):
+    """Arrow UDF: struct(cid, d2) of the exact-integer
+    argmin-squared-distance cell per vector (ties to the lowest cid) —
+    the same map-side vectorized contract as
+    :func:`top_cells_by_cosine`, for the Lloyd-assignment metric.
+    d2 = |x|² − 2·x·c + |c|² entirely in int64 (bounded: 64 dims of
+    quantized magnitudes ≪ 2³¹), identical to the HOF / SQL
+    ``Σ (x_i − c_i)²``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    if not rows:
+        raise ValueError("empty centroid sample")
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([r[1] for r in rows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("cid bigint, d2 bigint")
+    def argmin(qe: pd.Series) -> pd.DataFrame:
+        m = np.array(qe.tolist(), dtype=np.int64)
+        x2 = (m * m).sum(axis=1)
+        d2 = x2[:, None] - 2 * (m @ C.T) + c2[None, :]
+        best = d2.min(axis=1)
+        pick = np.where(
+            d2 == best[:, None], cids[None, :], np.iinfo(np.int64).max
+        ).min(axis=1)
+        return pd.DataFrame({"cid": pick, "d2": best})
+
+    return argmin
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
@@ -489,29 +564,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rerank candidates."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
     # footer-metadata n (exact, no scan job) — see lsh_candidate_pairs;
-    # centroids are the id-hash sample, robust to any vec_id layout
+    # centroids are the id-hash sample, robust to any vec_id layout,
+    # and assignment is the map-side vectorized top-NPROBE (no n×nc
+    # row materialization — see top_cells_by_cosine)
     stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
-    cent = q.filter(centroid_sample_filter(stride)).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qe").alias("ce"),
-        F.col("nq").alias("ncent"),
+    cent_rows = [
+        (r.vec_id, r.qe, r.nq)
+        for r in q.filter(centroid_sample_filter(stride)).collect()
+    ]
+    cells = q.select(
+        "vec_id",
+        top_cells_by_cosine(cent_rows, NPROBE)("qe", "nq").alias("cells"),
+    ).localCheckpoint(eager=False)
+    assigned = cells.select(
+        "vec_id", F.col("cells")[0].alias("cell")
     )
-    cdot = _spark_dot("qe", "ce")
-    ccos = cdot.cast("double") / (
-        F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ncent").cast("double"))
+    probes = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode("cells").alias("cell"),
     )
-    cw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    scored_cells = (
-        q.join(F.broadcast(cent))
-        .select("vec_id", "cid", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(cw))
-    )
-    assigned = scored_cells.filter(F.col("crk") == 1).select(
-        "vec_id", F.col("cid").alias("cell")
-    )
-    probes = scored_cells.filter(
-        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
     corpus_cells = assigned.join(
         q.select(F.col("vec_id"), F.col("qe").alias("qb"), F.col("nq").alias("nb")),
         "vec_id",

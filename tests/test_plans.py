@@ -409,7 +409,13 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
     V_LNTABLE = "broadcast hint over unbounded leaves LogicalRDD[v_empty,lin_est]"
     allowed = {
         "ann_bruteforce_topk": [V_QUERYVEC],
-        "ann_ivf_topk": [V_QUERYVEC],
+        "ann_ivf_topk": [
+            # probes: the checkpointed top-NPROBE cells relation,
+            # filtered to vec_id < N_QUERIES before the hint (bounded
+            # by N_QUERIES·NPROBE rows; filter-to-constant)
+            "broadcast hint over unbounded leaves LogicalRDD[vec_id,cells]",
+            V_QUERYVEC,
+        ],
         "ann_pq_topk": [V_QUERYVEC],
         "knn_label_vote": [V_QUERYVEC],
         "ndv_hll_deterministic": [V_LNTABLE],
