@@ -166,14 +166,26 @@ class PartitionedUpsertSink:
         key: str,
         part_col: str,
         update_cols: Sequence[str],
+        assert_stable_every: int = 1,
     ) -> None:
+        """``assert_stable_every``: run the partition-stability guard on
+        every Nth micro-batch (1 = every batch, 0 = never). The guard
+        is a key-column scan of all UNTOUCHED partitions (see module
+        docstring) — cheap relative to a rewrite but not ∝ touched
+        partitions, so very large targets run it periodically once the
+        partition derivation is trusted (ADVICE r4)."""
         self.spark = spark
         self.target_path = target_path
         self.key = key
         self.part_col = part_col
         self.update_cols = list(update_cols)
+        self.assert_stable_every = assert_stable_every
+        self._batches_seen = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._batches_seen += 1
+        every = self.assert_stable_every
+        check = bool(every) and (self._batches_seen % every == 0)
         upsert_partitions(
             self.spark,
             self.target_path,
@@ -181,4 +193,5 @@ class PartitionedUpsertSink:
             key=self.key,
             part_col=self.part_col,
             update_cols=self.update_cols,
+            assert_stable=check,
         )

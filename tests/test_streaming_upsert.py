@@ -249,3 +249,26 @@ def test_upsert_crash_recovery(spark, sf_dir, tmp_path):
     got = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
     assert got == {(1, 10.0, "p1"), (2, 22.0, "p2")}  # p1 restored, p2 merged
     assert not os.path.exists(trash)
+
+
+def test_upsert_periodic_stability_guard(spark, sf_dir, tmp_path):
+    """assert_stable_every=N runs the (near-full-key-scan) stability
+    guard only on every Nth batch: a moved key slips through on an
+    unchecked batch (documented trade) and is caught on a checked one."""
+    from postgresql_transfer_tool_spark.streaming.upsert import PartitionedUpsertSink
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2")], "k long, v double, shard string"
+    ).write.partitionBy("shard").parquet(tgt)
+    sink = PartitionedUpsertSink(
+        spark, tgt, key="k", part_col="shard", update_cols=["v"],
+        assert_stable_every=2,
+    )
+    moved = spark.createDataFrame([(1, 11.0, "p2")], "k long, v double, shard string")
+    sink(moved, 0)  # batch 1: guard skipped — double-store goes through
+    assert spark.read.parquet(tgt).filter("k = 1").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not stable"):
+        sink(moved, 1)  # batch 2: guard runs and catches it
