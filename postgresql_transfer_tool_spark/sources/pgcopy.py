@@ -55,7 +55,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..types import create_table_ddl, quote_ident, quote_qualified, reflect_schema
+from ..types import create_table_ddl, pg_to_spark, quote_ident, quote_qualified
 
 #: CSV NULL marker shared by both directions (two characters: \N).
 NULL_MARKER = "\\N"
@@ -124,6 +124,8 @@ def columns_sql(schema: str, table: str) -> str:
                      COALESCE(numeric_scale, 0) || ')'
                 WHEN data_type = 'ARRAY'
                 THEN replace(udt_name, '_', '') || '[]'
+                WHEN data_type = 'USER-DEFINED'
+                THEN 'composite:' || udt_schema || '.' || udt_name
                 ELSE data_type END,
            is_nullable
     FROM information_schema.columns
@@ -132,11 +134,53 @@ def columns_sql(schema: str, table: str) -> str:
     """
 
 
+def composite_attrs_sql(udt_schema: str, udt_name: str) -> str:
+    """Attribute reflection for one composite type —
+    information_schema.attributes has rows ONLY for composite (row)
+    types, so an empty result distinguishes enums/domains (which stay
+    on their text carrier)."""
+    return f"""
+    SELECT attribute_name,
+           CASE WHEN data_type = 'numeric'
+                     AND numeric_precision IS NOT NULL
+                THEN 'numeric(' || numeric_precision || ',' ||
+                     COALESCE(numeric_scale, 0) || ')'
+                WHEN data_type IN ('ARRAY', 'USER-DEFINED')
+                THEN 'text'
+                ELSE data_type END,
+           is_nullable
+    FROM information_schema.attributes
+    WHERE udt_schema = '{udt_schema}' AND udt_name = '{udt_name}'
+    ORDER BY ordinal_position
+    """
+
+
 def reflect_table_schema(server: PgServer, schema: str, table: str) -> T.StructType:
+    """Reflect a table to StructType. Composite-typed columns reflect
+    their attributes into a nested StructType (r5 — the COPY read path
+    decodes the row literal, see ``parse_pg_row_literal``); enum /
+    domain user-defined types (no attribute rows) and nested-container
+    attributes stay on the lossless text carrier."""
     rows = run_sql(server, columns_sql(schema, table))
     if not rows:
         raise PgCopyError(f"no such table: {schema}.{table}")
-    return reflect_schema([(n, t, null == "YES") for n, t, null in rows])
+    fields: list[T.StructField] = []
+    for n, t, null in rows:
+        if t.startswith("composite:"):
+            udt_schema, udt_name = t[len("composite:"):].split(".", 1)
+            attrs = run_sql(server, composite_attrs_sql(udt_schema, udt_name))
+            if attrs:
+                st = T.StructType(
+                    [
+                        T.StructField(an, pg_to_spark(at), anull == "YES")
+                        for an, at, anull in attrs
+                    ]
+                )
+                fields.append(T.StructField(n, st, null == "YES"))
+                continue
+            t = "text"  # enum/domain: text carrier
+        fields.append(T.StructField(n, pg_to_spark(t), null == "YES"))
+    return T.StructType(fields)
 
 
 # ---------------------------------------------------------------------------

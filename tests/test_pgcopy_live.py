@@ -655,3 +655,36 @@ def test_bytea_array_live_read(spark, pg_server):
     assert got[2] == [bytearray(b"A"), None]
     assert got[3] is None
     assert got[4] == []
+
+
+def test_composite_reflection_read_table(spark, pg_server):
+    """reflect_table_schema builds a nested StructType for composite
+    columns automatically — read_table needs no hand-written schema;
+    enum user-defined types (no attribute rows) stay string."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from postgresql_transfer_tool_spark.sources.pgcopy import (
+        read_table,
+        reflect_table_schema,
+        run_sql,
+    )
+
+    run_sql(pg_server, "CREATE TYPE rt.pt AS (x int, y double precision, tag text)")
+    run_sql(pg_server, "CREATE TYPE rt.mood AS ENUM ('ok', 'meh')")
+    run_sql(pg_server, "CREATE TABLE rt.shapes (id int, center rt.pt, m rt.mood)")
+    run_sql(
+        pg_server,
+        "INSERT INTO rt.shapes VALUES "
+        "(1, ROW(3, 1.5, 'a, \"b\"'), 'ok'), (2, NULL, 'meh'), "
+        "(3, ROW(NULL, -0.25, ''), NULL)",
+    )
+    st = reflect_table_schema(pg_server, "rt", "shapes")
+    assert isinstance(st["center"].dataType, T.StructType)
+    assert [f.name for f in st["center"].dataType.fields] == ["x", "y", "tag"]
+    assert isinstance(st["m"].dataType, T.StringType)  # enum → text carrier
+
+    got = {r.id: (r.center, r.m) for r in read_table(spark, pg_server, "rt", "shapes").collect()}
+    assert got[1] == (Row(x=3, y=1.5, tag='a, "b"'), "ok")
+    assert got[2] == (None, "meh")
+    assert got[3] == (Row(x=None, y=-0.25, tag=""), None)
