@@ -416,7 +416,14 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
             "broadcast hint over unbounded leaves LogicalRDD[vec_id,cells]",
             V_QUERYVEC,
         ],
-        "ann_pq_topk": [V_QUERYVEC],
+        "ann_pq_topk": [
+            # the Lloyd-trained codebook: PQ_M×PQ_K = 128 rows by
+            # construction, checkpointed per pass (LogicalRDD barrier)
+            "broadcast hint over unbounded leaves LogicalRDD[m,k,cw]",
+            # qdots: codebook × the vec_id < N_QUERIES query subvectors
+            "broadcast hint over unbounded leaves "
+            "LogicalRDD[m,k,cw], LogicalRDD[vec_id,label,qe,nq]",
+        ],
         "knn_label_vote": [V_QUERYVEC],
         "ndv_hll_deterministic": [V_LNTABLE],
         "active_users_rolling_hll_det": [V_LNTABLE],
