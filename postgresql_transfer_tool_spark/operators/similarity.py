@@ -680,21 +680,35 @@ _SQL_PQ_CB_WHERE = (
     f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})"
 )
 
-#: Lloyd passes training the codebook from the seed. Measured recall
-#: vs the exact baseline (fixture corpora, TOP_K=5, PQ_CAND=50):
-#: 0 passes 0.46/0.52, 2 passes 0.62/0.66, 4 passes 0.72/0.74 at
-#: sf0.001/sf0.01 — 4 passes beats the pre-r5 dense-id seed (~0.6)
-#: while staying layout-free and oracle-exact.
+#: Lloyd passes training the codebook from the seed, and the bounded
+#: TRAINING SAMPLE size: training runs over the PQ_TRAIN smallest-
+#: (md5, vec_id) vectors — the standard PQ practice (codebooks train on
+#: a sample, encode runs over everything) and the scale-correct one:
+#: the sample is a driver-bounded collect, so the Spark side trains in
+#: numpy with the exact same integer/floor arithmetic the SQL mirror
+#: uses over its own sample CTE, and the distributed plan keeps ONE
+#: encode pass instead of PQ_LLOYD_PASSES window stages (the
+#: all-distributed form benched 8.3 s warm at sf0.1 vs ~1.7 s —
+#: stage-overhead-bound, not flop-bound). Measured recall vs the exact
+#: baseline at TOP_K=5, CAND=100: see the recall test's comment.
 PQ_LLOYD_PASSES = 4
+PQ_TRAIN = 1024
 
 
 def _sql_pq_lloyd_ctes() -> str:
-    """The oracle's Lloyd-refinement CTE chain: each pass assigns every
-    subvector to its nearest current codeword (ties min-k), recomputes
-    codewords as FLOOR of the member mean per dimension (the
-    engine-portable rule ivf_kmeans_refine established), and keeps the
-    previous codeword where a cell won no members."""
-    parts = []
+    """The oracle's Lloyd-refinement CTE chain over the TRAINING SAMPLE
+    ``sub_t``: each pass assigns every training subvector to its
+    nearest current codeword (ties min-k), recomputes codewords as
+    FLOOR of the member mean per dimension (the engine-portable rule
+    ivf_kmeans_refine established), and keeps the previous codeword
+    where a cell won no members. Mirrors ``_train_pq_codebook``
+    bit-for-bit."""
+    parts = [f"""
+    sub_t AS (
+      SELECT * FROM sub WHERE vec_id IN (
+        SELECT vec_id FROM q
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_TRAIN})
+    )"""]
     prev = "cb0"
     for t in range(PQ_LLOYD_PASSES):
         out = "cb" if t == PQ_LLOYD_PASSES - 1 else f"cb{t + 1}"
@@ -707,7 +721,7 @@ def _sql_pq_lloyd_ctes() -> str:
                  ORDER BY list_sum(list_transform(range({PQ_SUBDIM}),
                             i -> (s.sv[i+1] - c.cw[i+1]) * (s.sv[i+1] - c.cw[i+1]))),
                           c.k) AS erk
-        FROM sub s JOIN {prev} c ON c.m = s.m
+        FROM sub_t s JOIN {prev} c ON c.m = s.m
       ) t WHERE erk = 1
     ),
     cbm{t} AS (
@@ -716,7 +730,7 @@ def _sql_pq_lloyd_ctes() -> str:
                CAST(list_sum(list_transform(vecs, v -> v[d+1])) AS DOUBLE)
                / CAST(len(vecs) AS DOUBLE)) AS BIGINT)) AS cw
       FROM (SELECT e.m, e.code, list(s.sv ORDER BY s.vec_id) AS vecs
-            FROM enc_t{t} e JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m
+            FROM enc_t{t} e JOIN sub_t s ON s.vec_id = e.vec_id AND s.m = e.m
             GROUP BY e.m, e.code) g
     ),
     {out} AS (
@@ -725,6 +739,42 @@ def _sql_pq_lloyd_ctes() -> str:
     )""")
         prev = out
     return ",".join(parts).lstrip()
+
+
+def _train_pq_codebook(train_rows) -> list:
+    """Driver-side numpy Lloyd over the bounded (≤PQ_TRAIN) ranked
+    sample — the exact arithmetic of the oracle's CTE chain: int64
+    squared distances, min-(d2, k) assignment, FLOOR-of-double means,
+    empty cells keep their codeword. Returns [(m, k, cw), ...]."""
+    import numpy as np
+
+    ids = [r.vec_id for r in train_rows]  # already ranked (md5, id)
+    V = np.array([r.qe for r in train_rows], dtype=np.int64)
+    id_to_idx = {v: i for i, v in enumerate(ids)}
+    seed_ids = sorted(ids[:PQ_K])  # codeword identity order = k asc
+    cids = np.array(seed_ids, dtype=np.int64)
+    out = []
+    for m in range(PQ_M):
+        sv = V[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        CB = np.array([V[id_to_idx[c], m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] for c in seed_ids], dtype=np.int64)
+        for _ in range(PQ_LLOYD_PASSES):
+            d2 = ((sv[:, None, :] - CB[None, :, :]) ** 2).sum(axis=2)
+            best = d2.min(axis=1)
+            pick = np.where(
+                d2 == best[:, None], cids[None, :], np.iinfo(np.int64).max
+            ).min(axis=1)
+            new_cb = CB.copy()
+            for j, c in enumerate(cids):
+                mem = sv[pick == c]
+                if len(mem):
+                    new_cb[j] = np.floor(
+                        mem.sum(axis=0).astype(np.float64) / float(len(mem))
+                    ).astype(np.int64)
+            CB = new_cb
+        out.extend(
+            (m, int(c), [int(x) for x in CB[j]]) for j, c in enumerate(cids)
+        )
+    return out
 
 
 #: (vec_id, m, sv) subvector relation shared by corpus, codebook, queries
@@ -817,15 +867,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.expr(f"slice(qe, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
     )
-    cb_ids = [
-        r.vec_id
-        for r in q.select("vec_id")
+    # codebook: seed = the exactly-PQ_K smallest-(md5, vec_id) vectors
+    # (layout-free — vec_id < PQ_K returned an EMPTY codebook off
+    # dense-id corpora), trained driver-side in numpy over the bounded
+    # PQ_TRAIN ranked sample with the oracle's exact arithmetic
+    # (_train_pq_codebook); the distributed plan keeps a single encode
+    # pass. Recall measured in tests/test_similarity_scale.py.
+    train_rows = (
+        q.select("vec_id", "qe")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_K)
+        .limit(PQ_TRAIN)
         .collect()
-    ]
-    cb0 = sub.filter(F.col("vec_id").isin(cb_ids)).select(
-        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    cb = spark.createDataFrame(
+        _train_pq_codebook(train_rows), "m int, k bigint, cw array<bigint>"
     )
     l2 = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
@@ -833,42 +888,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     ew = Window.partitionBy("vec_id", "m").orderBy(F.col("dist"), F.col("k"))
-    # PQ_LLOYD_PASSES Lloyd passes train the codebook: assign every
-    # subvector to its nearest current codeword, recompute codewords as
-    # the floor of the member mean per dimension (the engine-portable
-    # FLOOR-of-double rule ivf_kmeans_refine established), keep the
-    # previous codeword where a cell won no members. The seed is the
-    # exactly-PQ_K md5-ranked sample (layout-free — vec_id < PQ_K
-    # returned an EMPTY codebook off dense-id corpora); training
-    # recovers (and beats) the recall a random seed loses: measured
-    # 0.46→0.72 / 0.52→0.74 at sf0.001/sf0.01 vs the exact baseline.
-    cb = cb0
-    mean = F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("bigint")
-    for _ in range(PQ_LLOYD_PASSES):
-        enc_t = (
-            sub.join(F.broadcast(cb), "m")
-            .select("vec_id", "m", "k", l2.alias("dist"))
-            .withColumn("erk", F.row_number().over(ew))
-            .filter(F.col("erk") == 1)
-            .select("vec_id", "m", F.col("k").alias("code"))
-        )
-        sums = (
-            enc_t.join(sub, ["vec_id", "m"])
-            .select("m", F.col("code").alias("k"), F.posexplode("sv").alias("d", "v"))
-            .groupBy("m", "k", "d")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        )
-        cbm = (
-            sums.select("m", "k", "d", mean.alias("mv"))
-            .groupBy("m", "k")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "mv"))).alias("dm"))
-            .select("m", "k", F.col("dm.mv").alias("cw1"))
-        )
-        cb = (
-            cb.join(cbm, ["m", "k"], "left")
-            .select("m", "k", F.coalesce("cw1", "cw").alias("cw"))
-            .localCheckpoint(eager=False)
-        )
     enc = (
         sub.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "k", l2.alias("dist"))

@@ -196,8 +196,9 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     }
     assert exact, "brute-force baseline returned nothing — vacuous"
     recall = len(exact & pq) / len(exact)
-    # r5: layout-free md5-ranked seed + 4 Lloyd passes + CAND=100
-    # measures 0.80 / 0.86 / 0.68 at sf0.001 / sf0.01 / sf0.1 (the
+    # r5: layout-free md5-ranked seed, 4 Lloyd passes over the bounded
+    # PQ_TRAIN sample (driver-side numpy, oracle-mirrored), CAND=100 —
+    # measures 0.80 / 0.86 / 0.62 at sf0.001 / sf0.01 / sf0.1 (the
     # pre-r5 0.6 relied on the first-16-ids seed coinciding with the
     # fixture generator's cluster centers)
     assert recall >= 0.7, f"PQ recall collapsed: {recall:.2f}"
