@@ -26,11 +26,10 @@ single final IEEE division — both bit-identical across engines.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_row_count
+from ..catalog import table_row_count
 from .corpus import _spark_tokens_materialized
 from .registry import query
 from .similarity import (
@@ -98,9 +97,6 @@ def _assigned_cells(spark: SparkSession, sf_dir: str):
         .select("vec_id", "qe", "nq")
         .collect()
     )
-
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     topcells = top_cells_by_cosine(
         [(r.vec_id, r.qe, r.nq) for r in cent_rows], ASSIGN_PROBES
