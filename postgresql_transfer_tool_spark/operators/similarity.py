@@ -456,6 +456,14 @@ def top_cells_by_cosine(cent_rows, k: int):
     rows = sorted(cent_rows, key=lambda r: r[0])
     if not rows:
         raise ValueError("empty centroid sample")
+    if len(rows) < k:
+        # With fewer centroids than k the argmax loop would emit
+        # duplicate cell ids, while the SQL oracle's crk <= k window
+        # emits fewer rows — silent parity break. Fail loudly instead.
+        raise ValueError(
+            f"centroid sample has {len(rows)} rows < k={k}; "
+            "lower NPROBE or widen the centroid stride"
+        )
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([r[1] for r in rows], dtype=np.int64)
     csqrt = np.sqrt(np.array([r[2] for r in rows], dtype=np.float64))
@@ -463,8 +471,16 @@ def top_cells_by_cosine(cent_rows, k: int):
     @pandas_udf("array<bigint>")
     def topcells(qe: pd.Series, nq: pd.Series) -> pd.Series:
         m = np.array(qe.tolist(), dtype=np.int64)
+        nqv = nq.to_numpy(dtype=np.float64)
+        if (nqv == 0).any():
+            # cosine is undefined at |q| = 0; the NaN row would turn the
+            # argmax scan all-False and index past cids. Reject clearly.
+            raise ValueError(
+                "zero-norm query vector (nq=0): cosine similarity is "
+                "undefined — filter zero vectors before ranking"
+            )
         ccos = (m @ C.T).astype(np.float64) / (
-            np.sqrt(nq.to_numpy(dtype=np.float64))[:, None] * csqrt[None, :]
+            np.sqrt(nqv)[:, None] * csqrt[None, :]
         )
         out = np.empty((len(m), k), dtype=np.int64)
         work = ccos.copy()

@@ -119,8 +119,15 @@ _BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range", "OneRowRelation$"
 
 #: Base tables that are bounded by the data model itself (TPC-H fixes
 #: region at 5 rows and nation at 25 at every scale factor) —
-#: recognized by their column-name prefix on the relation's output.
-_BOUNDED_TABLE_PREFIXES = ("r_", "n_")
+#: recognized by the EXACT column-name set of the relation's analyzed
+#: output (a leaf exposes the full table schema at analysis time). A
+#: prefix rule ('r_'/'n_') would silently exempt any derived relation
+#: whose columns happen to share the prefix, e.g. n_rows/n_docs
+#: (ADVICE r5).
+_BOUNDED_TABLE_COLSETS = (
+    frozenset({"r_regionkey", "r_name"}),                   # region
+    frozenset({"n_nationkey", "n_name", "n_regionkey"}),    # nation
+)
 
 
 def _hint_subtree_unbounded_leaves(node) -> list[str]:
@@ -136,9 +143,7 @@ def _hint_subtree_unbounded_leaves(node) -> list[str]:
             return []
         out = node.output()
         names = [out.apply(i).name() for i in range(out.length())]
-        if names and any(
-            all(n.startswith(p) for n in names) for p in _BOUNDED_TABLE_PREFIXES
-        ):
+        if frozenset(names) in _BOUNDED_TABLE_COLSETS:
             return []
         return [f"{cls}[{','.join(names[:6])}{'…' if len(names) > 6 else ''}]"]
     bad: list[str] = []

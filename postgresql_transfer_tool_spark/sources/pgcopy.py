@@ -241,6 +241,10 @@ def parse_pg_array_literal(s: str | None) -> list[str | None] | None:
             while True:
                 ch = body[i]
                 if ch == "\\":
+                    if i + 1 >= n:
+                        raise ValueError(
+                            f"dangling backslash in literal: {s!r}"
+                        )
                     buf.append(body[i + 1])
                     i += 2
                 elif ch == '"':
@@ -301,6 +305,10 @@ def parse_pg_row_literal(s: str | None) -> list[str | None] | None:
                     raise ValueError(f"unterminated quote in row literal: {s!r}")
                 ch = body[i]
                 if ch == "\\":
+                    if i + 1 >= n:
+                        raise ValueError(
+                            f"dangling backslash in literal: {s!r}"
+                        )
                     buf.append(body[i + 1])
                     i += 2
                 elif ch == '"':

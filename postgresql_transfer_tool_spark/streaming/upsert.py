@@ -135,13 +135,28 @@ def upsert_partitions(
         if d.startswith(prefix) and os.path.isdir(os.path.join(staging, d))
     )
     # merge_into never drops batch rows, so every touched value must
-    # have produced exactly one staged dir; anything else means updates
-    # would be silently lost — refuse to swap.
-    if len(staged_dirs) != len(touched):
+    # have produced exactly one staged dir. Compare the SET of staged
+    # values against the set of touched values (a count-only check lets
+    # one missing dir cancel against one unexpected extra dir — ADVICE
+    # r5). Dir names are Spark-escaped, so instead of reconstructing
+    # names, read the staged partition values back and let Spark decode
+    # them; cast to the batch's own part_col type so inference can't
+    # skew the comparison.
+    part_type = batch.schema[part_col].dataType
+    staged_vals = {
+        r[0]
+        for r in spark.read.parquet(staging)
+        .select(F.col(part_col).cast(part_type))
+        .distinct()
+        .collect()
+    }
+    if staged_vals != set(touched) or len(staged_dirs) != len(touched):
+        missing = sorted(set(touched) - staged_vals)
+        extra = sorted(staged_vals - set(touched))
         raise RuntimeError(
-            f"staging holds {len(staged_dirs)} partition dir(s) "
-            f"({staged_dirs}) for {len(touched)} touched value(s) "
-            f"({touched}) — refusing to swap"
+            f"staging holds {len(staged_dirs)} partition dir(s) for "
+            f"{len(touched)} touched value(s); missing={missing} "
+            f"extra={extra} — refusing to swap"
         )
     os.makedirs(trash, exist_ok=True)
     for d in staged_dirs:
@@ -185,7 +200,12 @@ class PartitionedUpsertSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         self._batches_seen += 1
         every = self.assert_stable_every
-        check = bool(every) and (self._batches_seen % every == 0)
+        # Always guard the FIRST batch after (re)start: a fresh (and
+        # possibly wrong) partition derivation shows up immediately
+        # instead of surviving N-1 unguarded batches (ADVICE r5).
+        check = bool(every) and (
+            self._batches_seen == 1 or self._batches_seen % every == 0
+        )
         upsert_partitions(
             self.spark,
             self.target_path,

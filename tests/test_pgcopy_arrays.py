@@ -161,6 +161,20 @@ def test_parse_row_rejects_malformed():
     assert parse_pg_row_literal(None) is None
 
 
+def test_parse_rejects_dangling_backslash():
+    """A quoted field ending in a lone backslash must raise the
+    documented ValueError, not IndexError (ADVICE r5): the escape
+    consumes body[i+1], which is past the end of the literal body."""
+    with _pytest.raises(ValueError, match="backslash"):
+        parse_pg_row_literal('(a,"b\\)')  # body ends on the escape char
+    with _pytest.raises(ValueError, match="backslash"):
+        parse_pg_row_literal('("\\)')
+    from postgresql_transfer_tool_spark.sources.pgcopy import parse_pg_array_literal
+
+    with _pytest.raises(ValueError, match="backslash"):
+        parse_pg_array_literal('{"a\\}')
+
+
 def test_composite_render_parse_identity(spark):
     """Spark-side inverse pair: _struct_to_pg_row_literal's output must
     decode back to the same struct through _from_pg_text — including

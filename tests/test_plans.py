@@ -363,6 +363,24 @@ def test_broadcast_hint_detector_sees_unbounded_hint(spark, sf_dir):
     assert broadcast_hint_violations(hits.crossJoin(F.broadcast(agg))) == []
     top = dl.orderBy("dl").limit(10)
     assert broadcast_hint_violations(hits.join(F.broadcast(top), "doc_id")) == []
+    # an unbounded DERIVED leaf whose columns all share the nation
+    # prefix must still be flagged — the pre-r6 'n_'-prefix rule would
+    # silently exempt it (ADVICE r5); the bounded-table rule now
+    # matches nation/region's exact column sets only.
+    sneaky = (
+        docs.select(
+            F.col("doc_id").alias("n_docs"), F.length("text").alias("n_len")
+        )
+        .localCheckpoint()  # opaque LogicalRDD leaf, names survive
+    )
+    assert broadcast_hint_violations(
+        hits.join(F.broadcast(sneaky), hits.doc_id == sneaky.n_docs)
+    ), "detector exempted an unbounded leaf on a column-name prefix"
+    # while the REAL bounded dimensions stay exempt:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    assert broadcast_hint_violations(F.broadcast(dim).crossJoin(hits)) == []
 
 
 def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):

@@ -253,8 +253,12 @@ def test_upsert_crash_recovery(spark, sf_dir, tmp_path):
 
 def test_upsert_periodic_stability_guard(spark, sf_dir, tmp_path):
     """assert_stable_every=N runs the (near-full-key-scan) stability
-    guard only on every Nth batch: a moved key slips through on an
-    unchecked batch (documented trade) and is caught on a checked one."""
+    guard on the FIRST batch after (re)start (ADVICE r5 — a fresh
+    partition derivation must not survive N-1 unguarded batches) and
+    then on every Nth batch: a moved key slips through on an unchecked
+    middle batch (documented trade) and is caught on a checked one."""
+    import pytest as _pytest
+
     from postgresql_transfer_tool_spark.streaming.upsert import PartitionedUpsertSink
 
     tgt = str(tmp_path / "tgt")
@@ -263,12 +267,13 @@ def test_upsert_periodic_stability_guard(spark, sf_dir, tmp_path):
     ).write.partitionBy("shard").parquet(tgt)
     sink = PartitionedUpsertSink(
         spark, tgt, key="k", part_col="shard", update_cols=["v"],
-        assert_stable_every=2,
+        assert_stable_every=3,
     )
     moved = spark.createDataFrame([(1, 11.0, "p2")], "k long, v double, shard string")
-    sink(moved, 0)  # batch 1: guard skipped — double-store goes through
-    assert spark.read.parquet(tgt).filter("k = 1").count() == 2
-    import pytest as _pytest
-
     with _pytest.raises(ValueError, match="not stable"):
-        sink(moved, 1)  # batch 2: guard runs and catches it
+        sink(moved, 0)  # batch 1: FIRST batch is always guarded
+    assert spark.read.parquet(tgt).filter("k = 1").count() == 1  # rejected
+    sink(moved, 1)  # batch 2: 2 % 3 != 0 — skipped, double-store goes through
+    assert spark.read.parquet(tgt).filter("k = 1").count() == 2
+    with _pytest.raises(ValueError, match="not stable"):
+        sink(moved, 2)  # batch 3: 3 % 3 == 0 — guard runs and catches it
