@@ -1,0 +1,235 @@
+"""Iterative graph operators over the part co-purchase graph.
+
+Not reference features (the reference, like PostgreSQL, leaves graph
+analytics to recursive CTEs — SURVEY.md §2.6); they complete the
+"switchable engine" surface for the workloads a PG user runs with
+``WITH RECURSIVE`` today: fixed-iteration PageRank, bounded-depth BFS,
+and the frequent-pair mining those graphs are built from.
+
+Graph: nodes are parts; (a, b) is an edge iff parts a and b co-occur in
+at least one order (via distinct (orderkey, partkey) lineitem rows).
+The pair generation is a self-join on ``l_orderkey`` — per-order item
+counts are O(1) in the data model, so the quadratic blow-up is per-key
+bounded and the join shuffles on the order key exactly once (the same
+scale argument as q21's multi-supplier self-join).
+
+Determinism: PageRank is specified in scaled INTEGER arithmetic —
+rank₀ = 10⁹; rankₜ₊₁(v) = 0.15·10⁹ + ⌊85·Σ_{u→v} ⌊rankₜ(u)/deg(u)⌋ / 100⌋
+with all divisions integral (Spark ``div`` ↔ DuckDB ``//`` — equal for
+non-negative operands), so the oracle comparison is bit-exact with no
+float summation order anywhere. Incoming sums are accumulated in
+decimal(38,0) (Spark) / HUGEINT (DuckDB): per-node in-sums are bounded
+by total rank mass ≈ n·10⁹, which overflows int64 only past ~10⁹ nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale (10^9)
+PR_BASE = 150_000_000  # (15 * PR_SCALE) / 100, the damping floor
+PR_ITERS = 3
+BFS_DEPTH = 3
+COPURCHASE_TOPK = 20
+
+#: shared SQL prefix: distinct order→part incidence and the symmetric
+#: co-purchase edge list derived from it.
+_SQL_EDGES = """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)"""
+
+
+def _incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (orderkey, partkey) — one row per part per order."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edges (src, dst), checkpointed:
+    PageRank re-reads them every iteration and BFS every level, so one
+    materialization replaces PR_ITERS+1 scans of the lineitem base."""
+    op = _incidence(spark, sf_dir)
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pagerank_oracle() -> str:
+    base, scale = PR_BASE, PR_SCALE
+    ctes = [f"r0 AS (SELECT src AS v, CAST({scale} AS BIGINT) AS r FROM deg)"]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""i{t} AS (
+      SELECT e.dst AS v, SUM(r.r // dg.d) AS inc
+      FROM edges e JOIN r{t - 1} r ON e.src = r.v JOIN deg dg ON e.src = dg.src
+      GROUP BY e.dst
+    ),
+    r{t} AS (
+      SELECT n.src AS v,
+             CAST({base} + COALESCE((85 * i.inc) // 100, 0) AS BIGINT) AS r
+      FROM deg n LEFT JOIN i{t} i ON n.src = i.v
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_EDGES},
+    {joined}
+    SELECT v AS partkey, r AS rank_scaled FROM r{PR_ITERS}
+    """
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85, 3 iterations) on
+    the co-purchase graph, in scaled-integer arithmetic (module
+    docstring) so the result is bit-exact against the chained-CTE
+    oracle. Every node of the symmetric graph has out-edges, so there
+    is no dangling-mass term.
+
+    Scale: one edge materialization; per iteration one join keyed on
+    ``src`` (rank lookup) and one shuffle on ``dst`` (partial-aggregated
+    sum) — the textbook distributed PageRank step. Ranks are
+    checkpointed per iteration to keep the lineage flat instead of
+    re-deriving iteration t-1 inside iteration t's plan."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("v")).localCheckpoint(eager=False)
+    ranks = nodes.select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        inc = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.v == inc.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(PR_BASE)
+                    + F.coalesce(
+                        F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("v").alias("partkey"), F.col("r").alias("rank_scaled"))
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        "s0 AS (SELECT MIN(src) AS v FROM edges)",
+        "h0 AS (SELECT v, 0 AS hop FROM s0)",
+    ]
+    for k in range(1, BFS_DEPTH + 1):
+        ctes.append(
+            f"""n{k} AS (
+      SELECT DISTINCT e.dst AS v
+      FROM edges e JOIN h{k - 1} h ON e.src = h.v AND h.hop = {k - 1}
+    ),
+    h{k} AS (
+      SELECT v, hop FROM h{k - 1}
+      UNION ALL
+      SELECT v, {k} AS hop FROM n{k}
+      WHERE v NOT IN (SELECT v FROM h{k - 1})
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_EDGES},
+    {joined}
+    SELECT v AS partkey, CAST(hop AS INT) AS hop FROM h{BFS_DEPTH}
+    """
+
+
+@query("bfs_reachability_hops", oracle=_bfs_oracle())
+def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS: minimum hop count (≤ BFS_DEPTH = 3) from the
+    lowest part key to every reachable node — PostgreSQL's
+    ``WITH RECURSIVE`` shortest-hop idiom, re-expressed as a bounded
+    frontier loop (each level: one join keyed on ``src``, one distinct,
+    one anti-join against the reached set — all partial-aggregable
+    shuffles; no iteration ever materializes more than the frontier).
+
+    Scale: the reached set is checkpointed per level so level k's plan
+    does not re-derive levels 0..k-1; depth is a fixed constant, so the
+    whole query is BFS_DEPTH+1 joins regardless of data size."""
+    edges = _edges(spark, sf_dir)
+    levels = [
+        edges.agg(F.min("src").alias("v"))
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    ]
+    for k in range(1, BFS_DEPTH + 1):
+        frontier = levels[-1]
+        nxt = (
+            edges.join(frontier, edges.src == frontier.v)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        # anti-join against the union of the already-checkpointed
+        # levels — no re-materialization of the whole reached set per
+        # level, only the new frontier is checkpointed.
+        for lvl in levels:
+            nxt = nxt.join(lvl, "v", "left_anti")
+        levels.append(
+            nxt.withColumn("hop", F.lit(k)).localCheckpoint(eager=False)
+        )
+    reached = levels[0]
+    for lvl in levels[1:]:
+        reached = reached.union(lvl)
+    return reached.select(F.col("v").alias("partkey"), F.col("hop").cast("int"))
+
+
+@query(
+    "copurchase_pairs_topk",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, n_orders FROM pairs
+    ORDER BY n_orders DESC, pa, pb LIMIT {COPURCHASE_TOPK}
+    """,
+)
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs: the COPURCHASE_TOPK = 20 part pairs
+    co-occurring in the most orders, ties broken by (pa, pb) so the
+    LIMIT boundary is deterministic. The orderBy+limit lowers to
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver) — no global sort at any scale."""
+    op = _incidence(spark, sf_dir)
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "pa", "pb")
+        .limit(COPURCHASE_TOPK)
+    )

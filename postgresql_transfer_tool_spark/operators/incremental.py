@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cumsum import running_sum
 from ..functions.exact import dsum
 from .registry import query
 from .relational import dd
@@ -445,3 +446,136 @@ def events_debounce_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
     )
+
+
+IC_DUR_UNIT_US = 10_000_000  # each whole unit of `value` = 10 s of interval
+
+
+@query(
+    "interval_concurrency_peak",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * {IC_DUR_UNIT_US} AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    dl AS (SELECT event_type, t, SUM(delta) AS delta FROM pts GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, t,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t) AS conc
+      FROM dl
+    ),
+    mx AS (SELECT event_type, MAX(conc) AS peak FROM c GROUP BY 1)
+    SELECT m.event_type, CAST(m.peak AS BIGINT) AS peak, MIN(c.t) AS at_us
+    FROM mx m JOIN c ON c.event_type = m.event_type AND c.conc = m.peak
+    GROUP BY 1, 2
+    """,
+)
+def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-overlap: each event is an interval
+    [ts, ts + ⌊value⌋·10 s); the peak number of simultaneously open
+    intervals per event type, and the earliest instant it is reached —
+    the classic "max concurrent sessions" query (PostgreSQL users write
+    it with a LATERAL unnest + window).
+
+    The sweep is +-1 deltas at interval endpoints (merged per timestamp
+    so ties are order-free), then a running sum. The running sum is the
+    two-phase parallel prefix sum (functions/cumsum.py), NOT a
+    per-type window: event_type has single-digit cardinality, so a
+    window partitioned by it is as serial as no partition at all at
+    100 TB. Ordering by (event_type, t) makes the global cumsum equal
+    the within-type cumsum because each type's deltas sum to zero —
+    every +1 has its matching -1 — so the accumulator always re-crosses
+    zero at a type boundary. Endpoints are integer micros and deltas
+    integers: bit-exact vs the oracle (FLOOR(value) on both sides —
+    CAST alone truncates in Spark but rounds in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    e = s + F.floor(F.col("value")).cast("bigint") * F.lit(IC_DUR_UNIT_US)
+    iv = ev.select("event_type", s.alias("s"), e.alias("e"))
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    dl = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("delta"))
+    c = running_sum(dl, [F.col("event_type"), F.col("t")], F.col("delta"), "conc")
+    mx = c.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        c.join(F.broadcast(mx), "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("at_us"))
+    )
+
+
+@query(
+    "ewma_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(14,4))) * 10000 AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    spine AS (
+      SELECT t.event_type, d.day, COALESCE(m.v, 0) AS v
+      FROM types t CROSS JOIN days d
+      LEFT JOIN daily m ON m.event_type = t.event_type AND m.day = d.day
+    )
+    SELECT event_type, day,
+           COALESCE(LAG(v, 0) OVER w, 0) * 128 + COALESCE(LAG(v, 1) OVER w, 0) * 64 + COALESCE(LAG(v, 2) OVER w, 0) * 32 + COALESCE(LAG(v, 3) OVER w, 0) * 16 + COALESCE(LAG(v, 4) OVER w, 0) * 8 + COALESCE(LAG(v, 5) OVER w, 0) * 4 + COALESCE(LAG(v, 6) OVER w, 0) * 2 + COALESCE(LAG(v, 7) OVER w, 0) * 1 AS ewma_scaled
+    FROM spine WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponential moving average of the daily value total per
+    event type: ewma_scaled(t) = SUM_(k=0..7) v(t-k)*2^(7-k), i.e. the
+    alpha = 1/2 EWMA cut at 8 lags, in pure integer arithmetic (v is the
+    day's value total in exact 1e-4 units; weights are powers of two),
+    so the smoothing is bit-exact against the oracle with no float
+    powers anywhere. Missing days on the observed-day spine count as 0
+    (smoothing decays through silence); for a calendar-dense spine,
+    generate_series the range as timeseries_gap_fill does.
+
+    Scale: one event-log scan collapses to the (type x day) aggregate;
+    everything after — spine, lags, weighted sum — runs on that bounded
+    relation, so the per-type window is domain-bounded, not data-bounded
+    (the gap-fill precedent)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(14,4)")) * 10000)
+            .cast("bigint")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    # no hint on `daily`: its Aggregate hides behind the checkpoint's
+    # LogicalRDD leaf, so a static hint is indistinguishable from an
+    # O(N) broadcast in the plan sweep — AQE broadcasts it at runtime
+    # from its actual (type × day)-bounded size.
+    spine = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("v", F.lit(0).cast("bigint")).alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ewma = None
+    for k in range(8):
+        term = F.coalesce(F.lag("v", k).over(w), F.lit(0).cast("bigint")) * (
+            1 << (7 - k)
+        )
+        ewma = term if ewma is None else ewma + term
+    return spine.select("event_type", "day", ewma.alias("ewma_scaled"))

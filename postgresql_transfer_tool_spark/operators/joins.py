@@ -347,3 +347,89 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.n_name").alias("matched_name"),
         F.col("best.dist").alias("dist"),
     )
+
+
+TRGM_SIM_PCT = 40  # Jaccard threshold as a percentage (rational compare)
+
+
+@query(
+    "trigram_similarity_names",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT '  ' || lower(p_name) || ' ' AS s FROM part
+    ),
+    tg AS (
+      SELECT DISTINCT s, substr(s, CAST(i AS INT), 3) AS g
+      FROM names, UNNEST(generate_series(1, length(s) - 2)) AS t(i)
+    ),
+    cnt AS (SELECT s, COUNT(*) AS n FROM tg GROUP BY s),
+    inter AS (
+      SELECT a.s AS sa, b.s AS sb, COUNT(*) AS i
+      FROM tg a JOIN tg b ON a.g = b.g AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT trim(i.sa) AS name_a, trim(i.sb) AS name_b,
+           CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS sim
+    FROM inter i JOIN cnt ca ON ca.s = i.sa JOIN cnt cb ON cb.s = i.sb
+    WHERE 100 * i.i >= {TRGM_SIM_PCT} * (ca.n + cb.n - i.i)
+    """,
+)
+def trigram_similarity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style similarity self-join over the DISTINCT part-name
+    dictionary: names are padded with two leading and one trailing
+    space and lowercased (pg_trgm's trigram extraction convention),
+    per-name DISTINCT trigram sets are compared by Jaccard, and pairs
+    with similarity ≥ 0.40 survive — the engine-side equivalent of
+    ``SELECT ... WHERE a.name % b.name`` under
+    ``pg_trgm.similarity_threshold = 0.4``.
+
+    Determinism: the threshold test is the integer rational
+    ``100·i ≥ 40·(|A|+|B|−i)`` (no float compare at the boundary); the
+    reported ``sim`` is a single IEEE division — correctly rounded and
+    engine-portable.
+
+    Scale: the DISTINCT collapse runs first (dictionary ≪ rows — the
+    cheap move every entity-resolution pass makes), then one shuffle on
+    the trigram key produces intersection counts directly, exactly the
+    dedup_ngram_jaccard shape. Share-a-trigram candidates are complete
+    for any positive threshold (similar pairs must share ≥ 1 trigram).
+    For a 10⁸-name dictionary the stop-trigram df cap + banding of
+    dedup_minhash_lsh is the documented scale path; trigram arrays are
+    materialized before explode (Generate re-eval trap)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.concat(F.lit("  "), F.lower(F.col("p_name")), F.lit(" ")).alias("s")
+        )
+        .distinct()
+    )
+    tg_arr = names.withColumn(
+        "gs",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ),
+    ).localCheckpoint(eager=False)
+    tg = tg_arr.select("s", F.explode("gs").alias("g"))
+    cnt = tg.groupBy("s").agg(F.count("*").alias("n"))
+    inter = (
+        tg.select(F.col("s").alias("sa"), "g")
+        .join(
+            tg.select(F.col("s").alias("sb"), F.col("g").alias("g_r")),
+            (F.col("g") == F.col("g_r")) & (F.col("sa") < F.col("sb")),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.select(F.col("s").alias("sa"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("s").alias("sb"), F.col("n").alias("nb"))
+    union_n = F.col("na") + F.col("nb") - F.col("i")
+    return (
+        inter.join(ca, "sa")
+        .join(cb, "sb")
+        .filter(100 * F.col("i") >= TRGM_SIM_PCT * union_n)
+        .select(
+            F.trim(F.col("sa")).alias("name_a"),
+            F.trim(F.col("sb")).alias("name_b"),
+            (F.col("i").cast("double") / union_n).alias("sim"),
+        )
+    )

@@ -211,6 +211,7 @@ def load_all() -> None:
         semantic,
         product_analytics,
         diff,
+        graph,
     )
     from ..sources import files  # noqa: F401  (CSV/JSON round-trip queries)
 

@@ -43,12 +43,15 @@ def test_prefix_prefers_stalest_rows():
     assert seq == sorted(seq), "registry order is not stalest-first"
 
 
-def test_driver_rounds_sees_all_three_recorded_rounds():
-    """Sanity: the scan actually parses the committed files (each of
-    r1..r3 recorded 50 rows; union is 147 of 151 as of round 3)."""
+def test_driver_rounds_sees_multiple_recorded_rounds():
+    """Sanity: the scan actually parses the committed CORRECTNESS files.
+    Round-agnostic (the 50-slot gate rotation supersedes older rows as
+    rounds accumulate): there must be rows from at least 3 distinct
+    rounds and near-full union coverage."""
     last = registry.driver_rounds()
     assert len(last) >= 147
-    assert set(last.values()) >= {1, 2, 3}
+    assert len(set(last.values())) >= 3
+    assert max(last.values()) >= 4  # recent rounds are being picked up
 
 
 def test_gate_order_is_deterministic_and_total():
