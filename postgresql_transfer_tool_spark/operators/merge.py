@@ -34,16 +34,22 @@ def merge_into(
     key: str,
     update_cols: Sequence[str],
     broadcast_source: bool = True,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """MERGE ``source`` into ``target`` on ``key``.
 
     WHEN MATCHED: take ``update_cols`` from the source row.
+    WHEN MATCHED AND source.``delete_col``: drop the target row
+    (WHEN MATCHED THEN DELETE — only when ``delete_col`` is given; a
+    delete marker for an absent key is a no-op, CDC convention).
     WHEN NOT MATCHED (source only): insert the source row.
     WHEN NOT MATCHED BY SOURCE (target only): keep the target row.
 
     Returns the merged relation plus an ``action`` audit column
-    (update / insert / keep). Columns outside ``update_cols`` must exist
-    in both sides (inserted rows take them from the source).
+    (update / insert / keep); deleted rows are absent from the result.
+    Columns outside ``update_cols`` must exist in both sides (inserted
+    rows take them from the source); ``delete_col`` is a source-only
+    boolean and never appears in the output.
 
     Shape (the scale-critical part): matched/kept rows are a broadcast
     LEFT join — the full-width target is never shuffled; inserts are a
@@ -72,11 +78,24 @@ def merge_into(
             return F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         return F.col(f"t.{c}").alias(c)
 
-    upserted = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left").select(
+    upserted = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
+    if delete_col is not None:
+        # matched deletes drop out here; the same filter shape keeps the
+        # broadcast-left-join plan (the full-width target still never
+        # shuffles — the delete test is a per-row predicate on it).
+        upserted = upserted.filter(
+            ~(matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+        )
+    upserted = upserted.select(
         *[pick(c) for c in target.columns],
         F.when(matched, F.lit("update")).otherwise(F.lit("keep")).alias("action"),
     )
-    inserts = source.join(
+    ins_src = (
+        source.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        if delete_col is not None
+        else source
+    )
+    inserts = ins_src.join(
         target.select(key), on=key, how="left_anti"
     ).select(*target.columns, F.lit("insert").alias("action"))
     return upserted.unionByName(inserts)
@@ -176,3 +195,63 @@ def merge_scd2_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return expired.unionAll(appended)
+
+
+@query(
+    "merge_cdc_with_deletes",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    batch AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice,
+             (o_orderkey % 10 = 7 OR o_orderkey % 10 = 9) AS is_del
+      FROM orders WHERE o_orderkey % 10 >= 5
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action
+    FROM target t FULL OUTER JOIN batch s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT COALESCE(s.is_del, FALSE)
+    """,
+)
+def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN MATCHED THEN DELETE: a simulated CDC batch where
+    keys ending 5-6 are updates, key-ending-8 rows are inserts, and the
+    delete marker covers a matched key (ending 7 — row removed) and an
+    absent key (ending 9 — no-op, the CDC convention for a delete that
+    raced ahead of the snapshot). Same broadcast-left-join shape as
+    merge_upsert_orders: the full-width target never shuffles; the
+    delete test is a per-row predicate on the joined row.
+
+    Reference analog: the reference applies PG logical-replication-style
+    change batches row-by-row (pg-data-transfer.py's per-row upsert
+    loop); DELETE events are the third verb of that stream."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 10 < 8)
+    batch = (
+        orders.filter(F.col("o_orderkey") % 10 >= 5)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn(
+            "is_del",
+            (F.col("o_orderkey") % 10 == 7) | (F.col("o_orderkey") % 10 == 9),
+        )
+    )
+    return merge_into(
+        target,
+        batch,
+        key="o_orderkey",
+        update_cols=["o_orderstatus", "o_totalprice"],
+        delete_col="is_del",
+    )

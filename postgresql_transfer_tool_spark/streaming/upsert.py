@@ -78,6 +78,34 @@ def _recover(target_path: str, staging: str, trash: str) -> None:
                 os.rename(src, dst)
         shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(staging + "_probe", ignore_errors=True)
+
+
+def _escaped_dirnames(
+    spark: SparkSession, batch: DataFrame, part_col: str, values: list, staging: str
+) -> list[str]:
+    """Spark-escaped partition directory names for ``values`` — derived
+    by writing a 1-row-per-value probe and enumerating what Spark names
+    the dirs (dir names are never reconstructed by hand: Spark
+    percent-encodes ``:`` ``%`` ``=`` etc. and has its own rendering for
+    date/timestamp values — module docstring / ADVICE r4)."""
+    if not values:
+        return []
+    import pyspark.sql.types as T
+
+    probe = staging + "_probe"
+    pdf = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([batch.schema[part_col]])
+    ).withColumn("_probe", F.lit(1))
+    pdf.coalesce(1).write.partitionBy(part_col).mode("overwrite").parquet(probe)
+    prefix = f"{part_col}="
+    names = sorted(
+        d
+        for d in os.listdir(probe)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(probe, d))
+    )
+    shutil.rmtree(probe, ignore_errors=True)
+    return names
 
 
 def upsert_partitions(
@@ -88,11 +116,20 @@ def upsert_partitions(
     part_col: str,
     update_cols: Sequence[str],
     assert_stable: bool = True,
+    delete_col: str | None = None,
 ) -> list:
     """Merge ``batch`` into the partitioned target; returns the list of
     touched partition values. Batch rows must already carry
     ``part_col``. Empty batches are a no-op. See the module docstring
-    for the swap/crash semantics and ``assert_stable``'s scan cost."""
+    for the swap/crash semantics and ``assert_stable``'s scan cost.
+
+    ``delete_col``: optional boolean column on the batch marking CDC
+    delete events (``merge_into``'s WHEN MATCHED THEN DELETE). A
+    partition whose rows are ALL deleted produces no staged dir and its
+    target dir is removed (parked in trash first, like a swap). A crash
+    between park and completion is healed by the normal recovery path:
+    the parked dir is restored and the retried batch re-deletes it —
+    idempotent because merge is by key."""
     staging = target_path.rstrip("/") + ".upsert_staging"
     trash = target_path.rstrip("/") + ".upsert_old"
     _recover(target_path, staging, trash)
@@ -123,9 +160,18 @@ def upsert_partitions(
                 f"partition outside the batch's {part_col} values — the "
                 "partition column is not stable under updates"
             )
-    merged = merge_into(current, batch, key=key, update_cols=list(update_cols)).drop(
-        "action"
-    )
+    merged = merge_into(
+        current,
+        batch,
+        key=key,
+        update_cols=list(update_cols),
+        delete_col=delete_col,
+    ).drop("action")
+    # Expected partition values of the MERGE RESULT (≠ touched when a
+    # delete empties a whole partition): a cheap column-pruned
+    # recompute of the merge plan, so a write anomaly stays
+    # distinguishable from a legitimate full-partition delete.
+    expected = {r[0] for r in merged.select(part_col).distinct().collect()}
     merged.write.partitionBy(part_col).mode("overwrite").parquet(staging)
 
     prefix = f"{part_col}="
@@ -134,29 +180,39 @@ def upsert_partitions(
         for d in os.listdir(staging)
         if d.startswith(prefix) and os.path.isdir(os.path.join(staging, d))
     )
-    # merge_into never drops batch rows, so every touched value must
-    # have produced exactly one staged dir. Compare the SET of staged
-    # values against the set of touched values (a count-only check lets
-    # one missing dir cancel against one unexpected extra dir — ADVICE
-    # r5). Dir names are Spark-escaped, so instead of reconstructing
-    # names, read the staged partition values back and let Spark decode
-    # them; cast to the batch's own part_col type so inference can't
-    # skew the comparison.
+    # Compare the SET of staged values against the expected set (a
+    # count-only check lets one missing dir cancel against one
+    # unexpected extra dir — ADVICE r5). Dir names are Spark-escaped,
+    # so instead of reconstructing names, read the staged partition
+    # values back and let Spark decode them; cast to the batch's own
+    # part_col type so inference can't skew the comparison.
     part_type = batch.schema[part_col].dataType
-    staged_vals = {
-        r[0]
-        for r in spark.read.parquet(staging)
-        .select(F.col(part_col).cast(part_type))
-        .distinct()
-        .collect()
-    }
-    if staged_vals != set(touched) or len(staged_dirs) != len(touched):
-        missing = sorted(set(touched) - staged_vals)
-        extra = sorted(staged_vals - set(touched))
+    staged_vals = (
+        {
+            r[0]
+            for r in spark.read.parquet(staging)
+            .select(F.col(part_col).cast(part_type))
+            .distinct()
+            .collect()
+        }
+        if staged_dirs
+        else set()
+    )
+    if staged_vals != expected or len(staged_dirs) != len(expected):
+        missing = sorted(expected - staged_vals)
+        extra = sorted(staged_vals - expected)
         raise RuntimeError(
             f"staging holds {len(staged_dirs)} partition dir(s) for "
-            f"{len(touched)} touched value(s); missing={missing} "
+            f"{len(expected)} expected value(s); missing={missing} "
             f"extra={extra} — refusing to swap"
+        )
+    removed = set(touched) - expected
+    if removed and delete_col is None:
+        # without delete semantics merge_into never drops rows, so a
+        # touched value vanishing from the merge result is a bug
+        raise RuntimeError(
+            f"touched partition value(s) {sorted(removed)} produced no "
+            "merged rows without delete semantics — refusing to swap"
         )
     os.makedirs(trash, exist_ok=True)
     for d in staged_dirs:
@@ -165,6 +221,10 @@ def upsert_partitions(
         if os.path.isdir(dst):
             os.rename(dst, os.path.join(trash, d))  # outside discovery
         os.rename(src, dst)
+    for d in _escaped_dirnames(spark, batch, part_col, sorted(removed), staging):
+        dst = os.path.join(target_path, d)
+        if os.path.isdir(dst):
+            os.rename(dst, os.path.join(trash, d))  # full-partition delete
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return touched
@@ -182,6 +242,7 @@ class PartitionedUpsertSink:
         part_col: str,
         update_cols: Sequence[str],
         assert_stable_every: int = 1,
+        delete_col: str | None = None,
     ) -> None:
         """``assert_stable_every``: run the partition-stability guard on
         every Nth micro-batch (1 = every batch, 0 = never). The guard
@@ -195,6 +256,7 @@ class PartitionedUpsertSink:
         self.part_col = part_col
         self.update_cols = list(update_cols)
         self.assert_stable_every = assert_stable_every
+        self.delete_col = delete_col
         self._batches_seen = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -214,4 +276,5 @@ class PartitionedUpsertSink:
             part_col=self.part_col,
             update_cols=self.update_cols,
             assert_stable=check,
+            delete_col=self.delete_col,
         )

@@ -1,0 +1,133 @@
+"""Property and scale tests for the graph operator family
+(operators/graph.py) — the oracle gate proves point correctness at one
+SF; these pin the invariants that make the family safe at 100 TB.
+
+Scale argument under test: the co-purchase pair generation is a
+self-join on l_orderkey, so its output is Σ_orders k_o·(k_o−1) for
+per-order item counts k_o that the data model bounds — pair instances
+must stay within a constant factor of lineitem rows at every SF, or
+the join has gone quadratic in something unbounded.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_transfer_tool_spark.operators.graph import (
+    PR_BASE,
+    PR_SCALE,
+    _edges,
+    _incidence,
+    bfs_reachability_hops,
+    pagerank_copurchase,
+)
+
+SF1 = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+SF3 = "/root/testdata/sf0.1"
+
+#: per-order pair instances ≤ MAX_PPO × items: k·(k−1) ≤ MAX_PPO·k ⇔
+#: max items per order ≤ MAX_PPO + 1.
+MAX_PPO = 12
+
+
+def _pair_stats(spark, sf_dir):
+    op = _incidence(spark, sf_dir)
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") != F.col("pb"))
+    return op.count(), pairs.count()
+
+
+def test_pair_generation_is_per_order_bounded(spark):
+    """Pair instances / incidence rows ≤ MAX_PPO at both base SFs, and
+    the ratio does not grow across the decade — the self-join's
+    quadratic term is per-key constant, not data-driven."""
+    ratios = []
+    for sf in (SF1, SF2):
+        n_inc, n_pairs = _pair_stats(spark, sf)
+        assert n_pairs <= MAX_PPO * n_inc, (sf, n_inc, n_pairs)
+        ratios.append(n_pairs / n_inc)
+    assert ratios[1] <= ratios[0] * 1.5, f"pairs/row grew across the decade: {ratios}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SWEEP_SF01"),
+    reason="sf0.1 graph growth point is opt-in (SPARK_GRAFT_SWEEP_SF01=1)",
+)
+def test_pair_generation_bounded_at_sf01(spark):
+    n_inc, n_pairs = _pair_stats(spark, SF3)
+    assert n_pairs <= MAX_PPO * n_inc, (n_inc, n_pairs)
+
+
+def test_pagerank_mass_and_floor(spark):
+    """Two invariants of the integer PageRank spec: every rank ≥ the
+    damping floor PR_BASE, and total mass never exceeds the initial
+    n·PR_SCALE (floor divisions only lose mass; 0.15 + 0.85 preserve
+    the rest), so ranks cannot blow up with iteration count."""
+    r = pagerank_copurchase(spark, SF1)
+    agg = r.agg(
+        F.count("*").alias("n"),
+        F.min("rank_scaled").alias("mn"),
+        F.sum("rank_scaled").alias("mass"),
+    ).first()
+    assert agg["mn"] >= PR_BASE
+    assert agg["mass"] <= agg["n"] * PR_SCALE
+
+
+def test_bfs_hops_form_a_minimal_frontier(spark):
+    """hop labels are unique per node, hop 0 is exactly the source, and
+    every hop-k node (k ≥ 1) has at least one hop-(k−1) neighbor —
+    i.e. the labels really are BFS levels, not just reachability."""
+    hops = bfs_reachability_hops(spark, SF1).localCheckpoint(eager=False)
+    assert hops.groupBy("partkey").count().filter("count > 1").count() == 0
+    assert hops.filter("hop = 0").count() == 1
+    edges = _edges(spark, SF1)
+    prev = hops.select(
+        F.col("partkey").alias("src"), F.col("hop").alias("hop_src")
+    )
+    # a hop-k node with NO neighbor at hop k-1 violates minimality
+    bad = (
+        hops.filter("hop >= 1")
+        .join(edges, hops.partkey == edges.dst)
+        .join(prev, "src")
+        .groupBy("partkey", "hop")
+        .agg(F.min(F.col("hop_src")).alias("best_nbr"))
+        .filter(F.col("best_nbr") != F.col("hop") - 1)
+    )
+    assert bad.count() == 0
+
+
+def test_trigram_join_is_threshold_exact(spark):
+    """Brute-force cross-check at sf0.001: the share-a-trigram candidate
+    join must find EXACTLY the pairs a full quadratic comparison finds
+    (candidates are complete for any positive threshold)."""
+    from postgresql_transfer_tool_spark.operators.joins import (
+        TRGM_SIM_PCT,
+        trigram_similarity_names,
+    )
+
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in trigram_similarity_names(spark, SF1).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{SF1}/part.parquet'")
+    rows = con.sql(
+        f"""
+        WITH names AS (SELECT DISTINCT '  ' || lower(p_name) || ' ' AS s FROM part),
+        tg AS (SELECT DISTINCT s, substr(s, CAST(i AS INT), 3) AS g
+               FROM names, UNNEST(generate_series(1, length(s) - 2)) AS t(i)),
+        sets AS (SELECT s, LIST(g ORDER BY g) AS gs FROM tg GROUP BY s)
+        SELECT trim(a.s), trim(b.s)
+        FROM sets a JOIN sets b ON a.s < b.s
+        WHERE 100 * len(list_intersect(a.gs, b.gs))
+              >= {TRGM_SIM_PCT} * (len(a.gs) + len(b.gs)
+                                   - len(list_intersect(a.gs, b.gs)))
+        """
+    ).fetchall()
+    assert got == {(a, b) for a, b in rows}

@@ -463,6 +463,13 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
             "broadcast hint over unbounded leaves LogicalRelation"
             "[c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment]"
         ],
+        # same caller contract as merge_upsert_orders (CDC batch
+        # synthesized from orders for the oracle's sake)
+        "merge_cdc_with_deletes": [
+            "broadcast hint over unbounded leaves LogicalRelation"
+            "[o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,"
+            "o_orderpriority]"
+        ],
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():

@@ -277,3 +277,73 @@ def test_upsert_periodic_stability_guard(spark, sf_dir, tmp_path):
     assert spark.read.parquet(tgt).filter("k = 1").count() == 2
     with _pytest.raises(ValueError, match="not stable"):
         sink(moved, 2)  # batch 3: 3 % 3 == 0 — guard runs and catches it
+
+
+def test_upsert_with_deletes(spark, sf_dir, tmp_path):
+    """CDC delete events through the partitioned sink: a matched delete
+    rewrites its partition without the key; a delete that empties a
+    whole partition removes its directory (escaped name derived by
+    probe, never reconstructed); a delete for an absent key is a no-op;
+    untouched partitions stay byte-identical on disk."""
+    from postgresql_transfer_tool_spark.streaming.upsert import upsert_partitions
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, 10.0, "p:1"), (2, 20.0, "p:1"), (3, 30.0, "p2"),
+         (4, 40.0, "p3"), (5, 50.0, "p4")],
+        "k long, v double, shard string",
+    ).write.partitionBy("shard").parquet(tgt)
+
+    def file_bytes(d):
+        out = {}
+        for root, _, fs in os.walk(os.path.join(tgt, d)):
+            for f in fs:
+                p = os.path.join(root, f)
+                out[p] = open(p, "rb").read()
+        return out
+
+    untouched_before = file_bytes("shard=p4")
+
+    batch = spark.createDataFrame(
+        [(1, 0.0, "p:1", True),    # matched delete, partition survives
+         (3, 33.0, "p2", False),   # plain update
+         (9, 99.0, "p2", True),    # delete of an absent key: no-op
+         (4, 0.0, "p3", True)],    # empties the whole partition
+        "k long, v double, shard string, is_del boolean",
+    )
+    touched = upsert_partitions(
+        spark, tgt, batch, key="k", part_col="shard", update_cols=["v"],
+        delete_col="is_del",
+    )
+    assert touched == ["p2", "p3", "p:1"]
+    got = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(2, 20.0, "p:1"), (3, 33.0, "p2"), (5, 50.0, "p4")}
+    dirs = {d for d in os.listdir(tgt) if d.startswith("shard=")}
+    assert dirs == {"shard=p%3A1", "shard=p2", "shard=p4"}  # p3 removed
+    assert file_bytes("shard=p4") == untouched_before  # byte-stable
+    assert not os.path.exists(tgt + ".upsert_old")
+    assert not os.path.exists(tgt + ".upsert_staging")
+    assert not os.path.exists(tgt + ".upsert_staging_probe")
+
+
+def test_upsert_delete_all_touched_partitions(spark, sf_dir, tmp_path):
+    """Degenerate case: the batch deletes EVERY row of every touched
+    partition — the merge result is empty, no staged dirs exist, and
+    the swap must still remove the emptied partitions (the pre-r6 guard
+    would have refused here; ADVICE r5 called this out)."""
+    from postgresql_transfer_tool_spark.streaming.upsert import upsert_partitions
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p2")], "k long, v double, shard string"
+    ).write.partitionBy("shard").parquet(tgt)
+    batch = spark.createDataFrame(
+        [(1, 0.0, "p1", True)], "k long, v double, shard string, is_del boolean"
+    )
+    upsert_partitions(
+        spark, tgt, batch, key="k", part_col="shard", update_cols=["v"],
+        delete_col="is_del",
+    )
+    got = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(2, 20.0, "p2")}
+    assert {d for d in os.listdir(tgt) if d.startswith("shard=")} == {"shard=p2"}
