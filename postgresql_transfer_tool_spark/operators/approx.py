@@ -660,3 +660,81 @@ def quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.q").alias("decile"),
         (F.col("r.v").cast("double") / 10000).alias("est_boundary"),
     )
+
+
+@query(
+    "percentile_cont_quartiles",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM cents
+    ), qs AS (
+      SELECT r.o_orderpriority, q.k,
+             1 + ((r.n - 1) * q.k) // 4 AS lo,
+             ((r.n - 1) * q.k) % 4 AS rem,
+             r.rk, r.v
+      FROM ranked r CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) q
+    )
+    SELECT o_orderpriority,
+           CAST(0.25 * k AS DOUBLE) AS quantile,
+           CAST(SUM(CASE WHEN rk = lo THEN v * (4 - rem)
+                         WHEN rk = lo + 1 THEN v * rem END) AS DOUBLE)
+             / 400.0 AS value
+    FROM qs
+    WHERE rk = lo OR (rem > 0 AND rk = lo + 1)
+    GROUP BY o_orderpriority, k
+    """,
+)
+def percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT(0.25/0.5/0.75) per order priority, computed
+    from first principles in integer-rational arithmetic: the
+    interpolated quantile at fraction k/4 sits at position
+    1 + (n−1)·k/4, and its value is the weighted mean
+    (v_lo·(4−rem) + v_hi·rem)/4 with rem = (n−1)·k mod 4 — all int64
+    until ONE final double division, so the result is bit-identical
+    across engines (built-in percentile_cont/quantile_cont interpolate
+    with engine-specific FP sequences, the median_exact rationale
+    extended to arbitrary quarters).
+
+    Scale: same contract as median_exact — an exact quantile needs a
+    per-group rank, so the window partitions on the group key; for
+    low-cardinality groups at 100 TB the sketch path
+    (quantiles_approx / quantiles_hash_sample) is the scale answer and
+    this is the exactness baseline it is measured against."""
+    cents = (dec("o_totalprice", 12, 2) * 100).cast("bigint").alias("v")
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", cents)
+    w = Window.partitionBy("o_orderpriority").orderBy("v")
+    ranked = o.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    qs = ranked.crossJoin(F.broadcast(ks)).select(
+        "o_orderpriority",
+        "k",
+        (1 + F.expr("((n - 1) * k) div 4")).alias("lo"),
+        F.expr("((n - 1) * k) % 4").alias("rem"),
+        "rk",
+        "v",
+    )
+    hit = qs.filter(
+        (F.col("rk") == F.col("lo"))
+        | ((F.col("rem") > 0) & (F.col("rk") == F.col("lo") + 1))
+    )
+    num = F.sum(
+        F.when(F.col("rk") == F.col("lo"), F.col("v") * (4 - F.col("rem"))).when(
+            F.col("rk") == F.col("lo") + 1, F.col("v") * F.col("rem")
+        )
+    )
+    return hit.groupBy("o_orderpriority", "k").agg(
+        (F.col("k") * F.lit(0.25)).alias("quantile"),
+        (num.cast("double") / F.lit(400.0)).alias("value"),
+    ).drop("k")
