@@ -56,11 +56,11 @@ def _incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric distinct co-purchase edges (src, dst), checkpointed:
-    PageRank re-reads them every iteration and BFS every level, so one
+def edges_from_incidence(op: DataFrame) -> DataFrame:
+    """Symmetric distinct co-purchase edges (src, dst) from an
+    (l_orderkey, l_partkey) incidence relation, checkpointed: PageRank
+    re-reads them every iteration and BFS every level, so one
     materialization replaces PR_ITERS+1 scans of the lineitem base."""
-    op = _incidence(spark, sf_dir)
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     return (
@@ -70,6 +70,41 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edges_from_incidence(_incidence(spark, sf_dir))
+
+
+def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The distributed PageRank core over a symmetric edge list — see
+    pagerank_copurchase for the spec and scale argument. Returns
+    (v, r) with r in PR_SCALE fixed-point units."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("v")).localCheckpoint(eager=False)
+    ranks = nodes.select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(iters):
+        inc = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.v == inc.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(PR_BASE)
+                    + F.coalesce(
+                        F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
 
 
 def _pagerank_oracle() -> str:
@@ -109,31 +144,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum) — the textbook distributed PageRank step. Ranks are
     checkpointed per iteration to keep the lineage flat instead of
     re-deriving iteration t-1 inside iteration t's plan."""
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("src").alias("v")).localCheckpoint(eager=False)
-    ranks = nodes.select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
-    for _ in range(PR_ITERS):
-        inc = (
-            ed.join(ranks, ed.src == ranks.v)
-            .select("dst", F.expr("r div d").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
-        )
-        ranks = (
-            nodes.join(inc, nodes.v == inc.dst, "left")
-            .select(
-                "v",
-                (
-                    F.lit(PR_BASE)
-                    + F.coalesce(
-                        F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    ranks = pagerank_over_edges(_edges(spark, sf_dir))
     return ranks.select(F.col("v").alias("partkey"), F.col("r").alias("rank_scaled"))
 
 

@@ -131,3 +131,48 @@ def test_trigram_join_is_threshold_exact(spark):
         """
     ).fetchall()
     assert got == {(a, b) for a, b in rows}
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SWEEP_SF01"),
+    reason="synthesized 10x graph decade point is opt-in (SPARK_GRAFT_SWEEP_SF01=1)",
+)
+def test_graph_decade_synthesized_10x(spark):
+    """Fourth scale point: 10 bijective disjoint copies of sf0.1's
+    incidence (orderkeys and partkeys both strided, so the graph is 10
+    isomorphic components). Growth laws must be EXACT: incidence, pair
+    instances, distinct edges and PageRank node count all 10×, and the
+    PageRank mass exactly 10× the base mass (isomorphic components give
+    identical rank multisets — any drift is an engine bug, not noise)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.graph import (
+        edges_from_incidence,
+        pagerank_over_edges,
+    )
+
+    base = _incidence(spark, SF3).localCheckpoint(eager=False)
+    copies = spark.range(10).select(F.col("id").alias("cp"))
+    big = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("cp") * F.lit(10**9)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("cp") * F.lit(10**7)).alias("l_partkey"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_base, n_big = base.count(), big.count()
+    assert n_big == 10 * n_base
+
+    e_base = edges_from_incidence(base)
+    e_big = edges_from_incidence(big)
+    assert e_big.count() == 10 * e_base.count()
+
+    r_base = pagerank_over_edges(e_base).agg(
+        F.count("*").alias("n"), F.sum("r").alias("mass")
+    ).first()
+    r_big = pagerank_over_edges(e_big).agg(
+        F.count("*").alias("n"), F.sum("r").alias("mass")
+    ).first()
+    assert r_big["n"] == 10 * r_base["n"]
+    assert r_big["mass"] == 10 * r_base["mass"]
