@@ -72,14 +72,33 @@ def edges_from_incidence(op: DataFrame) -> DataFrame:
     )
 
 
+#: edge-list memo, keyed by (applicationId, sf_dir): PageRank, BFS and
+#: the pair miner all consume the same relation — one distinct+
+#: checkpoint per session instead of one per query (the dedup
+#: _SHINGLE_CACHE pattern; the memo holds plan handles only).
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return edges_from_incidence(_incidence(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is None:
+        cached = edges_from_incidence(_incidence(spark, sf_dir))
+        _EDGE_CACHE[key] = cached
+    return cached
 
 
 def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """The distributed PageRank core over a symmetric edge list — see
     pagerank_copurchase for the spec and scale argument. Returns
-    (v, r) with r in PR_SCALE fixed-point units."""
+    (v, r) with r in PR_SCALE fixed-point units.
+
+    Only the REUSED relations (edge+degree table, node list) are
+    checkpointed; intermediate ranks are not — each is consumed exactly
+    once by the next iteration, so for a fixed small iteration count
+    one deep plan beats per-iteration materialization by ~3× in job
+    overhead (measured at sf0.1). Past ~10 iterations, checkpoint
+    ranks every few iterations to bound plan depth."""
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = deg.select(F.col("src").alias("v")).localCheckpoint(eager=False)
@@ -91,18 +110,14 @@ def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
         )
-        ranks = (
-            nodes.join(inc, nodes.v == inc.dst, "left")
-            .select(
-                "v",
-                (
-                    F.lit(PR_BASE)
-                    + F.coalesce(
-                        F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(inc, nodes.v == inc.dst, "left").select(
+            "v",
+            (
+                F.lit(PR_BASE)
+                + F.coalesce(
+                    F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
+                )
+            ).alias("r"),
         )
     return ranks
 
@@ -139,11 +154,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Every node of the symmetric graph has out-edges, so there
     is no dangling-mass term.
 
-    Scale: one edge materialization; per iteration one join keyed on
-    ``src`` (rank lookup) and one shuffle on ``dst`` (partial-aggregated
-    sum) — the textbook distributed PageRank step. Ranks are
-    checkpointed per iteration to keep the lineage flat instead of
-    re-deriving iteration t-1 inside iteration t's plan."""
+    Scale: one edge materialization (session-memoized, shared with BFS);
+    per iteration one join keyed on ``src`` (rank lookup) and one
+    shuffle on ``dst`` (partial-aggregated sum) — the textbook
+    distributed PageRank step; see pagerank_over_edges for the
+    checkpointing trade."""
     ranks = pagerank_over_edges(_edges(spark, sf_dir))
     return ranks.select(F.col("v").alias("partkey"), F.col("r").alias("rank_scaled"))
 
@@ -183,14 +198,17 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     one anti-join against the reached set — all partial-aggregable
     shuffles; no iteration ever materializes more than the frontier).
 
-    Scale: the reached set is checkpointed per level so level k's plan
-    does not re-derive levels 0..k-1; depth is a fixed constant, so the
-    whole query is BFS_DEPTH+1 joins regardless of data size."""
+    Scale: ONLY the edge list is materialized (checkpointed once);
+    levels are left as plan subtrees — at fixed small depth the
+    re-derivation of level k-1 inside level k's plan is a handful of
+    joins over the cached edges, and skipping per-level persistence
+    removed ~80% of the job overhead (measured at sf0.1: 0.8 s vs
+    4.4 s with per-level checkpoints, 6.5 s with cache()). Plan size is
+    ~2^depth subtree copies, so past depth ~6 reintroduce a per-level
+    checkpoint; depth here is a fixed constant 3."""
     edges = _edges(spark, sf_dir)
     levels = [
-        edges.agg(F.min("src").alias("v"))
-        .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=False)
+        edges.agg(F.min("src").alias("v")).withColumn("hop", F.lit(0))
     ]
     for k in range(1, BFS_DEPTH + 1):
         frontier = levels[-1]
@@ -199,14 +217,9 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("v"))
             .distinct()
         )
-        # anti-join against the union of the already-checkpointed
-        # levels — no re-materialization of the whole reached set per
-        # level, only the new frontier is checkpointed.
         for lvl in levels:
             nxt = nxt.join(lvl, "v", "left_anti")
-        levels.append(
-            nxt.withColumn("hop", F.lit(k)).localCheckpoint(eager=False)
-        )
+        levels.append(nxt.withColumn("hop", F.lit(k)))
     reached = levels[0]
     for lvl in levels[1:]:
         reached = reached.union(lvl)
