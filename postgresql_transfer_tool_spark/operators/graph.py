@@ -203,9 +203,13 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derivation of level k-1 inside level k's plan is a handful of
     joins over the cached edges, and skipping per-level persistence
     removed ~80% of the job overhead (measured at sf0.1: 0.8 s vs
-    4.4 s with per-level checkpoints, 6.5 s with cache()). Plan size is
-    ~2^depth subtree copies, so past depth ~6 reintroduce a per-level
-    checkpoint; depth here is a fixed constant 3."""
+    4.4 s with per-level checkpoints, 6.5 s with cache()). The trade is
+    explicit: the static plan carries ~2^depth subtree copies (PLANS.md
+    shows the inflated Exchange count), i.e. ≤ 2^depth extra passes
+    over the MEMOIZED edge RDD — a bounded constant that also
+    distributes at cluster scale. Past depth ~6 the balance flips:
+    reintroduce a per-level checkpoint; depth here is a fixed
+    constant 3."""
     edges = _edges(spark, sf_dir)
     levels = [
         edges.agg(F.min("src").alias("v")).withColumn("hop", F.lit(0))
