@@ -426,3 +426,98 @@ def running_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         value=F.col("n_new"),
         alias="cumulative_users",
     ).select("day", "n_new", F.col("cumulative_users").cast("bigint").alias("cumulative_users"))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: for every consecutive (prev → next) event-type pair in
+    (ts, event_id) order, how often it occurs — the behavioral-model /
+    next-action-prediction primitive (PostgreSQL users write the same
+    LAG + GROUP BY). The (ts, event_id) compound order makes the
+    sequence total even if two events share a timestamp.
+
+    Scale: the window partitions on user_id — per-user sequences are
+    short and user cardinality grows with the data, so parallelism
+    grows with the input (the opposite of the low-cardinality serial
+    trap); the transition matrix itself is bounded by the type-domain
+    squared. One scan, one user-keyed shuffle, one partial-aggregated
+    count shuffle. Reference analog: none (event-table product
+    analytics family, SURVEY §2.8)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, p_us - s_us AS gap_us
+      FROM per_user WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM conv
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for users whose first purchase follows their
+    first signup, the count and the exact mean/min/max of the gap — the
+    activation-latency metric every growth dashboard carries.
+
+    Everything is integer micros until ONE final double division
+    (sum of gaps ≪ 2^53, so the bigint→double conversion is exact on
+    both engines) — no serial median window; the exact-quantile variant
+    of this metric is what percentile_cont_quartiles / median_exact
+    demonstrate, and the two-phase hash-sample deciles are the
+    100 TB path. Shape: one scan, one user-keyed partial-aggregated
+    shuffle, one scalar aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    conv = per_user.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("s_us"))
+    ).select((F.col("p_us") - F.col("s_us")).alias("gap_us"))
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
