@@ -176,3 +176,37 @@ def test_graph_decade_synthesized_10x(spark):
     ).first()
     assert r_big["n"] == 10 * r_base["n"]
     assert r_big["mass"] == 10 * r_base["mass"]
+
+
+def test_hot_basket_skew_completes_with_formula_exact_pairs(spark):
+    """Adversarial skew: one synthetic 1000-item order alongside normal
+    baskets. Pair generation is quadratic PER ORDER KEY — the hot
+    basket contributes exactly k·(k−1) pair instances inside one
+    shuffle partition's key group, and the job completes without
+    driver-side blowup. This pins the documented contract: basket size
+    is the quadratic driver, so unbounded-basket datasets must cap or
+    sample baskets upstream (SCALE.md, graph family)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.graph import (
+        edges_from_incidence,
+    )
+
+    k = 1000
+    hot = spark.range(k).select(
+        F.lit(10**9).alias("l_orderkey"), F.col("id").alias("l_partkey")
+    )
+    normal = _incidence(spark, SF1)
+    op = normal.unionByName(hot).localCheckpoint(eager=False)
+
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") != F.col("pb"))
+    n_hot = pairs.filter(F.col("ok") == 10**9).count()
+    assert n_hot == k * (k - 1)
+
+    # the edge builder absorbs the hot basket too (distinct dedups the
+    # k·(k−1) instances into k·(k−1) distinct directed edges here since
+    # part ids are unique within the basket)
+    edges = edges_from_incidence(op)
+    assert edges.filter(F.col("src") < k).count() >= k * (k - 1) // 2
