@@ -579,3 +579,58 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ewma = term if ewma is None else ewma + term
     return spine.select("event_type", "day", ewma.alias("ewma_scaled"))
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    >= 1800000000
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the one the hand-rolled
+    sessionization_gap_30m re-derives) verified against a gap-based
+    oracle. Boundary semantics are the test: session_window merges
+    events whose timestamp falls STRICTLY inside the previous event's
+    [ts, ts+30 min) window, so a gap of exactly 30 minutes starts a NEW
+    session — the oracle's new-session predicate is therefore >= (not
+    >), and window.end is last-event + 30 min by definition.
+
+    Scale: session_window is a first-class Catalyst aggregation
+    (SessionWindowStateStore in streaming, a merge-on-sort aggregate in
+    batch) keyed by user — parallelism grows with user cardinality;
+    identical shape to the hand-rolled form but with the engine
+    maintaining the merge. The same expression runs under readStream
+    with a watermark (tests/test_streaming_sessions.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
