@@ -491,3 +491,23 @@ def test_broadcast_decisions_are_runtime_only(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
     adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
     assert int(adaptive.rstrip("b")) >= 1024 * 1024
+
+
+def test_bounded_table_colsets_match_fixture_schemas(spark, sf_dir):
+    """The broadcast-hint sweep exempts region/nation leaves by EXACT
+    column set (plans._BOUNDED_TABLE_COLSETS). Those literals must track
+    the fixtures' real schemas: if the driver ever ships fuller TPC-H
+    schemas (r_comment/n_comment), the exemption would silently stop
+    matching and the sweep would flag legitimate bounded-dimension
+    hints (ADVICE r6 — fail here with a pointer instead)."""
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.plans import _BOUNDED_TABLE_COLSETS
+
+    actual = {
+        frozenset(load_table(spark, sf_dir, t).columns)
+        for t in ("region", "nation")
+    }
+    assert actual == set(_BOUNDED_TABLE_COLSETS), (
+        "fixture region/nation schemas diverged from "
+        "plans._BOUNDED_TABLE_COLSETS — update the literals there"
+    )

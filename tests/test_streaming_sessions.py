@@ -46,7 +46,13 @@ def test_session_window_streams_with_watermark(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout — a still-running
+        # query would make the coverage assertion below flaky AND leak a
+        # live stream into later tests (ADVICE r6), so fail loudly here.
+        assert q.awaitTermination(300), "availableNow run did not finish in 300s"
+    finally:
+        q.stop()
 
     got = {
         tuple(r)

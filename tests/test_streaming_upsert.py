@@ -347,3 +347,33 @@ def test_upsert_delete_all_touched_partitions(spark, sf_dir, tmp_path):
     got = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
     assert got == {(2, 20.0, "p2")}
     assert {d for d in os.listdir(tgt) if d.startswith("shard=")} == {"shard=p2"}
+
+
+def test_upsert_null_partition_value_raises(spark, sf_dir, tmp_path):
+    """A batch carrying a NULL partition value must fail loudly BEFORE
+    any disk mutation (ADVICE r6: Spark writes NULL partitions as
+    __HIVE_DEFAULT_PARTITION__, which the prefix-based staged/removed
+    dir enumeration would silently skip — so nulls are rejected at the
+    door instead). Covers the delete path too: a delete batch that
+    would empty the null partition never reaches the swap."""
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.upsert import upsert_partitions
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, None)], "k long, v double, shard string"
+    ).write.partitionBy("shard").parquet(tgt)
+    before = {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()
+    }
+    batch = spark.createDataFrame(
+        [(2, 0.0, None, True)], "k long, v double, shard string, is_del boolean"
+    )
+    with pytest.raises(ValueError, match="NULL shard"):
+        upsert_partitions(
+            spark, tgt, batch, key="k", part_col="shard", update_cols=["v"],
+            delete_col="is_del",
+        )
+    after = {(r.k, r.v, r.shard) for r in spark.read.parquet(tgt).collect()}
+    assert after == before  # nothing mutated
