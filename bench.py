@@ -9,12 +9,24 @@ The full per-query table (all 87 + transfer_pipeline) is written to
 BENCH_FULL.json next to this script.
 
 Each query is executed once to warm the JVM/page cache, then timed
-TWICE; the recorded number is the best of the two (VERDICT r4 directive
-#8: the host shows ±50% single-run jitter plus occasional multi-second
-GC outliers, so min-of-2 is the regression-detectable statistic). Both
-raw runs land in BENCH_FULL.json under "queries_warm_runs". Every run
-fully materializes via collect() so the measured time covers
-scan→shuffle→final stage, not lazy plan building.
+THREE times; the recorded number is the MEDIAN of the three (VERDICT r6
+directive #2 upgraded r4's min-of-2: the host shows ±50% single-run
+jitter plus occasional multi-second GC outliers, and the r6 driver run
+landed 20% above the builder's same-HEAD run, leaving per-query deltas
+unadjudicated — median-of-3 is robust to one outlier in either
+direction). All raw runs land in BENCH_FULL.json under
+"queries_warm_runs". Every run fully materializes via collect() so the
+measured time covers scan→shuffle→final stage, not lazy plan building.
+
+Host-speed normalizer: a fixed single-core CPU loop (pure-Python md5
+chain — no JVM, no disk) is timed at the start, middle, and end of the
+run and recorded as "normalizer_sec" in both JSON outputs. Comparing
+normalizer_sec across rounds separates host slowdown from real
+regressions: query_ratio / normalizer_ratio ≈ host-corrected ratio. If
+the normalizer drifts >20% WITHIN a run the numbers are cross-
+contaminated by a mid-run load shift — the bench prints a loud stderr
+warning and sets "normalizer_drift_exceeded": true so the round record
+carries the invalidation.
 """
 
 from __future__ import annotations
@@ -66,13 +78,31 @@ MEMO_QUERIES = [
 
 def clear_memos() -> None:
     """Drop the cross-query memoized relations so the next execution
-    pays its own materialization (memo-cold, JVM-warm)."""
-    from postgresql_transfer_tool_spark.operators import corpus, dedup, similarity
+    pays its own materialization (memo-cold, JVM-warm). The memos'
+    clear() also unpersists the checkpointed blocks (functions/memo.py),
+    so repeated cold passes don't accumulate block-manager storage."""
+    from postgresql_transfer_tool_spark.operators import corpus, dedup, graph, similarity
 
     dedup._SHINGLE_CACHE.clear()
     dedup._LSH_PAIRS_CACHE.clear()
     similarity._QUANT_CACHE.clear()
     corpus._TOKS_CACHE.clear()
+    graph._EDGE_CACHE.clear()
+
+
+def normalizer_probe() -> float:
+    """Seconds for a fixed single-core CPU workload (~0.25 s on this
+    host): a chained md5 over 600k iterations. Deterministic,
+    allocation-light, GIL-bound — measures raw host CPU speed with no
+    JVM/disk/Spark state, so its ratio across rounds is the host-speed
+    correction factor for every query ratio."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-normalizer"
+    for _ in range(600_000):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 4)
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -118,6 +148,11 @@ def main() -> None:
     # a long run mid-way, BENCH_FULL.json still holds everything timed
     # so far (marked partial) instead of nothing.
     def _flush(partial: bool) -> None:
+        drift = (
+            round(max(normalizers) / min(normalizers) - 1, 4)
+            if len(normalizers) > 1
+            else 0.0
+        )
         snap = {
             "metric": "total_query_wall_clock",
             "value": round(sum(t for t in timings.values() if t >= 0), 4),
@@ -128,6 +163,9 @@ def main() -> None:
             "sf": sf_from_dir(sf_dir),
             "n_queries": len(timings),
             "n_failed": sum(1 for t in timings.values() if t < 0),
+            "normalizer_sec": list(normalizers),
+            "normalizer_drift": drift,
+            "normalizer_drift_exceeded": drift > 0.20,
             "partial": partial,
         }
         tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
@@ -138,22 +176,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
+    normalizers: list[float] = [normalizer_probe()]
     for i, name in enumerate(names):
         fn = qs[name]
         try:
             fn(spark, sf_dir).collect()  # warmup: JVM JIT + file cache
             runs = []
-            for _ in range(2):  # best-of-2 (see module docstring)
+            for _ in range(3):  # median-of-3 (see module docstring)
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 runs.append(round(time.time() - t0, 4))
             warm_runs[name] = runs
-            timings[name] = min(runs)
+            timings[name] = sorted(runs)[1]
         except Exception as exc:  # never let one query kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
         if i % 5 == 4:
             _flush(partial=True)
+        if i == len(names) // 2:
+            normalizers.append(normalizer_probe())  # mid-run host check
     # second pass: memo-cold standalone numbers for the shared-memo
     # families (the warm session above is what a shared production
     # pipeline sees; this column is what a single isolated query costs)
@@ -189,6 +230,14 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: transfer_pipeline failed: {exc}", file=sys.stderr)
         timings["transfer_pipeline"] = -1.0
+    normalizers.append(normalizer_probe())  # end-of-run host check
+    drift = round(max(normalizers) / min(normalizers) - 1, 4)
+    if drift > 0.20:
+        print(
+            f"bench: WARNING normalizer drifted {drift:.0%} mid-run "
+            f"({normalizers}) — host load shifted, numbers are suspect",
+            file=sys.stderr,
+        )
     _flush(partial=False)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     headline = {n: timings[n] for n in [*HEADLINE, "transfer_pipeline"] if n in timings}
@@ -203,6 +252,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "n_cold": len(cold),
+                "normalizer_sec": normalizers,
+                "normalizer_drift": drift,
+                "normalizer_drift_exceeded": drift > 0.20,
                 "full_table": "BENCH_FULL.json",
             }
         )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.memo import CheckpointMemo
 from .registry import query
 
 #: Tokenization shared by all three passes — identical semantics in
@@ -43,8 +44,9 @@ def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: materialized token relation memo, keyed by (applicationId, sf_dir) —
-#: same pattern (and same reason) as dedup._SHINGLE_CACHE
-_TOKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: same pattern (and same reason) as dedup._SHINGLE_CACHE; LRU-bounded
+#: with unpersist-on-evict (functions/memo.py).
+_TOKS_CACHE = CheckpointMemo()
 
 
 def _spark_tokens_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,8 +62,9 @@ def _spark_tokens_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TOKS_CACHE.get(key)
     if cached is None:
-        cached = _spark_tokens(spark, sf_dir).localCheckpoint(eager=False)
-        _TOKS_CACHE[key] = cached
+        cached = _TOKS_CACHE.put(
+            key, _spark_tokens(spark, sf_dir).localCheckpoint(eager=False)
+        )
     return cached
 
 

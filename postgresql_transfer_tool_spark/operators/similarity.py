@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_row_count
+from ..functions.memo import CheckpointMemo
 from .registry import query
 
 DIM = 64
@@ -60,15 +61,16 @@ def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: contents are immutable within a Spark application — rewriting the
 #: fixture parquet in place would keep serving the old checkpointed data
 #: (clear the dict or restart the session after regenerating fixtures).
-_QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_QUANT_CACHE = CheckpointMemo()
 
 
 def _spark_quantized_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _QUANT_CACHE.get(key)
     if cached is None:
-        cached = _spark_quantized(spark, sf_dir).localCheckpoint(eager=False)
-        _QUANT_CACHE[key] = cached
+        cached = _QUANT_CACHE.put(
+            key, _spark_quantized(spark, sf_dir).localCheckpoint(eager=False)
+        )
     return cached
 
 
