@@ -86,8 +86,18 @@ class CheckpointMemo:
     def put(self, key: Hashable, df: DataFrame, *extra: DataFrame) -> DataFrame:
         """Insert ``df`` (plus any lineage-hidden ``extra`` checkpoints
         that must be freed alongside it), evicting the least-recently-
-        used entry past capacity."""
-        self._entries[key] = (df, *extra)
+        used entry past capacity. Overwriting an existing key unpersists
+        the replaced entry's checkpoints first (unless the same handle is
+        also part of the replacement), so put() never silently leaks the
+        old blocks — callers need not guard with get() first."""
+        new = (df, *extra)
+        prev = self._entries.pop(key, None)
+        if prev is not None:
+            kept_ids = {id(d) for d in new}
+            for d in prev:
+                if id(d) not in kept_ids:
+                    unpersist_checkpoints(d)
+        self._entries[key] = new
         self._entries.move_to_end(key)
         while len(self._entries) > self.capacity:
             _, evicted = self._entries.popitem(last=False)

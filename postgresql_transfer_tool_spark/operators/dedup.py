@@ -47,17 +47,12 @@ N_BANDS = 8  # × 2 rows per band
 JACCARD_THRESHOLD = 0.8
 
 
-def _spark_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles) — distinct word-3-gram array per document.
-
-    The fixture lands as one small parquet file → one input task; the
-    CPU-heavy shingling pipeline is repartitioned first so it
-    parallelizes (on a 100 TB corpus the input split count makes this a
-    no-op, but a skewed/few-files layout gets the same fix).
-    """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+def shingle_arrays_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) — distinct word-3-gram array per document, for
+    an arbitrary (doc_id, text, ...) relation. The corpus-level entry
+    point is `_spark_shingle_arrays`; this form exists so the
+    cross-batch dedup index (operators/dedup_index.py) can shingle an
+    incoming BATCH with bit-identical formulas."""
     return (
         docs.withColumn("toks", F.split(F.trim("text"), r"\s+"))
         .filter(F.size("toks") >= 3)
@@ -69,6 +64,20 @@ def _spark_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
+
+
+def _spark_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) — distinct word-3-gram array per document.
+
+    The fixture lands as one small parquet file → one input task; the
+    CPU-heavy shingling pipeline is repartitioned first so it
+    parallelizes (on a 100 TB corpus the input split count makes this a
+    no-op, but a skewed/few-files layout gets the same fix).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return shingle_arrays_from_docs(docs)
 
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,8 +381,15 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, _shingle_hash_method())
     cached = _LSH_PAIRS_CACHE.get(key)
     if cached is None:
+        # eager, not lazy: the pairs plan consumes the _SHINGLE_CACHE
+        # checkpoint, and a lazy handle materialized only at first action
+        # would become unrecomputable if LRU eviction unpersisted the
+        # shingle blocks in between (cross-memo lineage window). Eager
+        # materialization happens here, while the shingle entry is
+        # guaranteed live (we just derived the plan from it), and every
+        # caller consumes the pairs immediately anyway.
         cached = _LSH_PAIRS_CACHE.put(
-            key, _compute_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+            key, _compute_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
         )
     return cached
 
@@ -383,12 +399,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(spark, sf_dir)
 
 
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, band_key) relation candidates bucket on — exposed so
-    scale sweeps can measure per-band bucket populations (engine work =
-    Σ C(pop, 2)) without re-deriving the signature pipeline."""
-    sh = _spark_shingles_materialized(spark, sf_dir)
-    hashed = _spark_hashed_from(sh)
+def minhash_bands_from_hashed(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH band relation from any (doc_id, h)
+    hashed-shingle relation — the shared signature/banding kernel for
+    both the corpus-level `minhash_bands` and the cross-batch index
+    (operators/dedup_index.py). Signature = N_PERM affine-permutation
+    minimums; band key = band index + its 2 signature rows."""
     sigs = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * A_CONST[j] + B_CONST[j]) % P_MINHASH).alias(f"mh{j}")
@@ -404,6 +420,14 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, band_key) relation candidates bucket on — exposed so
+    scale sweeps can measure per-band bucket populations (engine work =
+    Σ C(pop, 2)) without re-deriving the signature pipeline."""
+    sh = _spark_shingles_materialized(spark, sf_dir)
+    return minhash_bands_from_hashed(_spark_hashed_from(sh))
 
 
 def _compute_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,6 +111,13 @@ def edges_from_incidence(op: DataFrame) -> DataFrame:
 #: (functions/memo.py, VERDICT r6 nit #1).
 _EDGE_CACHE = CheckpointMemo()
 
+#: deep-BFS result memo: the checkpoint_levels=True path of
+#: bfs_over_edges returns an eager localCheckpoint the caller must free;
+#: bfs_reachability_hops parks deep results here so LRU eviction (not a
+#: leak) bounds their block-manager footprint. Unused at the default
+#: BFS_DEPTH = 3 (plan-subtree path returns nothing to free).
+_BFS_CACHE = CheckpointMemo()
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -243,10 +250,23 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the MEMOIZED edge RDD — a bounded constant that also
     distributes at cluster scale. Past depth ~6 the balance flips:
     reintroduce a per-level checkpoint; depth here is a fixed
-    constant 3."""
-    return bfs_over_edges(_edges(spark, sf_dir), BFS_DEPTH).select(
-        F.col("v").alias("partkey"), F.col("hop").cast("int")
-    )
+    constant 3.
+
+    If BFS_DEPTH is ever raised past BFS_CHECKPOINT_DEPTH the auto
+    strategy returns an eager checkpoint the CALLER owns (see
+    bfs_over_edges's ownership contract) — so the deep path parks the
+    handle in the session _BFS_CACHE, whose LRU eviction unpersists the
+    blocks instead of leaking one checkpoint per call."""
+    if BFS_DEPTH > BFS_CHECKPOINT_DEPTH:
+        key = (spark.sparkContext.applicationId, sf_dir, BFS_DEPTH)
+        reached = _BFS_CACHE.get(key)
+        if reached is None:
+            reached = _BFS_CACHE.put(
+                key, bfs_over_edges(_edges(spark, sf_dir), BFS_DEPTH)
+            )
+    else:
+        reached = bfs_over_edges(_edges(spark, sf_dir), BFS_DEPTH)
+    return reached.select(F.col("v").alias("partkey"), F.col("hop").cast("int"))
 
 
 #: depth past which bfs_over_edges flips to per-level checkpoints: the
@@ -275,6 +295,14 @@ def bfs_over_edges(
       O(depth). Per-level materializations are strictly frontier-sized;
       the checkpoint blocks of level k−1 are unpersisted as soon as
       level k lands (only the latest frontier+reached are live).
+
+    Ownership contract: on the ``checkpoint_levels=True`` path the
+    RETURNED DataFrame is itself an eager localCheckpoint — the caller
+    owns its blocks and must release them with
+    ``functions.memo.unpersist_checkpoints(result)`` (or park the handle
+    in a ``CheckpointMemo``, which unpersists on eviction/clear) once the
+    result is no longer needed. The plan-subtree path returns an ordinary
+    lazy plan with nothing to free.
     """
     if checkpoint_levels is None:
         checkpoint_levels = depth > BFS_CHECKPOINT_DEPTH

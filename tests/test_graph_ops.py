@@ -282,11 +282,22 @@ def test_deep_bfs_checkpoint_path_depth8(spark):
 
     ckpt = bfs_over_edges(chain, depth)  # auto → checkpoint_levels=True
     got = {(r.v, r.hop) for r in ckpt.collect()}
-    assert got == {(v, v) for v in range(depth + 1)}  # nodes 9..11 stay out... wait 11 nodes edges 0..10->1..11
+    # chain nodes 0..11; depth 8 reaches exactly 0..8, nodes 9..11 stay out
+    assert got == {(v, v) for v in range(depth + 1)}
 
-    # same answer through the plan-subtree strategy
-    plan_form = bfs_over_edges(chain, depth, checkpoint_levels=False)
-    assert {(r.v, r.hop) for r in plan_form.collect()} == got
+    # strategy equivalence cross-check at depth 5: the plan-subtree
+    # form's anti-join loop nests every prior level inside the next, so
+    # its ANALYSIS cost alone grows ~3^depth — at depth 8 that is
+    # minutes of pure Catalyst work, which is exactly why the auto flip
+    # exists. Depth 5 exercises the same code path cheaply; depth-8
+    # correctness is already pinned by the closed-form chain answer.
+    xdepth = 5
+    ck5 = bfs_over_edges(chain, xdepth, checkpoint_levels=True)
+    plan_form = bfs_over_edges(chain, xdepth, checkpoint_levels=False)
+    got5 = {(r.v, r.hop) for r in ck5.collect()}
+    assert got5 == {(v, v) for v in range(xdepth + 1)}
+    assert {(r.v, r.hop) for r in plan_form.collect()} == got5
+    unpersist_checkpoints(ck5)
 
     # O(depth) plan: the checkpointed form's final plan is a union of
     # materialized levels — a handful of exchanges, not 2^8 subtrees
@@ -294,3 +305,31 @@ def test_deep_bfs_checkpoint_path_depth8(spark):
 
     unpersist_checkpoints(ckpt)
     unpersist_checkpoints(chain)
+
+
+def test_deep_bfs_result_routed_through_memo(spark, monkeypatch):
+    # ADVICE r7: if BFS_DEPTH is raised past BFS_CHECKPOINT_DEPTH the
+    # returned eager checkpoint must be parked in _BFS_CACHE (bounded,
+    # unpersist-on-evict) instead of leaking one checkpoint per call.
+    from postgresql_transfer_tool_spark.operators import graph
+
+    monkeypatch.setattr(graph, "BFS_DEPTH", 8)
+    graph._BFS_CACHE.clear()
+    try:
+        out = {(r.partkey, r.hop) for r in bfs_reachability_hops(spark, SF1).collect()}
+        key = (spark.sparkContext.applicationId, SF1, 8)
+        assert key in graph._BFS_CACHE, "deep BFS result not memoized"
+        # second call reuses the parked handle (same memo entry)
+        first = graph._BFS_CACHE.get(key)
+        again = {(r.partkey, r.hop) for r in bfs_reachability_hops(spark, SF1).collect()}
+        assert graph._BFS_CACHE.get(key) is first
+        assert again == out
+        # shallow-depth semantics agree on the overlap: hop counts are
+        # minimal, so depth-3 results are a prefix of depth-8's
+        monkeypatch.setattr(graph, "BFS_DEPTH", 3)
+        shallow = {
+            (r.partkey, r.hop) for r in bfs_reachability_hops(spark, SF1).collect()
+        }
+        assert shallow == {(v, h) for v, h in out if h <= 3}
+    finally:
+        graph._BFS_CACHE.clear()

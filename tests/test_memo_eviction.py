@@ -119,3 +119,32 @@ def test_operator_memos_are_bounded(spark):
 def test_unpersist_checkpoints_is_safe_on_plain_df(spark):
     # no LogicalRDD leaves → no-op, never raises
     assert unpersist_checkpoints(spark.range(10).toDF("id")) == 0
+
+
+def test_put_overwrite_unpersists_replaced_entry(spark):
+    # ADVICE r7: put() on a present key must free the replaced entry's
+    # blocks instead of silently dropping the handles.
+    memo = CheckpointMemo(capacity=4)
+    snap = _persistent_rdd_ids(spark)
+    old = _checkpointed(spark, 0)
+    old_blocks = _persistent_rdd_ids(spark) - snap
+    assert old_blocks
+    memo.put("k", old)
+
+    new = _checkpointed(spark, 1)
+    memo.put("k", new)
+    alive = _persistent_rdd_ids(spark)
+    assert not (old_blocks & alive), "replaced entry's blocks leaked"
+    assert memo.get("k").count() == 100  # replacement unharmed
+    memo.clear()
+
+
+def test_put_overwrite_keeps_shared_handles(spark):
+    # re-putting the SAME DataFrame (e.g. refreshing extras) must not
+    # unpersist the handle being re-inserted.
+    memo = CheckpointMemo(capacity=4)
+    df = _checkpointed(spark, 7)
+    memo.put("k", df)
+    memo.put("k", df)  # idempotent re-put
+    assert memo.get("k").count() == 100
+    memo.clear()
