@@ -1,0 +1,414 @@
+"""Cross-batch persistent near-dup index — the incremental path for X2.
+
+VERDICT r6 "What's missing" #1: every other near-dup operator dedups
+within ONE corpus snapshot. A training-data pipeline ingests batch
+after batch and must dedup each batch against the ACCUMULATED corpus —
+re-running full-corpus LSH per batch costs O(corpus) each time,
+O(corpus²) cumulative. Instead, the MinHash LSH state is persisted ONCE
+as two bucketed parquet tables:
+
+  {name}_bands    (doc_id, band_key)  bucketed+sorted on band_key
+  {name}_shingles (doc_id, h)         bucketed+sorted on doc_id
+
+and each incoming batch (a) computes its own signatures — O(batch) —
+(b) probes its band keys against the band index, (c) exact-verifies
+Jaccard against the shingle index pruned to candidate docs, and
+(d) appends only its NOVEL documents' rows. This is the
+``mv_incremental_refresh`` pattern (operators/matview.py) applied to
+deduplication.
+
+100 TB posture: the index is the big side and is NEVER shuffled — its
+bucketed layout means the candidate join exchanges only the
+O(batch·N_BANDS) probe side (or broadcasts it), and verification
+touches only candidate documents' shingle rows. Per-batch cost is
+proportional to the batch and its candidate set, independent of corpus
+size except through bounded band-bucket populations (the same
+pigeonhole argument as dedup_minhash_lsh, measured flat across three
+decades in SCALE.md). The index stores 32-bit shingle FINGERPRINTS, not
+shingle text — ~10× smaller, and exact-Jaccard over the fingerprint
+sets is engine-portable because DuckDB computes the identical md5
+prefix (collisions, ~1e-10 per doc pair, affect both engines equally).
+
+Reference parity: the reference has no dedup surface (SURVEY.md §2.8 is
+the pipeline-extension family); its closest analog is the unsynced-flag
+incremental transfer loop (transfer_data_script.py:96-133), which this
+operator generalizes from "rows not yet copied" to "documents not yet
+seen, under near-duplicate equality".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.bucketing import write_bucketed
+from ..functions.memo import CheckpointMemo, unpersist_checkpoints
+from .dedup import (
+    A_CONST,
+    B_CONST,
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_PERM,
+    P_MINHASH,
+    _SQL_SHINGLES,
+    _spark_hashed_from,
+    minhash_bands_from_hashed,
+    shingle_arrays_from_docs,
+)
+from .registry import query
+
+#: bucket count for both index tables at fixture scale. At 100 TB size
+#: this the usual way (functions/bucketing.py guidance): buckets ≈
+#: corpus_band_rows / target_partition, typically 4-32k.
+N_INDEX_BUCKETS = 16
+
+#: registry-demo split: doc_id % BATCH_MOD == 0 is the "incoming batch",
+#: the rest is the already-indexed historical corpus (~25% / 75%).
+BATCH_MOD = 4
+
+
+class DedupIndex(NamedTuple):
+    """Handle to a persisted index: two catalog-registered bucketed
+    tables (bucketing metadata lives in the session catalog — reading
+    the raw parquet back would lose the exchange-free join layout)."""
+
+    bands_table: str
+    shingles_table: str
+
+
+class BatchDedupResult(NamedTuple):
+    """Output of one incremental batch probe.
+
+    ``matched``  — (doc_a, doc_b, jaccard), doc_a < doc_b: every
+                   verified near-dup pair touching the batch (batch×index
+                   and batch×batch).
+    ``novel_ids`` — (doc_id): batch docs that matched nothing already
+                   seen and no earlier (lower-id) batch doc — the rows a
+                   pipeline would admit and index.
+    ``batch_shingles`` / ``batch_bands`` — the batch's signature
+                   relations (checkpointed), ready for
+                   :func:`extend_dedup_index`.
+    ``checkpoints`` — every localCheckpoint handle backing the above;
+                   the caller owns their blocks (park the result in a
+                   CheckpointMemo or call
+                   ``unpersist_checkpoints(df) for df in checkpoints``).
+    """
+
+    matched: DataFrame
+    novel_ids: DataFrame
+    batch_shingles: DataFrame
+    batch_bands: DataFrame
+    checkpoints: tuple[DataFrame, ...]
+
+
+def batch_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hashed, bands, pre): distinct (doc_id, h) shingle fingerprints
+    and (doc_id, band_key) LSH bands for a (doc_id, text, ...) relation,
+    with the same double lineage cut as the corpus pipeline (the
+    pre-explode checkpoint defuses the Generate-collapse O(tokens ×
+    shingles) trap, dedup.py:94-100; the post-hash cut is consumed by
+    both the band build and verification). ``pre`` is returned so the
+    caller can free it — it hides inside the others' RDD lineage."""
+    pre = shingle_arrays_from_docs(docs).localCheckpoint(eager=False)
+    sh = pre.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = (
+        _spark_hashed_from(sh)
+        .select("doc_id", "h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bands = minhash_bands_from_hashed(hashed).localCheckpoint(eager=False)
+    return hashed, bands, pre
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    name: str,
+    n_buckets: int = N_INDEX_BUCKETS,
+) -> DedupIndex:
+    """Persist the LSH state of ``docs`` as the two bucketed tables.
+    The one-time write is the only corpus-sized shuffle the index ever
+    pays; every later batch probe reads the layout shuffle-free."""
+    hashed, bands, pre = batch_signatures(docs)
+    idx = DedupIndex(f"{name}_bands", f"{name}_shingles")
+    write_bucketed(
+        bands, idx.bands_table, os.path.join(path, "bands"), "band_key", n_buckets
+    )
+    write_bucketed(
+        hashed, idx.shingles_table, os.path.join(path, "shingles"), "doc_id", n_buckets
+    )
+    # index state now lives on disk/catalog — free the builder's blocks
+    for d in (bands, hashed, pre):
+        unpersist_checkpoints(d)
+    return idx
+
+
+def _verify_hashed(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over distinct 32-bit shingle fingerprints for
+    candidate pairs ``cand(da, db)`` against ``sh(doc_id, h)`` —
+    dedup._spark_verify's shape, re-keyed on h because the index
+    persists fingerprints, not shingle text."""
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "h")
+    b = sh.select(F.col("doc_id").alias("db_r"), F.col("h").alias("h_r"))
+    inter = (
+        cand.join(a, "da")
+        .join(b, (F.col("db") == F.col("db_r")) & (F.col("h") == F.col("h_r")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_batch_against_index(
+    spark: SparkSession, batch_docs: DataFrame, index: DedupIndex
+) -> BatchDedupResult:
+    """Dedup one incoming batch against the accumulated corpus index,
+    WITHOUT rescanning the corpus (plan-asserted: the matched relation's
+    only non-checkpoint leaves are the two index tables).
+
+    Equivalence contract (the oracle's basis): provided the index holds
+    exactly the already-seen corpus and doc_ids are globally unique,
+    ``matched`` equals the monolithic full-corpus LSH pair set
+    (dedup_minhash_lsh over seen ∪ batch) restricted to pairs touching
+    the batch. Proof sketch: band keys are per-document, so a
+    full-corpus candidate pair touching the batch is either batch×index
+    (found by the cross probe) or batch×batch (the within probe), and
+    exact-Jaccard verification is a per-pair function of the two
+    fingerprint sets — identical in both computations.
+
+    Novelty is the greedy keep-lowest-id rule of dedup_survivors: a
+    batch doc is a duplicate if it verified-matches ANY indexed doc, or
+    a lower-id batch doc. Sub-3-token docs have no shingles, never match
+    anything (same as the monolithic pipeline), and are reported novel.
+    """
+    b_hashed, b_bands, pre = batch_signatures(batch_docs)
+    idx_bands = spark.table(index.bands_table)
+    idx_sh = spark.table(index.shingles_table)
+
+    # cross probe: batch bands vs the bucketed band index. The index
+    # side's bucketed layout satisfies the join's distribution
+    # requirement as-is; only the batch side is exchanged (or, under
+    # AQE, broadcast — either plan leaves the corpus side unshuffled).
+    cross = (
+        b_bands.select("band_key", F.col("doc_id").alias("bid"))
+        .join(idx_bands.select("band_key", F.col("doc_id").alias("iid")), "band_key")
+        .filter(F.col("bid") != F.col("iid"))  # no-op under disjoint-id
+        .select("bid", "iid")                  # contract; guards misuse
+        .distinct()
+    )
+    # within probe: batch self-join (same shape as _compute_minhash_lsh;
+    # at realistic batch sizes this is small either way)
+    within = (
+        b_bands.select("band_key", F.col("doc_id").alias("da"))
+        .join(
+            b_bands.select(
+                F.col("band_key").alias("bk2"), F.col("doc_id").alias("db")
+            ),
+            (F.col("band_key") == F.col("bk2")) & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+
+    # verification: prune the corpus shingle index to candidate docs
+    # FIRST (semi-join on its bucket key doc_id), so the intersect join
+    # touches O(candidates), not O(corpus).
+    idx_docs = cross.select(F.col("iid").alias("doc_id")).distinct()
+    idx_needed = idx_sh.join(idx_docs, "doc_id", "left_semi")
+    sh_cross = b_hashed.unionByName(idx_needed)
+    v_cross = _verify_hashed(
+        cross.select(F.col("bid").alias("da"), F.col("iid").alias("db")), sh_cross
+    )
+    v_within = _verify_hashed(within, b_hashed)
+
+    matched = v_cross.select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "jaccard",
+    ).unionByName(
+        v_within.select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "jaccard"
+        )
+    )
+
+    dup_ids = (
+        v_cross.select(F.col("da").alias("doc_id"))  # da = the batch side
+        .unionByName(v_within.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    novel = batch_docs.select("doc_id").join(dup_ids, "doc_id", "left_anti")
+
+    return BatchDedupResult(
+        matched=matched,
+        novel_ids=novel,
+        batch_shingles=b_hashed,
+        batch_bands=b_bands,
+        checkpoints=(b_hashed, b_bands, pre),
+    )
+
+
+def extend_dedup_index(
+    spark: SparkSession,
+    index: DedupIndex,
+    result: BatchDedupResult,
+    n_buckets: int = N_INDEX_BUCKETS,
+) -> None:
+    """Append the NOVEL batch docs' band/shingle rows to the index
+    tables (duplicates stay represented by their retained counterpart —
+    re-indexing them would only re-report the same matches). Appends
+    preserve the bucket spec; each adds at most one file per non-empty
+    bucket, so batch cadence × bucket count bounds file count (compact
+    periodically at high cadence, like any bucketed CDC sink).
+
+    Both append relations are MATERIALIZED before either write:
+    ``novel_ids``'s lazy plan reads the index tables themselves, so
+    evaluating it after the first append would see the batch's own
+    freshly written rows, self-match them, and silently shrink the
+    second append to nothing (read-your-own-writes; caught by
+    tests/test_dedup_index.py's two-batch flow)."""
+    nb = (
+        result.batch_bands.join(result.novel_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    nh = (
+        result.batch_shingles.join(result.novel_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    (
+        nb.write.mode("append")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .format("parquet")
+        .saveAsTable(index.bands_table)
+    )
+    (
+        nh.write.mode("append")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(index.shingles_table)
+    )
+    for d in (nb, nh):
+        unpersist_checkpoints(d)
+
+
+# ---------------------------------------------------------------------------
+# Driver surface: split the documents fixture into a historical corpus
+# (doc_id % 4 != 0) and an incoming batch (% 4 == 0); index the corpus
+# once per session, probe the batch, return the matched pairs. The
+# oracle recomputes the MONOLITHIC full-corpus LSH over all documents
+# and filters to batch-touching pairs — proving incremental ≡ full.
+# ---------------------------------------------------------------------------
+
+#: session memo for the driver query: holds the materialized matched
+#: relation plus the batch's checkpoints (registered as eviction extras
+#: because the eager matched checkpoint's plan no longer references
+#: them). The index TABLES live in the session catalog + a scratch dir;
+#: they are data-at-rest, not block-manager state, and carry no leak.
+_DDIDX_MEMO = CheckpointMemo()
+
+
+def _index_name(app_id: str, sf_dir: str) -> str:
+    tok = hashlib.md5(f"{app_id}|{sf_dir}".encode()).hexdigest()[:10]
+    return f"ddidx_{tok}"
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN((h * {A_CONST[j]} + {B_CONST[j]}) % {P_MINHASH}) AS mh{j}"
+        for j in range(N_PERM)
+    )
+    bands = ",\n      ".join(
+        f"(SELECT '{b}_' || CAST(mh{2 * b} AS VARCHAR) || '_' ||"
+        f" CAST(mh{2 * b + 1} AS VARCHAR)) AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM sigs2" for b in range(N_BANDS)
+    )
+    # Same signature pipeline as dedup._minhash_sql, but over DISTINCT
+    # (doc_id, h) fingerprints — the domain the index persists — and
+    # with candidates filtered to batch-touching pairs.
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hsh AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sigs AS (
+      SELECT doc_id,
+         {mins}
+      FROM hsh GROUP BY doc_id
+    ),
+    sigs2 AS (
+      SELECT doc_id,
+      {bands}
+      FROM sigs
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE a.doc_id % {BATCH_MOD} = 0 OR b.doc_id % {BATCH_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN hsh a ON a.doc_id = c.da
+      JOIN hsh b ON b.doc_id = c.db AND b.h = a.h
+      GROUP BY c.da, c.db
+    ),
+    verified AS (
+      SELECT i.da AS doc_a, i.db AS doc_b,
+             CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.da
+      JOIN counts cb ON cb.doc_id = i.db
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_incremental_index", oracle=_incremental_oracle())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-incremental: near-dup pairs of an incoming batch against a
+    persisted corpus index (build once per session, probe per batch).
+    The Spark side never recomputes corpus signatures at probe time;
+    the oracle proves the result equals a monolithic full recompute."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DDIDX_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        name = _index_name(spark.sparkContext.applicationId, sf_dir)
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+        )
+        res = dedup_batch_against_index(
+            spark, docs.filter(F.col("doc_id") % BATCH_MOD == 0), index
+        )
+        cached = _DDIDX_MEMO.put(
+            key, res.matched.localCheckpoint(eager=True), *res.checkpoints
+        )
+    return cached

@@ -197,6 +197,7 @@ def load_all() -> None:
         tpch_extra,
         tpch_full,
         dedup,
+        dedup_index,
         similarity,
         text,
         approx,

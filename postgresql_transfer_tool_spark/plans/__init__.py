@@ -69,6 +69,44 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 
 
+def exchanges_below_first_join_above_scan(
+    df: DataFrame, scan_fragment: str
+) -> list[int]:
+    """For every scan leaf whose simpleString contains ``scan_fragment``,
+    the number of Exchange nodes strictly between that scan and its
+    NEAREST join ancestor in the (pre-AQE) physical plan.
+
+    This is the "big side never shuffled" assert for bucketed layouts:
+    a table bucketed on its join key must reach its first join with zero
+    intervening Exchange — the probe side pays the shuffle (or is
+    broadcast). Exchanges ABOVE that join move already-joined/pruned
+    rows and are not this check's concern. Returns one count per
+    matching scan (empty list ⇒ no such scan in the plan)."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    results: list[int] = []
+
+    def walk(node, exch_since_join: int) -> None:
+        cls = node.getClass().getSimpleName()
+        if "Join" in cls:
+            exch_since_join = 0
+        elif "Exchange" in cls:
+            exch_since_join += 1
+        children = node.children()
+        if children.length() == 0:
+            if scan_fragment in node.simpleString(30):
+                results.append(exch_since_join)
+            return
+        for i in range(children.length()):
+            walk(children.apply(i), exch_since_join)
+
+    # root counts as "no join seen yet": exchanges accumulate from the
+    # top, then reset at each join boundary on the way down — so the
+    # count reaching a leaf is exactly the exchanges between that leaf
+    # and its nearest join ancestor.
+    walk(plan, 0)
+    return results
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """True if the executed plan contains whole-stage-codegen stages.
 
