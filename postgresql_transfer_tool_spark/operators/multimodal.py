@@ -453,3 +453,139 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_chars").alias("total_sampled_chars"),
         F.countDistinct("frame_md5").alias("n_distinct_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF-style metadata extraction (VERDICT r6 "Next round" #8 stretch).
+#
+# EXIF lives in the JPEG APP1 marker segment as a TIFF-structured tag
+# directory — extracting it is pure byte parsing, NO codec involved
+# (real pipelines read EXIF without decoding pixels, exactly like the
+# FIMG header parse above). So unlike the pixel-decode branch this path
+# has no Pillow dependency at all: it runs everywhere, deterministic
+# per blob. Non-JPEG blobs and EXIF-less JPEGs yield has_exif=false
+# with NULL tag columns — schema-stable output either way.
+# ---------------------------------------------------------------------------
+
+#: the standard IFD0 tags surfaced as typed columns
+_EXIF_TAG_MAKE = 271          # ASCII
+_EXIF_TAG_MODEL = 272         # ASCII
+_EXIF_TAG_ORIENTATION = 274   # SHORT
+_EXIF_TAG_DATETIME = 306      # ASCII "YYYY:MM:DD HH:MM:SS"
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("has_exif", T.BooleanType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("taken_at", T.StringType()),
+    ]
+)
+
+
+def extract_exif(blob: bytes) -> dict | None:
+    """Parse the EXIF IFD0 of a JPEG blob, codec-free.
+
+    Walks the JPEG marker segments from SOI to the first APP1 carrying
+    the ``Exif\\x00\\x00`` signature, then reads the embedded TIFF
+    structure (II little-endian or MM big-endian both supported): the
+    IFD0 entry table, inline or offset values, ASCII and SHORT tags.
+    Returns ``None`` for non-JPEG blobs, JPEGs without an EXIF APP1,
+    and structurally truncated/corrupt segments (never raises on bad
+    input — a 100 TB crawl always contains malformed files)."""
+    import struct
+
+    if len(blob) < 4 or blob[:3] != _JPEG_MAGIC:
+        return None
+    # --- marker walk: find APP1/Exif ---
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+            return None
+        seglen = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg_end = pos + 2 + seglen
+        if seglen < 2 or seg_end > len(blob):
+            return None
+        if marker == 0xE1 and blob[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = blob[pos + 10 : seg_end]
+            break
+        pos = seg_end
+    if tiff is None or len(tiff) < 8:
+        return None
+    # --- TIFF header + IFD0 ---
+    if tiff[:2] == b"II":
+        endian = "<"
+    elif tiff[:2] == b"MM":
+        endian = ">"
+    else:
+        return None
+    if struct.unpack(endian + "H", tiff[2:4])[0] != 42:
+        return None
+    ifd0 = struct.unpack(endian + "I", tiff[4:8])[0]
+    if ifd0 + 2 > len(tiff):
+        return None
+    n_entries = struct.unpack(endian + "H", tiff[ifd0 : ifd0 + 2])[0]
+    out: dict = {}
+    for i in range(n_entries):
+        e = ifd0 + 2 + 12 * i
+        if e + 12 > len(tiff):
+            return None
+        tag, typ, cnt = struct.unpack(endian + "HHI", tiff[e : e + 8])
+        raw = tiff[e + 8 : e + 12]
+        if typ == 2:  # ASCII, NUL-terminated; >4 bytes live at offset
+            if cnt <= 4:
+                data = raw[:cnt]
+            else:
+                off = struct.unpack(endian + "I", raw)[0]
+                if off + cnt > len(tiff):
+                    continue
+                data = tiff[off : off + cnt]
+            val = data.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 3 and cnt == 1:  # single SHORT, inline
+            val = struct.unpack(endian + "H", raw[:2])[0]
+        elif typ == 4 and cnt == 1:  # single LONG, inline
+            val = struct.unpack(endian + "I", raw)[0]
+        else:
+            continue
+        out[tag] = val
+    return out
+
+
+def exif_metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched EXIF stage with the stable EXIF_SCHEMA contract:
+    one output row per input row; non-JPEG / EXIF-less rows keep
+    has_exif=false and NULL tag columns."""
+    for pdf in it:
+        rows = {k.name: [] for k in EXIF_SCHEMA.fields}
+        for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+            tags = extract_exif(bytes(blob))
+            rows["doc_id"].append(doc_id)
+            rows["media_type"].append(mt)
+            rows["has_exif"].append(tags is not None)
+            rows["make"].append(tags.get(_EXIF_TAG_MAKE) if tags else None)
+            rows["model"].append(tags.get(_EXIF_TAG_MODEL) if tags else None)
+            o = tags.get(_EXIF_TAG_ORIENTATION) if tags else None
+            rows["orientation"].append(int(o) if o is not None else None)
+            rows["taken_at"].append(tags.get(_EXIF_TAG_DATETIME) if tags else None)
+        pdf_out = pd.DataFrame(rows)
+        pdf_out["orientation"] = pdf_out["orientation"].astype("Int32")
+        yield pdf_out
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, blob) → EXIF_SCHEMA rows via mapInPandas —
+    map-only (zero shuffles: metadata extraction runs where the blobs
+    already live, the posture every media stage here shares)."""
+    return media.select("doc_id", "media_type", "blob").mapInPandas(
+        exif_metadata_batches, EXIF_SCHEMA
+    )

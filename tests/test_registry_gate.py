@@ -59,3 +59,43 @@ def test_gate_order_is_deterministic_and_total():
     assert registry.gate_order(list(registry.QUERIES)) == names
     assert len(set(names)) == len(names)
     assert set(names) == set(registry.QUERIES)
+
+
+def test_rotation_staleness_is_bounded():
+    """VERDICT r6 "Next round" #7: under stalest-first rotation with a
+    PREFIX-slot budget, no query's driver row may age past
+    ceil(Q/PREFIX) + 1 rounds. Proven two ways:
+
+    (a) simulation — run the exact gate policy (stalest-first, budget
+        PREFIX) over the real registry for several full cycles and
+        measure the worst observed staleness;
+    (b) the committed record — every query with a CORRECTNESS row is
+        within the bound of the newest recorded round (new queries with
+        no row yet are excluded: they sort first into the NEXT round's
+        prefix by test_never_checked_oracle_queries_lead_the_prefix).
+    """
+    import math
+
+    names = _loaded()
+    q = len(names)
+    bound = math.ceil(q / PREFIX) + 1
+
+    # (a) closed-loop simulation of the rotation policy
+    last = {n: 0 for n in names}
+    worst = 0
+    for rnd in range(1, 4 * bound + 1):
+        order = sorted(names, key=lambda n: last[n])
+        for n in order[:PREFIX]:
+            last[n] = rnd
+        worst = max(worst, rnd - min(last.values()))
+    assert worst <= bound, f"simulated staleness {worst} > bound {bound}"
+
+    # (b) the committed CORRECTNESS history honors the bound
+    recorded = registry.driver_rounds()
+    newest = max(recorded.values())
+    stale = {
+        n: newest - recorded[n]
+        for n in names
+        if n in recorded and newest - recorded[n] > bound
+    }
+    assert not stale, f"queries staler than {bound} rounds: {stale}"
