@@ -305,6 +305,15 @@ def extend_dedup_index(
         .format("parquet")
         .saveAsTable(index.shingles_table)
     )
+    # Refresh through the CALLER's session, not just the writer's: the
+    # append DataFrames may be bound to a different SparkSession (e.g.
+    # foreachBatch hands micro-batch DataFrames owned by a per-epoch
+    # CLONE), and saveAsTable only invalidates the relation cache of the
+    # session that executed the write — leaving this session serving a
+    # stale file-listing snapshot for the very tables it just extended
+    # (caught by tests/test_streaming_index_dedup.py).
+    for t in (index.bands_table, index.shingles_table):
+        spark.catalog.refreshTable(t)
     for d in (nb, nh):
         unpersist_checkpoints(d)
 
@@ -412,3 +421,51 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             key, res.matched.localCheckpoint(eager=True), *res.checkpoints
         )
     return cached
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index: DedupIndex,
+    new_path: str,
+    n_buckets: int = N_INDEX_BUCKETS,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite both index tables into ONE file per bucket.
+
+    Every :func:`extend_dedup_index` appends up to one file per
+    non-empty bucket, so file count grows with batch cadence — the
+    classic small-files decay of any bucketed CDC sink. Plain
+    directory compaction (functions/layout.compact) would destroy the
+    bucket layout; instead each table is re-written bucketed on its own
+    key after repartitioning on the EXPLICIT bucket-id expression
+    ``pmod(hash(key), n_buckets)`` — verified identical to the writer's
+    bucket assignment — so every bucket's rows land whole in one task
+    and the writer emits exactly one file per non-empty bucket.
+    (Repartitioning on the raw key column is NOT enough: the write-side
+    plan re-arranges rows so tasks end up holding several buckets each,
+    one file per (task, bucket).)
+    The rewrite lands at ``new_path`` (reading the live table while
+    overwriting its own location is not safe), then the catalog entry
+    is swapped via DROP + RENAME; the old generation's directory is the
+    caller's scratch to reclaim.
+
+    Returns {table: (files_before, files_after)}.
+    """
+    out: dict[str, tuple[int, int]] = {}
+    for table, key, sub in (
+        (index.bands_table, "band_key", "bands"),
+        (index.shingles_table, "doc_id", "shingles"),
+    ):
+        before = len(spark.table(table).inputFiles())
+        tmp = f"{table}_compacting"
+        bucket_id = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+        write_bucketed(
+            spark.table(table).repartition(n_buckets, bucket_id),
+            tmp,
+            os.path.join(new_path, sub),
+            key,
+            n_buckets,
+        )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        out[table] = (before, len(spark.table(table).inputFiles()))
+    return out

@@ -1,0 +1,138 @@
+"""Streaming near-dup admission against the persistent cross-batch
+index — the continuous-ingest form of operators/dedup_index.py.
+
+A training-data pipeline's ingest is a stream of document batches; each
+micro-batch must be deduplicated against EVERYTHING admitted before it
+(not just the current batch, which is all `dropDuplicatesWithinWatermark`
+can see) and the admitted survivors must become visible to the next
+batch immediately. foreachBatch is the right surface: the probe itself
+is the batch-mode `dedup_batch_against_index` (bucketed index side never
+shuffled, per-batch cost ∝ batch), and the sink owns the admit → extend
+ordering.
+
+Replay safety: Structured Streaming's foreachBatch is at-least-once — a
+crashed batch is re-delivered with the SAME epoch id. Re-probing an
+already-indexed document would violate the index's disjoint-id contract
+(its own signature rows are now in the index), so the sink brackets the
+whole admit+extend in the EpochLedger (streaming/exactly_once.py):
+a replayed epoch is detected and skipped BEFORE the probe runs. Commit
+order is admit-write → index-extend → ledger-commit; a crash between
+extend and commit re-runs the epoch, whose rewrite of the same admitted
+files is idempotent, and whose re-extend is prevented by re-reading the
+ledger inside the call (the one non-idempotent step is guarded last).
+
+Crash window caveat (documented, not hidden): a crash exactly between
+index-extend and ledger-commit replays the epoch against an index that
+already contains this batch's novel docs — they would then self-match.
+The sink therefore pre-filters the replayed batch against the ADMITTED
+ids parquet (written before extend), restoring idempotency for that
+window at the cost of one small admitted-ids read per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.memo import unpersist_checkpoints
+from ..operators.dedup_index import (
+    DedupIndex,
+    dedup_batch_against_index,
+    extend_dedup_index,
+)
+from .exactly_once import EpochLedger
+
+
+class DedupIndexSink:
+    """foreachBatch target: continuous near-dup admission.
+
+    Per micro-batch of (doc_id, text) rows:
+
+    1. skip if the epoch is already in the ledger (full replay);
+    2. drop rows whose doc_id is already admitted (partial replay
+       after the extend/commit crash window — normally a no-op);
+    3. probe the batch against the index;
+    4. write admitted (novel) doc rows to ``admitted_dir`` and the
+       verified pairs to ``pairs_dir`` (epoch-scoped subdirs, so a
+       rewrite is file-idempotent);
+    5. extend the index with the novel docs' signatures;
+    6. commit the epoch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: DedupIndex,
+        out_dir: str,
+    ) -> None:
+        self.spark = spark
+        self.index = index
+        self.admitted_dir = os.path.join(out_dir, "admitted")
+        self.pairs_dir = os.path.join(out_dir, "pairs")
+        self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+
+    def _admitted_ids(self) -> DataFrame | None:
+        if not os.path.isdir(self.admitted_dir):
+            return None
+        try:
+            return self.spark.read.parquet(self.admitted_dir).select("doc_id")
+        except Exception:  # empty dir, no parquet yet
+            return None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in self.ledger.committed():
+            return
+        seen = self._admitted_ids()
+        if seen is not None:
+            batch_df = batch_df.join(seen, "doc_id", "left_anti")
+        # Snapshot the (filtered) batch BEFORE any write: on partial
+        # replay its plan reads the admitted dir that step 4 is about to
+        # overwrite — without the cut, the admit rewrite deletes files
+        # the later extend step still needs to scan.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        res = dedup_batch_against_index(self.spark, batch_df, self.index)
+        # Partial replay also means this epoch's admitted rows are in
+        # ``seen`` (filtered OUT of the batch above), so the rewrite
+        # below would otherwise erase them: snapshot the prior epoch
+        # output and union it back. Pairs need no such repair — a pair
+        # always has a non-admitted side, and a (novel, dup) within-pair
+        # re-appears as the identical (novel, dup) cross-pair once the
+        # novel side is indexed.
+        epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
+        prior = None
+        if os.path.isdir(epoch_dir):
+            try:
+                prior = self.spark.read.parquet(epoch_dir).localCheckpoint(
+                    eager=True
+                )
+            except Exception:
+                prior = None
+        try:
+            admitted = batch_df.join(res.novel_ids, "doc_id", "left_semi")
+            if prior is not None:
+                admitted = admitted.unionByName(prior)
+            admitted.write.mode("overwrite").parquet(epoch_dir)
+            (
+                res.matched.write.mode("overwrite").parquet(
+                    os.path.join(self.pairs_dir, f"epoch={int(epoch_id)}")
+                )
+            )
+            extend_dedup_index(self.spark, self.index, res)
+            self.ledger.commit(int(epoch_id))
+        finally:
+            for d in (*res.checkpoints, batch_df) + (
+                (prior,) if prior is not None else ()
+            ):
+                unpersist_checkpoints(d)
+
+    # -- read-back helpers (test / downstream convenience) --------------
+    def admitted(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.admitted_dir).parquet(
+            self.admitted_dir
+        )
+
+    def pairs(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.pairs_dir).parquet(
+            self.pairs_dir
+        )

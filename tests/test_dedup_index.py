@@ -175,3 +175,49 @@ def test_registry_query_is_memoized_and_stable(spark):
     key = (spark.sparkContext.applicationId, sf)
     assert key in _DDIDX_MEMO
     assert {(r.doc_a, r.doc_b, r.jaccard) for r in again.collect()} == rows1
+
+
+def test_compaction_preserves_layout_and_results(spark):
+    """extend() appends up to one file per bucket per batch — compaction
+    must collapse each table to ONE file per bucket while preserving the
+    bucket layout (probe joins stay exchange-free) and the probe
+    results bit-for-bit."""
+    import os
+
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        compact_dedup_index,
+    )
+
+    name = f"ddidx_c{uuid.uuid4().hex[:8]}"
+    base = tempfile.mkdtemp(prefix=name)
+    index = build_dedup_index(spark, _docs(spark, WAVE0), base, name)
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    extend_dedup_index(spark, index, r1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+
+    before = {
+        t: len(spark.table(t).inputFiles())
+        for t in (index.bands_table, index.shingles_table)
+    }
+    probe_before = _pairs(dedup_batch_against_index(spark, _docs(spark, WAVE2), index).matched)
+
+    gen2 = tempfile.mkdtemp(prefix=f"{name}_gen2")
+    stats = compact_dedup_index(spark, index, gen2)
+    for t, (b, a) in stats.items():
+        assert b == before[t]
+        assert a <= 16 and a < b, (t, b, a)  # one file per non-empty bucket
+        # data landed in the new generation's directory
+        assert all(gen2 in f for f in spark.table(t).inputFiles()), t
+
+    r2 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    assert _pairs(r2.matched) == probe_before  # results unchanged
+    # bucketed layout survived the rewrite: index sides still reach
+    # their first join with zero intervening exchanges
+    for frag in (f"{name}_bands", f"{name}_shingles"):
+        counts = exchanges_below_first_join_above_scan(r2.matched, frag)
+        assert counts and all(c == 0 for c in counts), (frag, counts)
+    for d in r2.checkpoints:
+        unpersist_checkpoints(d)
+    for t in (index.bands_table, index.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

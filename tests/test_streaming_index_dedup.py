@@ -1,0 +1,74 @@
+"""Streaming near-dup admission against the persistent index
+(streaming/index_dedup.py): two micro-batches through a file-source
+stream, then replay-safety of the foreachBatch sink."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from tests.test_dedup_index import WAVE0, WAVE1, WAVE2, _docs
+
+from postgresql_transfer_tool_spark.operators.dedup_index import (
+    build_dedup_index,
+)
+from postgresql_transfer_tool_spark.streaming.index_dedup import DedupIndexSink
+
+
+def test_streaming_two_epochs_then_replay(spark, tmp_path):
+    name = f"ddidx_s{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    out = str(tmp_path / "out")
+    sink = DedupIndexSink(spark, index, out)
+
+    schema = "doc_id bigint, text string"
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        _docs(spark, WAVE1).write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        _docs(spark, WAVE2).write.mode("append").parquet(landing)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # same admissions as the batch-mode two-wave flow in
+    # test_dedup_index: survivors of wave1 then wave2
+    admitted = {r.doc_id for r in sink.admitted().select("doc_id").collect()}
+    assert admitted == {210, 212, 220, 320}
+    pairs = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
+    assert {(101, 201), (210, 211), (210, 301), (105, 310)} <= pairs
+    assert (211, 301) not in pairs  # 211 was never indexed
+    committed = sorted(sink.ledger.committed())
+    assert len(committed) == 2
+
+    # --- full replay: committed epoch is skipped outright ---
+    before_files = set(sink.admitted().inputFiles())
+    sink(_docs(spark, WAVE2), committed[-1])
+    assert set(sink.admitted().inputFiles()) == before_files
+
+    # --- partial replay (crash between extend and ledger commit):
+    # delete the marker and re-deliver the epoch. The admitted-ids
+    # pre-filter drops already-admitted docs; outputs are reproduced
+    # byte-identically (320's signatures are in the index now, but the
+    # admitted filter removes it before it could self-match).
+    marker = os.path.join(out, "_epochs", f"epoch={committed[-1]}.committed")
+    os.remove(marker)
+    sink(_docs(spark, WAVE2), committed[-1])
+    assert {r.doc_id for r in sink.admitted().select("doc_id").collect()} == {
+        210, 212, 220, 320,
+    }
+    pairs2 = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
+    assert pairs2 == pairs
+    assert sorted(sink.ledger.committed()) == committed
+
+    for t in (index.bands_table, index.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
