@@ -198,6 +198,7 @@ def load_all() -> None:
         tpch_full,
         dedup,
         dedup_index,
+        contamination_index,
         similarity,
         text,
         approx,
