@@ -233,3 +233,71 @@ def test_segment_dedup_growth_three_points(spark, x10_dir):
     print(f"segment-dup flagged fractions: {fractions}")
     lo, hi = min(fractions), max(fractions)
     assert hi - lo < 0.25, fractions  # scale-invariant within tolerance
+
+
+def test_dedup_index_probe_growth_three_points(spark, x10_dir):
+    """Cross-batch dedup index (operators/dedup_index.py) across
+    500 → 5 000 → 50 000 documents: per-BATCH-DOC candidate volume must
+    stay flat as the CORPUS grows a decade per step — the probe's work
+    is ∝ batch + candidates, and candidates are bounded by band-bucket
+    populations (the same pigeonhole as dedup_minhash_lsh, which this
+    index persists). A growing ratio would mean the index join has
+    become corpus-bound and the build-once/probe-per-batch inversion is
+    lost."""
+    import uuid as _uuid
+
+    from postgresql_transfer_tool_spark.functions.memo import (
+        unpersist_checkpoints,
+    )
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        BATCH_MOD,
+        batch_signatures,
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    dirs = [SF_SMALL, SF_MID, x10_dir]
+    ratios = []
+    for d in dirs:
+        docs = load_table(spark, d, "documents")
+        name = f"ddidx_dec{_uuid.uuid4().hex[:8]}"
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=name),
+            name,
+        )
+        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        n_batch = batch.count()
+        b_hashed, b_bands, pre = batch_signatures(batch)
+        cand = (
+            b_bands.select("band_key", F.col("doc_id").alias("bid"))
+            .join(
+                spark.table(index.bands_table).select(
+                    "band_key", F.col("doc_id").alias("iid")
+                ),
+                "band_key",
+            )
+            .filter(F.col("bid") != F.col("iid"))
+            .select("bid", "iid")
+            .distinct()
+            .count()
+        )
+        res = dedup_batch_against_index(spark, batch, index)
+        n_matched = res.matched.count()
+        ratios.append(cand / max(n_batch, 1))
+        print(
+            f"{d}: batch={n_batch} cross_candidates={cand} "
+            f"matched={n_matched} cand/doc={cand / max(n_batch, 1):.3f}"
+        )
+        for h in (*res.checkpoints, b_hashed, b_bands, pre):
+            unpersist_checkpoints(h)
+        for t in (index.bands_table, index.shingles_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # flat per-batch-doc candidate volume: each decade of CORPUS growth
+    # must not grow the ratio super-linearly; pin both the trend and an
+    # absolute ceiling so a bucket-degeneration regression is loud
+    for i in range(len(ratios) - 1):
+        assert ratios[i + 1] <= max(ratios[i] * 3, 1.0), ratios
+    assert all(r <= 5 for r in ratios), ratios
