@@ -1,0 +1,212 @@
+"""Persistent IVF ANN index — X3's build-once / probe-per-batch path.
+
+The third member of the persistent-index family (near-dup:
+operators/dedup_index.py; decontamination:
+operators/contamination_index.py): the IVF state of an embedding corpus
+— the frozen centroid sample and every vector's cell assignment — is
+persisted once, and each incoming QUERY BATCH probes it without
+recomputing a single corpus assignment:
+
+  {name}_centroids (cid, ce, ncent)        — bounded (≤ 2^MAX_CELL_BITS
+                                             rows), collected per probe
+  {name}_cells     (vec_id, cell, qe, nq)  — bucketed on ``cell``; the
+                                             candidate fetch joins on
+                                             cell with the corpus side
+                                             unshuffled
+
+Probe cost: one bounded centroid collect + a map-side top-NPROBE cell
+UDF over the batch + a broadcast join of O(batch·NPROBE) probe rows
+into the bucketed cells table + exact rerank of the fetched candidates.
+Nothing scans or shuffles the corpus. New vectors append via
+:func:`extend_ann_index` under the FROZEN centroids — the standard IVF
+posture (recall drifts only if the data distribution drifts; re-train =
+rebuild, the compaction analog).
+
+Every kernel (centroid id-hash sample, top-cells-by-cosine UDF, exact
+int64 dot + correctly-rounded double cosine) is imported from
+operators/similarity.py, so the probe is RESULT-IDENTICAL to the
+monolithic `ann_ivf_topk` by construction — the registry query reuses
+that query's oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.bucketing import write_bucketed
+from ..functions.memo import CheckpointMemo
+from .registry import ORACLES, query
+from .similarity import (
+    NPROBE,
+    N_QUERIES,
+    TOP_K,
+    _spark_dot,
+    _spark_quantized_materialized,
+    centroid_sample_filter,
+    centroid_stride,
+    top_cells_by_cosine,
+)
+
+#: bucket count for the cells table at fixture scale; at 100 TB size it
+#: like any bucketed layout (functions/bucketing.py guidance)
+N_CELL_BUCKETS = 16
+
+
+class AnnIndex(NamedTuple):
+    centroids_table: str
+    cells_table: str
+
+
+def build_ann_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    name: str,
+    n_buckets: int = N_CELL_BUCKETS,
+) -> AnnIndex:
+    """Persist the IVF state of a (vec_id, qe, nq) quantized-embedding
+    relation: centroid sample (deterministic md5 id-hash — layout-free)
+    and per-vector nearest-cell assignment (map-side vectorized, no
+    n×nc materialization)."""
+    idx = AnnIndex(f"{name}_centroids", f"{name}_cells")
+    stride = centroid_stride(vectors.count())
+    cent = vectors.filter(centroid_sample_filter(stride)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("ncent"),
+    )
+    (
+        cent.coalesce(1)
+        .write.mode("overwrite")
+        .option("path", f"{path}/centroids")
+        .format("parquet")
+        .saveAsTable(idx.centroids_table)
+    )
+    cent_rows = [(r.cid, r.ce, r.ncent) for r in spark.table(idx.centroids_table).collect()]
+    assigned = vectors.select(
+        "vec_id",
+        top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
+        "qe",
+        "nq",
+    )
+    write_bucketed(assigned, idx.cells_table, f"{path}/cells", "cell", n_buckets)
+    return idx
+
+
+def extend_ann_index(
+    spark: SparkSession,
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    n_buckets: int = N_CELL_BUCKETS,
+) -> None:
+    """Append new vectors under the FROZEN centroid set (classic IVF
+    incremental ingest). The append relation is materialized before the
+    write (read-your-own-writes hygiene shared with the dedup index —
+    here the plan only reads the centroids table, which this function
+    never mutates, but the snapshot keeps the contract uniform)."""
+    from ..functions.memo import unpersist_checkpoints
+
+    cent_rows = [
+        (r.cid, r.ce, r.ncent) for r in spark.table(index.centroids_table).collect()
+    ]
+    assigned = new_vectors.select(
+        "vec_id",
+        top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
+        "qe",
+        "nq",
+    ).localCheckpoint(eager=True)
+    (
+        assigned.write.mode("append")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(index.cells_table)
+    )
+    spark.catalog.refreshTable(index.cells_table)
+    unpersist_checkpoints(assigned)
+
+
+def ann_query_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: AnnIndex,
+    nprobe: int = NPROBE,
+    topk: int = TOP_K,
+) -> DataFrame:
+    """Top-k cosine neighbors for a (vec_id, qe, nq) query batch probed
+    against the persisted index: (query_id, neighbor_id, cell, cosine,
+    rk). Self-matches (same vec_id) are excluded, matching
+    `ann_ivf_topk`'s contract when queries are drawn from the corpus."""
+    cent_rows = [
+        (r.cid, r.ce, r.ncent) for r in spark.table(index.centroids_table).collect()
+    ]
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(top_cells_by_cosine(cent_rows, nprobe)("qe", "nq")).alias("cell"),
+    )
+    corpus = spark.table(index.cells_table).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("qe").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    qa = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    cosine = _spark_dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    ranked = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qa), "query_id")
+        .select("query_id", "neighbor_id", "cell", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return ranked.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= topk
+    )
+
+
+_ANNIDX_MEMO = CheckpointMemo()
+
+
+def _index_name(app_id: str, sf_dir: str) -> str:
+    tok = hashlib.md5(f"ann|{app_id}|{sf_dir}".encode()).hexdigest()[:10]
+    return f"annidx_{tok}"
+
+
+@query("ann_ivf_index_topk", oracle=ORACLES["ann_ivf_topk"])
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k THROUGH the persisted index: build once per session
+    from the full embeddings corpus, probe the standard query set
+    (vec_id < N_QUERIES). Same centroid sample, assignment kernel, and
+    rerank expression as `ann_ivf_topk`, so the oracle is that query's
+    oracle verbatim — the persisted path must reproduce the monolithic
+    result bit-for-bit through the parquet round-trip."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ANNIDX_MEMO.get(key)
+    if cached is None:
+        vectors = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        name = _index_name(spark.sparkContext.applicationId, sf_dir)
+        index = build_ann_index(
+            spark, vectors, tempfile.mkdtemp(prefix=f"{name}_"), name
+        )
+        out = ann_query_index(
+            spark, vectors.filter(F.col("vec_id") < N_QUERIES), index
+        )
+        cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True), out)
+    return cached

@@ -200,6 +200,7 @@ def load_all() -> None:
         dedup_index,
         contamination_index,
         similarity,
+        ann_index,
         text,
         approx,
         multimodal,
