@@ -50,3 +50,14 @@ def colocated_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, key)
+
+
+def index_table_name(prefix: str, app_id: str, sf_dir: str) -> str:
+    """Session-unique catalog-table name stem for a persisted index:
+    an md5 token over (prefix | appId | sf_dir). The prefix participates
+    in the hash AND the name, so different index FAMILIES over the same
+    dataset can never collide on table names."""
+    import hashlib
+
+    tok = hashlib.md5(f"{prefix}|{app_id}|{sf_dir}".encode()).hexdigest()[:10]
+    return f"{prefix}_{tok}"

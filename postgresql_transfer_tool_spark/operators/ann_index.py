@@ -31,7 +31,6 @@ that query's oracle verbatim.
 
 from __future__ import annotations
 
-import hashlib
 import tempfile
 from typing import NamedTuple
 
@@ -39,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.bucketing import write_bucketed
+from ..catalog import table_row_count
+from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.memo import CheckpointMemo
 from .registry import ORACLES, query
 from .similarity import (
@@ -69,13 +69,16 @@ def build_ann_index(
     path: str,
     name: str,
     n_buckets: int = N_CELL_BUCKETS,
+    n_rows: int | None = None,
 ) -> AnnIndex:
     """Persist the IVF state of a (vec_id, qe, nq) quantized-embedding
     relation: centroid sample (deterministic md5 id-hash — layout-free)
     and per-vector nearest-cell assignment (map-side vectorized, no
-    n×nc materialization)."""
+    n×nc materialization). Pass ``n_rows`` when the corpus size is
+    already known (e.g. from parquet footer metadata) to skip the
+    count job — the stride only needs the exact row count."""
     idx = AnnIndex(f"{name}_centroids", f"{name}_cells")
-    stride = centroid_stride(vectors.count())
+    stride = centroid_stride(vectors.count() if n_rows is None else n_rows)
     cent = vectors.filter(centroid_sample_filter(stride)).select(
         F.col("vec_id").alias("cid"),
         F.col("qe").alias("ce"),
@@ -183,8 +186,7 @@ _ANNIDX_MEMO = CheckpointMemo()
 
 
 def _index_name(app_id: str, sf_dir: str) -> str:
-    tok = hashlib.md5(f"ann|{app_id}|{sf_dir}".encode()).hexdigest()[:10]
-    return f"annidx_{tok}"
+    return index_table_name("annidx", app_id, sf_dir)
 
 
 @query("ann_ivf_index_topk", oracle=ORACLES["ann_ivf_topk"])
@@ -203,10 +205,21 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         name = _index_name(spark.sparkContext.applicationId, sf_dir)
         index = build_ann_index(
-            spark, vectors, tempfile.mkdtemp(prefix=f"{name}_"), name
+            spark,
+            vectors,
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+            n_rows=table_row_count(sf_dir, "embeddings"),
         )
         out = ann_query_index(
             spark, vectors.filter(F.col("vec_id") < N_QUERIES), index
         )
-        cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True), out)
+        # NO eviction extra here, deliberately: ann_query_index creates
+        # no checkpoints of its own — the only LogicalRDD leaves in
+        # out's lineage are the SHARED quantized-embeddings checkpoint
+        # owned by similarity._QUANT_CACHE. Registering `out` as an
+        # extra would unpersist that shared handle on eviction while
+        # the other memo still serves it (cross-memo ownership, the r7
+        # ADVICE class from the opposite direction).
+        cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True))
     return cached

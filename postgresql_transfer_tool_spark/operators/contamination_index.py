@@ -26,14 +26,13 @@ ingest batch.
 
 from __future__ import annotations
 
-import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.bucketing import write_bucketed
+from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .corpus import _BENCH_MOD, _NGRAM, _SQL_TOKS
 from .registry import query
@@ -88,7 +87,15 @@ def check_batch_contamination(
     against the persisted gram index: (doc_id, n_grams, n_shared,
     is_contaminated) — the exact output contract of the monolithic
     `contamination_ngram_overlap`, computed without touching the
-    benchmark corpus."""
+    benchmark corpus.
+
+    Ownership: the returned plan hides a lazy localCheckpoint (the
+    batch's pre-explode gram arrays) that materializes on first action.
+    Long-running callers probing batch after batch must release it —
+    ``unpersist_checkpoints(result)`` once the result is consumed, or
+    park the result in a ``CheckpointMemo`` (the registry query below
+    does the latter) — or block-manager storage grows one checkpoint
+    per batch for the life of the session."""
     # pre-explode cut: Generate would otherwise re-evaluate the 5-gram
     # transform per OUTPUT element (the dedup.py:94-100 trap)
     pre = gram_arrays_from_docs(batch_docs).localCheckpoint(eager=False)
@@ -109,8 +116,7 @@ _CONTIDX_MEMO = CheckpointMemo()
 
 
 def _index_name(app_id: str, sf_dir: str) -> str:
-    tok = hashlib.md5(f"cont|{app_id}|{sf_dir}".encode()).hexdigest()[:10]
-    return f"contidx_{tok}"
+    return index_table_name("contidx", app_id, sf_dir)
 
 
 @query(

@@ -38,7 +38,6 @@ seen, under near-duplicate equality".
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 from typing import NamedTuple
@@ -47,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.bucketing import write_bucketed
+from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .dedup import (
     A_CONST,
@@ -291,31 +290,46 @@ def extend_dedup_index(
         result.batch_shingles.join(result.novel_ids, "doc_id", "left_semi")
         .localCheckpoint(eager=True)
     )
+    append_signature_rows(spark, index, nb, nh, n_buckets)
+    for d in (nb, nh):
+        unpersist_checkpoints(d)
+
+
+def append_signature_rows(
+    spark: SparkSession,
+    index: DedupIndex,
+    bands_rows: DataFrame,
+    shingle_rows: DataFrame,
+    n_buckets: int = N_INDEX_BUCKETS,
+) -> None:
+    """Low-level append of (doc_id, band_key) / (doc_id, h) rows to the
+    two index tables. The inputs must NOT read the index tables through
+    a lazy plan (materialize them first — read-your-own-writes, see
+    extend_dedup_index).
+
+    The refresh goes through the CALLER's session, not just the
+    writer's: the append DataFrames may be bound to a different
+    SparkSession (e.g. foreachBatch hands micro-batch DataFrames owned
+    by a per-epoch CLONE), and saveAsTable only invalidates the relation
+    cache of the session that executed the write — leaving this session
+    serving a stale file-listing snapshot for the very tables it just
+    extended (caught by tests/test_streaming_index_dedup.py)."""
     (
-        nb.write.mode("append")
+        bands_rows.write.mode("append")
         .bucketBy(n_buckets, "band_key")
         .sortBy("band_key")
         .format("parquet")
         .saveAsTable(index.bands_table)
     )
     (
-        nh.write.mode("append")
+        shingle_rows.write.mode("append")
         .bucketBy(n_buckets, "doc_id")
         .sortBy("doc_id")
         .format("parquet")
         .saveAsTable(index.shingles_table)
     )
-    # Refresh through the CALLER's session, not just the writer's: the
-    # append DataFrames may be bound to a different SparkSession (e.g.
-    # foreachBatch hands micro-batch DataFrames owned by a per-epoch
-    # CLONE), and saveAsTable only invalidates the relation cache of the
-    # session that executed the write — leaving this session serving a
-    # stale file-listing snapshot for the very tables it just extended
-    # (caught by tests/test_streaming_index_dedup.py).
     for t in (index.bands_table, index.shingles_table):
         spark.catalog.refreshTable(t)
-    for d in (nb, nh):
-        unpersist_checkpoints(d)
 
 
 # ---------------------------------------------------------------------------
@@ -335,8 +349,7 @@ _DDIDX_MEMO = CheckpointMemo()
 
 
 def _index_name(app_id: str, sf_dir: str) -> str:
-    tok = hashlib.md5(f"{app_id}|{sf_dir}".encode()).hexdigest()[:10]
-    return f"ddidx_{tok}"
+    return index_table_name("ddidx", app_id, sf_dir)
 
 
 def _incremental_oracle() -> str:

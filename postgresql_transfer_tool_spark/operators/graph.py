@@ -257,7 +257,7 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bfs_over_edges's ownership contract) — so the deep path parks the
     handle in the session _BFS_CACHE, whose LRU eviction unpersists the
     blocks instead of leaking one checkpoint per call."""
-    if BFS_DEPTH > BFS_CHECKPOINT_DEPTH:
+    if bfs_uses_checkpoints(BFS_DEPTH):
         key = (spark.sparkContext.applicationId, sf_dir, BFS_DEPTH)
         reached = _BFS_CACHE.get(key)
         if reached is None:
@@ -275,6 +275,14 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pays a flat ~1.5 s/level in job overhead at local[32] — measured
 #: crossover is around 6 levels.
 BFS_CHECKPOINT_DEPTH = 6
+
+
+def bfs_uses_checkpoints(depth: int) -> bool:
+    """The ONE definition of bfs_over_edges' auto strategy flip. Both
+    the core and callers that must mirror the ownership consequence
+    (a checkpoint_levels result is caller-owned — see bfs_over_edges)
+    consult this, so the decision cannot desync across sites."""
+    return depth > BFS_CHECKPOINT_DEPTH
 
 
 def bfs_over_edges(
@@ -305,7 +313,7 @@ def bfs_over_edges(
     lazy plan with nothing to free.
     """
     if checkpoint_levels is None:
-        checkpoint_levels = depth > BFS_CHECKPOINT_DEPTH
+        checkpoint_levels = bfs_uses_checkpoints(depth)
 
     root = edges.agg(F.min("src").alias("v")).withColumn(
         "hop", F.lit(0).cast("int")

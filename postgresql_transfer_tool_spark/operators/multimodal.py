@@ -506,6 +506,13 @@ def extract_exif(blob: bytes) -> dict | None:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             return None
+        # JPEG allows any number of 0xFF fill bytes before the marker
+        # code — skip them, or a padded file's real APP1 is lost behind
+        # a garbage segment length
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(blob):
+            return None
         marker = blob[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
@@ -565,6 +572,20 @@ def exif_metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched EXIF stage with the stable EXIF_SCHEMA contract:
     one output row per input row; non-JPEG / EXIF-less rows keep
     has_exif=false and NULL tag columns."""
+    # Coerce by the tag's EXPECTED type, not the file's claimed TIFF
+    # type: a malformed/crafted file can store orientation as ASCII or
+    # make/model as SHORT, and an uncoerced value would fail the task at
+    # int() or at Arrow conversion — one bad blob must never kill a
+    # 100 TB batch. Uncoercible values degrade to NULL.
+    def _s(v):
+        return v if isinstance(v, str) else None
+
+    def _i(v):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return None
+
     for pdf in it:
         rows = {k.name: [] for k in EXIF_SCHEMA.fields}
         for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
@@ -572,11 +593,14 @@ def exif_metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["doc_id"].append(doc_id)
             rows["media_type"].append(mt)
             rows["has_exif"].append(tags is not None)
-            rows["make"].append(tags.get(_EXIF_TAG_MAKE) if tags else None)
-            rows["model"].append(tags.get(_EXIF_TAG_MODEL) if tags else None)
-            o = tags.get(_EXIF_TAG_ORIENTATION) if tags else None
-            rows["orientation"].append(int(o) if o is not None else None)
-            rows["taken_at"].append(tags.get(_EXIF_TAG_DATETIME) if tags else None)
+            rows["make"].append(_s(tags.get(_EXIF_TAG_MAKE)) if tags else None)
+            rows["model"].append(_s(tags.get(_EXIF_TAG_MODEL)) if tags else None)
+            rows["orientation"].append(
+                _i(tags.get(_EXIF_TAG_ORIENTATION)) if tags else None
+            )
+            rows["taken_at"].append(
+                _s(tags.get(_EXIF_TAG_DATETIME)) if tags else None
+            )
         pdf_out = pd.DataFrame(rows)
         pdf_out["orientation"] = pdf_out["orientation"].astype("Int32")
         yield pdf_out

@@ -21,22 +21,32 @@ extend and commit re-runs the epoch, whose rewrite of the same admitted
 files is idempotent, and whose re-extend is prevented by re-reading the
 ledger inside the call (the one non-idempotent step is guarded last).
 
-Crash window caveat (documented, not hidden): a crash exactly between
-index-extend and ledger-commit replays the epoch against an index that
-already contains this batch's novel docs — they would then self-match.
-The sink therefore pre-filters the replayed batch against the ADMITTED
-ids parquet (written before extend), restoring idempotency for that
-window at the cost of one small admitted-ids read per batch.
+Crash windows (both handled, symmetrically):
+
+- extend → commit: the replayed epoch would probe an index that already
+  contains this batch's novel docs. The sink pre-filters the replayed
+  batch against the ADMITTED ids parquet (written before extend) and
+  unions the prior epoch output back at write time.
+- admit-write → extend: the pre-filter alone would be WRONG here — the
+  admitted docs' signatures never reached the index, so their replayed
+  duplicate twins would match nothing and be wrongly admitted. Before
+  probing, the sink re-derives signatures for prior-admitted docs
+  missing from the shingle index (an anti-join bounded by one epoch's
+  rows) and appends them, making the subsequent probe see exactly the
+  post-extend state.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.memo import unpersist_checkpoints
 from ..operators.dedup_index import (
+    append_signature_rows,
+    batch_signatures,
     DedupIndex,
     dedup_batch_against_index,
     extend_dedup_index,
@@ -77,7 +87,11 @@ class DedupIndexSink:
             return None
         try:
             return self.spark.read.parquet(self.admitted_dir).select("doc_id")
-        except Exception:  # empty dir, no parquet yet
+        except AnalysisException:
+            # empty dir / no parquet yet (schema inference fails) — the
+            # pre-filter is a no-op then. Anything else (corrupt files,
+            # transient IO) must PROPAGATE: silently skipping the
+            # replay pre-filter would admit duplicate rows.
             return None
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -91,14 +105,13 @@ class DedupIndexSink:
         # overwrite — without the cut, the admit rewrite deletes files
         # the later extend step still needs to scan.
         batch_df = batch_df.localCheckpoint(eager=True)
-        res = dedup_batch_against_index(self.spark, batch_df, self.index)
         # Partial replay also means this epoch's admitted rows are in
-        # ``seen`` (filtered OUT of the batch above), so the rewrite
-        # below would otherwise erase them: snapshot the prior epoch
-        # output and union it back. Pairs need no such repair — a pair
-        # always has a non-admitted side, and a (novel, dup) within-pair
-        # re-appears as the identical (novel, dup) cross-pair once the
-        # novel side is indexed.
+        # ``seen`` (filtered OUT of the batch above), so the admit
+        # rewrite below would otherwise erase them: snapshot the prior
+        # epoch output NOW and union it back at write time. Pairs need
+        # no such repair — a pair always has a non-admitted side, and a
+        # (novel, dup) within-pair re-appears as the identical
+        # (novel, dup) cross-pair once the novel side is indexed.
         epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
         prior = None
         if os.path.isdir(epoch_dir):
@@ -106,8 +119,30 @@ class DedupIndexSink:
                 prior = self.spark.read.parquet(epoch_dir).localCheckpoint(
                     eager=True
                 )
-            except Exception:
-                prior = None
+            except AnalysisException:
+                prior = None  # dir exists but holds no parquet yet
+        if prior is not None:
+            # Repair the admit-write → index-extend crash window BEFORE
+            # probing: docs admitted pre-crash whose signatures never
+            # reached the index (the extend step was lost) would
+            # otherwise match nothing, and their replayed duplicate
+            # twins would be wrongly admitted. Re-derive and append the
+            # missing signatures from the prior admitted rows (bounded
+            # by one epoch). Idempotent: after a post-extend crash the
+            # anti-join finds nothing and appends nothing.
+            indexed = self.spark.table(self.index.shingles_table).select("doc_id")
+            missing = prior.join(indexed, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if missing.limit(1).count():
+                m_hashed, m_bands, m_pre = batch_signatures(missing)
+                append_signature_rows(
+                    self.spark, self.index, m_bands, m_hashed
+                )
+                for d in (m_hashed, m_bands, m_pre):
+                    unpersist_checkpoints(d)
+            unpersist_checkpoints(missing)
+        res = dedup_batch_against_index(self.spark, batch_df, self.index)
         try:
             admitted = batch_df.join(res.novel_ids, "doc_id", "left_semi")
             if prior is not None:

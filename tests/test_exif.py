@@ -120,3 +120,35 @@ def test_exif_stage_schema_stable_over_mixed_blobs(spark):
     from postgresql_transfer_tool_spark.plans import count_exchanges
 
     assert count_exchanges(out) == 0
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    # JPEG permits 0xFF padding before a marker code; EXIF must survive
+    tiff = _tiff("II", TAGS)
+    payload = b"Exif\x00\x00" + tiff
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        + b"\xff\xd9"
+    )
+    tags = extract_exif(padded)
+    assert tags is not None and tags[271] == "TestCam"
+
+
+def test_type_confused_tags_degrade_to_null_not_crash(spark):
+    # orientation stored as ASCII, make stored as SHORT: the stage must
+    # yield NULLs for the misdeclared tags, never fail the Spark task
+    weird = _tiff("II", [(271, 3, 7), (274, 2, b"abc"), (306, 2, b"2026:01:01 00:00:00")])
+    blob = _jpeg(weird)
+    assert extract_exif(blob)[271] == 7  # raw parse keeps the claimed type
+    media = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(blob))],
+        "doc_id bigint, media_type string, blob binary",
+    )
+    from postgresql_transfer_tool_spark.operators.multimodal import exif_metadata
+
+    r = exif_metadata(media).collect()[0]
+    assert r.has_exif is True
+    assert r.make is None and r.orientation is None
+    assert r.taken_at == "2026:01:01 00:00:00"

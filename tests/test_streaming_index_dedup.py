@@ -72,3 +72,53 @@ def test_streaming_two_epochs_then_replay(spark, tmp_path):
 
     for t in (index.bands_table, index.shingles_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partial_replay_before_extend_reindexes_admitted(spark, tmp_path, monkeypatch):
+    """The admit-write → index-extend crash window: docs admitted before
+    the crash never got their signatures into the index. On replay the
+    sink must re-derive and append them BEFORE probing — otherwise the
+    pre-filter hides the admitted doc, its duplicate twin matches
+    nothing, and both copies of an identical pair end up admitted."""
+    from postgresql_transfer_tool_spark.streaming import index_dedup as mod
+
+    name = f"ddidx_w{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    out = str(tmp_path / "out")
+    sink = DedupIndexSink(spark, index, out)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before extend")
+
+    monkeypatch.setattr(mod, "extend_dedup_index", boom)
+    try:
+        sink(_docs(spark, WAVE1), 0)
+    except RuntimeError:
+        pass
+    # crash state: admitted/pairs written, index NOT extended, no commit
+    assert sink.ledger.committed() == set()
+    assert {r.doc_id for r in sink.admitted().collect()} == {210, 212, 220}
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table).select("doc_id").distinct().collect()
+    }
+    assert 210 not in indexed
+
+    # replay with the real extend restored
+    monkeypatch.undo()
+    sink(_docs(spark, WAVE1), 0)
+    assert sink.ledger.committed() == {0}
+    # the repair indexed the pre-crash admitted docs...
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table).select("doc_id").distinct().collect()
+    }
+    assert {210, 220} <= indexed
+    # ...so the duplicate twin 211 was NOT admitted, outputs are exact
+    assert {r.doc_id for r in sink.admitted().collect()} == {210, 212, 220}
+    pairs = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
+    assert {(101, 201), (210, 211)} <= pairs
+    for t in (index.bands_table, index.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
