@@ -36,20 +36,48 @@ from pyspark.sql import DataFrame
 DEFAULT_CAPACITY = 8
 
 
-def unpersist_checkpoints(df: DataFrame) -> int:
+def checkpoint_rdd_ids(df: DataFrame) -> frozenset[int]:
+    """RDD ids of every LogicalRDD leaf in ``df``'s analyzed plan — the
+    exact block sets :func:`unpersist_checkpoints` would free. Used by
+    the memo to decide whether two DataFrame handles share checkpoint
+    storage (object identity is not enough: a derived plan holds the
+    same leaves under a different handle). Best-effort like its sibling;
+    JVM access errors yield the empty set."""
+    ids: set[int] = set()
+    try:
+        def walk(node) -> None:
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                try:
+                    ids.add(node.rdd().id())
+                except Exception:
+                    pass
+            children = node.children()
+            for i in range(children.length()):
+                walk(children.apply(i))
+
+        walk(df._jdf.queryExecution().analyzed())
+    except Exception:
+        pass
+    return frozenset(ids)
+
+
+def unpersist_checkpoints(df: DataFrame, keep: frozenset[int] = frozenset()) -> int:
     """Free the block-manager storage behind a (local)checkpointed
     DataFrame: walk its analyzed logical plan, unpersist the backing
-    RDD of every LogicalRDD leaf (non-blocking). Returns the number of
-    RDDs unpersisted. Best-effort — eviction must never fail a query,
-    so JVM access errors are swallowed."""
+    RDD of every LogicalRDD leaf (non-blocking) EXCEPT ids in ``keep``
+    (blocks another live handle still reads — the memo-overwrite path
+    passes the replacement's leaf set). Returns the number of RDDs
+    unpersisted. Best-effort — eviction must never fail a query, so JVM
+    access errors are swallowed."""
     n = 0
     try:
         def walk(node) -> None:
             nonlocal n
             if node.getClass().getSimpleName() == "LogicalRDD":
                 try:
-                    node.rdd().unpersist(False)
-                    n += 1
+                    if node.rdd().id() not in keep:
+                        node.rdd().unpersist(False)
+                        n += 1
                 except Exception:
                     pass
             children = node.children()
@@ -87,16 +115,19 @@ class CheckpointMemo:
         """Insert ``df`` (plus any lineage-hidden ``extra`` checkpoints
         that must be freed alongside it), evicting the least-recently-
         used entry past capacity. Overwriting an existing key unpersists
-        the replaced entry's checkpoints first (unless the same handle is
-        also part of the replacement), so put() never silently leaks the
-        old blocks — callers need not guard with get() first."""
+        the replaced entry's checkpoints first — compared by checkpoint
+        RDD id sets, not handle identity (r8 ADVICE #4: a replacement
+        whose lineage shares checkpoint blocks with a replaced extra
+        under a *different* DataFrame handle must keep those blocks
+        alive) — so put() never silently leaks the old blocks and never
+        tears blocks the replacement still reads; callers need not guard
+        with get() first."""
         new = (df, *extra)
         prev = self._entries.pop(key, None)
         if prev is not None:
-            kept_ids = {id(d) for d in new}
+            kept_rdds = frozenset().union(*(checkpoint_rdd_ids(d) for d in new))
             for d in prev:
-                if id(d) not in kept_ids:
-                    unpersist_checkpoints(d)
+                unpersist_checkpoints(d, keep=kept_rdds)
         self._entries[key] = new
         self._entries.move_to_end(key)
         while len(self._entries) > self.capacity:

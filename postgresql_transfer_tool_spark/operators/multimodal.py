@@ -589,7 +589,9 @@ def exif_metadata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = {k.name: [] for k in EXIF_SCHEMA.fields}
         for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
-            tags = extract_exif(bytes(blob))
+            # NULL blob (a web-scale media table always has some):
+            # bytes(None) would raise TypeError and fail the task
+            tags = extract_exif(bytes(blob)) if blob is not None else None
             rows["doc_id"].append(doc_id)
             rows["media_type"].append(mt)
             rows["has_exif"].append(tags is not None)

@@ -25,8 +25,11 @@ Crash windows (both handled, symmetrically):
 
 - extend → commit: the replayed epoch would probe an index that already
   contains this batch's novel docs. The sink pre-filters the replayed
-  batch against the ADMITTED ids parquet (written before extend) and
-  unions the prior epoch output back at write time.
+  batch against THIS EPOCH's admitted parquet (written before extend)
+  and unions the prior epoch output back at write time. Only the
+  current epoch's dir is read — globally-unique doc_ids plus same-rows
+  re-delivery mean no other epoch's admissions can occur in the batch,
+  so the pre-filter stays O(epoch), not O(total admitted).
 - admit-write → extend: the pre-filter alone would be WRONG here — the
   admitted docs' signatures never reached the index, so their replayed
   duplicate twins would match nothing and be wrongly admitted. Before
@@ -60,8 +63,9 @@ class DedupIndexSink:
     Per micro-batch of (doc_id, text) rows:
 
     1. skip if the epoch is already in the ledger (full replay);
-    2. drop rows whose doc_id is already admitted (partial replay
-       after the extend/commit crash window — normally a no-op);
+    2. drop rows this epoch already admitted (partial replay after the
+       extend/commit crash window — normally a no-op; reads only the
+       epoch's own output dir);
     3. probe the batch against the index;
     4. write admitted (novel) doc rows to ``admitted_dir`` and the
        verified pairs to ``pairs_dir`` (epoch-scoped subdirs, so a
@@ -82,36 +86,18 @@ class DedupIndexSink:
         self.pairs_dir = os.path.join(out_dir, "pairs")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
 
-    def _admitted_ids(self) -> DataFrame | None:
-        if not os.path.isdir(self.admitted_dir):
-            return None
-        try:
-            return self.spark.read.parquet(self.admitted_dir).select("doc_id")
-        except AnalysisException:
-            # empty dir / no parquet yet (schema inference fails) — the
-            # pre-filter is a no-op then. Anything else (corrupt files,
-            # transient IO) must PROPAGATE: silently skipping the
-            # replay pre-filter would admit duplicate rows.
-            return None
-
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) in self.ledger.committed():
             return
-        seen = self._admitted_ids()
-        if seen is not None:
-            batch_df = batch_df.join(seen, "doc_id", "left_anti")
-        # Snapshot the (filtered) batch BEFORE any write: on partial
-        # replay its plan reads the admitted dir that step 4 is about to
-        # overwrite — without the cut, the admit rewrite deletes files
-        # the later extend step still needs to scan.
-        batch_df = batch_df.localCheckpoint(eager=True)
-        # Partial replay also means this epoch's admitted rows are in
-        # ``seen`` (filtered OUT of the batch above), so the admit
-        # rewrite below would otherwise erase them: snapshot the prior
-        # epoch output NOW and union it back at write time. Pairs need
-        # no such repair — a pair always has a non-admitted side, and a
-        # (novel, dup) within-pair re-appears as the identical
-        # (novel, dup) cross-pair once the novel side is indexed.
+        # Partial-replay state is confined to THIS epoch's output dir:
+        # foreachBatch re-delivers the same rows under the same epoch
+        # id, and doc_ids are globally unique (the index contract), so
+        # an id admitted by any OTHER epoch cannot occur in this batch.
+        # Reading only the epoch dir keeps the replay pre-filter O(one
+        # epoch) instead of O(total admitted) per batch (r8 ADVICE #1 —
+        # the whole-dir scan contradicted the per-batch-cost posture).
+        # Snapshot it eagerly: step 4 below overwrites the very files
+        # this plan reads.
         epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
         prior = None
         if os.path.isdir(epoch_dir):
@@ -121,6 +107,22 @@ class DedupIndexSink:
                 )
             except AnalysisException:
                 prior = None  # dir exists but holds no parquet yet
+                # anything non-Analysis (corrupt files, transient IO)
+                # PROPAGATES: silently skipping the replay repair would
+                # admit duplicate rows.
+        if prior is not None:
+            # drop already-admitted docs, then snapshot: the admit
+            # rewrite must not erase rows the extend step still reads
+            batch_df = batch_df.join(
+                prior.select("doc_id"), "doc_id", "left_anti"
+            )
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # Prior-admitted rows were filtered OUT of the batch above, so
+        # the admit rewrite below would otherwise erase them: union the
+        # prior epoch output back at write time. Pairs need no such
+        # repair — a pair always has a non-admitted side, and a
+        # (novel, dup) within-pair re-appears as the identical
+        # (novel, dup) cross-pair once the novel side is indexed.
         if prior is not None:
             # Repair the admit-write → index-extend crash window BEFORE
             # probing: docs admitted pre-crash whose signatures never

@@ -148,3 +148,26 @@ def test_put_overwrite_keeps_shared_handles(spark):
     memo.put("k", df)  # idempotent re-put
     assert memo.get("k").count() == 100
     memo.clear()
+
+def test_put_overwrite_keeps_blocks_shared_via_lineage(spark):
+    # r8 ADVICE #4: the replacement may READ the replaced entry's
+    # checkpoint blocks through a *different* DataFrame handle (a derived
+    # plan whose LogicalRDD leaves are the old entry's). Overwrite must
+    # compare by checkpoint RDD ids, not handle identity — unpersisting
+    # the old handle would tear blocks the replacement still scans.
+    from postgresql_transfer_tool_spark.functions.memo import checkpoint_rdd_ids
+
+    memo = CheckpointMemo(capacity=4)
+    snap = _persistent_rdd_ids(spark)
+    base = _checkpointed(spark, 3)
+    base_blocks = _persistent_rdd_ids(spark) - snap
+    assert base_blocks
+    memo.put("k", base)
+
+    derived = base.select((F.col("v") * 2).alias("w"))  # new handle, same leaf
+    assert checkpoint_rdd_ids(derived) & checkpoint_rdd_ids(base)
+    memo.put("k", derived)
+    alive = _persistent_rdd_ids(spark)
+    assert base_blocks <= alive, "shared-lineage blocks were torn on overwrite"
+    assert memo.get("k").count() == 100  # derived plan still computable
+    memo.clear()

@@ -32,9 +32,14 @@ def test_streaming_two_epochs_then_replay(spark, tmp_path):
         "checkpointLocation", str(tmp_path / "ckpt")
     ).start()
     try:
-        _docs(spark, WAVE1).write.mode("append").parquet(landing)
+        # one file per wave (coalesce(1)): under suite load the file
+        # source otherwise lists a multi-file wave across TWO triggers,
+        # splitting one wave into two epochs — semantically fine for the
+        # sink (any batch partition admits correctly) but it made the
+        # exact epoch-count assertion below flaky (VERDICT r8 #1)
+        _docs(spark, WAVE1).coalesce(1).write.mode("append").parquet(landing)
         q.processAllAvailable()
-        _docs(spark, WAVE2).write.mode("append").parquet(landing)
+        _docs(spark, WAVE2).coalesce(1).write.mode("append").parquet(landing)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -48,7 +53,10 @@ def test_streaming_two_epochs_then_replay(spark, tmp_path):
     assert {(101, 201), (210, 211), (210, 301), (105, 310)} <= pairs
     assert (211, 301) not in pairs  # 211 was never indexed
     committed = sorted(sink.ledger.committed())
-    assert len(committed) == 2
+    # >= 2, not == 2: the semantic state above is the contract; epoch
+    # count depends on how the file source batched the waves (belt and
+    # braces with the coalesce(1) above — either alone suffices)
+    assert len(committed) >= 2
 
     # --- full replay: committed epoch is skipped outright ---
     before_files = set(sink.admitted().inputFiles())
