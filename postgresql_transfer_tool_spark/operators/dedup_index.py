@@ -47,6 +47,18 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.bucketing import index_table_name, write_bucketed
+from ..functions.index_base import (
+    add_tombstones,
+    append_bucketed,
+    apply_tombstones,
+    drop_side_tables,
+    expired_ids,
+    record_stamps,
+    single_writer,
+    snapshot_before_write,
+    swap_table,
+    tombstones,
+)
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .dedup import (
     A_CONST,
@@ -132,10 +144,13 @@ def build_dedup_index(
     path: str,
     name: str,
     n_buckets: int = N_INDEX_BUCKETS,
+    stamp: int | None = None,
 ) -> DedupIndex:
     """Persist the LSH state of ``docs`` as the two bucketed tables.
     The one-time write is the only corpus-sized shuffle the index ever
-    pays; every later batch probe reads the layout shuffle-free."""
+    pays; every later batch probe reads the layout shuffle-free.
+    ``stamp``: optional logical ingest stamp for TTL expiry (see
+    extend_dedup_index); None skips the stamp write."""
     hashed, bands, pre = batch_signatures(docs)
     idx = DedupIndex(f"{name}_bands", f"{name}_shingles")
     write_bucketed(
@@ -144,6 +159,10 @@ def build_dedup_index(
     write_bucketed(
         hashed, idx.shingles_table, os.path.join(path, "shingles"), "doc_id", n_buckets
     )
+    if stamp is not None:
+        record_stamps(
+            spark, idx.bands_table, hashed.select("doc_id").distinct(), stamp
+        )
     # index state now lives on disk/catalog — free the builder's blocks
     for d in (bands, hashed, pre):
         unpersist_checkpoints(d)
@@ -198,8 +217,13 @@ def dedup_batch_against_index(
     anything (same as the monolithic pipeline), and are reported novel.
     """
     b_hashed, b_bands, pre = batch_signatures(batch_docs)
-    idx_bands = spark.table(index.bands_table)
-    idx_sh = spark.table(index.shingles_table)
+    # retracted docs (takedowns/TTL) are anti-joined out via broadcast —
+    # the index side keeps its bucketed partitioning, so the candidate
+    # join below stays exchange-free; no-op (no join at all) when the
+    # index has no tombstone relation
+    tombs = tombstones(spark, index.bands_table)
+    idx_bands = apply_tombstones(spark.table(index.bands_table), tombs, "doc_id")
+    idx_sh = apply_tombstones(spark.table(index.shingles_table), tombs, "doc_id")
 
     # cross probe: batch bands vs the bucketed band index. The index
     # side's bucketed layout satisfies the join's distribution
@@ -268,6 +292,7 @@ def extend_dedup_index(
     index: DedupIndex,
     result: BatchDedupResult,
     n_buckets: int = N_INDEX_BUCKETS,
+    stamp: int | None = None,
 ) -> None:
     """Append the NOVEL batch docs' band/shingle rows to the index
     tables (duplicates stay represented by their retained counterpart —
@@ -281,16 +306,27 @@ def extend_dedup_index(
     evaluating it after the first append would see the batch's own
     freshly written rows, self-match them, and silently shrink the
     second append to nothing (read-your-own-writes; caught by
-    tests/test_dedup_index.py's two-batch flow)."""
-    nb = (
-        result.batch_bands.join(result.novel_ids, "doc_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    nh = (
-        result.batch_shingles.join(result.novel_ids, "doc_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    append_signature_rows(spark, index, nb, nh, n_buckets)
+    tests/test_dedup_index.py's two-batch flow).
+
+    ``stamp``: optional logical ingest stamp for the novel ids — the
+    TTL substrate (:func:`expire_dedup_index`). None skips the stamp
+    write entirely (no extra job for pipelines that never expire).
+
+    Single-writer: the whole read-snapshot → append sequence holds the
+    index write lock; a concurrent extend would interleave its appends
+    between this one's snapshot and writes (torn extend)."""
+    with single_writer(spark, index.bands_table, op="extend"):
+        nb = snapshot_before_write(
+            result.batch_bands.join(result.novel_ids, "doc_id", "left_semi")
+        )
+        nh = snapshot_before_write(
+            result.batch_shingles.join(result.novel_ids, "doc_id", "left_semi")
+        )
+        append_signature_rows(spark, index, nb, nh, n_buckets)
+        if stamp is not None:
+            record_stamps(
+                spark, index.bands_table, nb.select("doc_id").distinct(), stamp
+            )
     for d in (nb, nh):
         unpersist_checkpoints(d)
 
@@ -303,33 +339,14 @@ def append_signature_rows(
     n_buckets: int = N_INDEX_BUCKETS,
 ) -> None:
     """Low-level append of (doc_id, band_key) / (doc_id, h) rows to the
-    two index tables. The inputs must NOT read the index tables through
-    a lazy plan (materialize them first — read-your-own-writes, see
-    extend_dedup_index).
-
-    The refresh goes through the CALLER's session, not just the
-    writer's: the append DataFrames may be bound to a different
-    SparkSession (e.g. foreachBatch hands micro-batch DataFrames owned
-    by a per-epoch CLONE), and saveAsTable only invalidates the relation
-    cache of the session that executed the write — leaving this session
-    serving a stale file-listing snapshot for the very tables it just
-    extended (caught by tests/test_streaming_index_dedup.py)."""
-    (
-        bands_rows.write.mode("append")
-        .bucketBy(n_buckets, "band_key")
-        .sortBy("band_key")
-        .format("parquet")
-        .saveAsTable(index.bands_table)
-    )
-    (
-        shingle_rows.write.mode("append")
-        .bucketBy(n_buckets, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .saveAsTable(index.shingles_table)
-    )
-    for t in (index.bands_table, index.shingles_table):
-        spark.catalog.refreshTable(t)
+    two index tables — functions/index_base.append_bucketed per table,
+    which also refreshes the relation cache through the CALLER's
+    session (the rows may belong to a foreachBatch epoch-clone session;
+    caught by tests/test_streaming_index_dedup.py). The inputs must NOT
+    read the index tables through a lazy plan (snapshot_before_write
+    first — see extend_dedup_index)."""
+    append_bucketed(spark, index.bands_table, bands_rows, "band_key", n_buckets)
+    append_bucketed(spark, index.shingles_table, shingle_rows, "doc_id", n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +369,13 @@ def _index_name(app_id: str, sf_dir: str) -> str:
     return index_table_name("ddidx", app_id, sf_dir)
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(exclude: str = "FALSE") -> str:
+    """Monolithic full-recompute oracle in the fingerprint domain,
+    restricted to batch-touching pairs. ``exclude``: SQL predicate for
+    documents RETRACTED from the corpus (the post-delete variant) —
+    filtering the distinct-fingerprint CTE removes them from signature,
+    candidate, and verification stages alike, i.e. the from-scratch
+    rebuild on the surviving corpus."""
     mins = ",\n         ".join(
         f"MIN((h * {A_CONST[j]} + {B_CONST[j]}) % {P_MINHASH}) AS mh{j}"
         for j in range(N_PERM)
@@ -370,7 +393,7 @@ def _incremental_oracle() -> str:
     # with candidates filtered to batch-touching pairs.
     return f"""
     WITH {_SQL_SHINGLES},
-    hsh AS (SELECT DISTINCT doc_id, h FROM hashed),
+    hsh AS (SELECT DISTINCT doc_id, h FROM hashed WHERE NOT ({exclude})),
     sigs AS (
       SELECT doc_id,
          {mins}
@@ -436,13 +459,88 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+#: post-delete registry split: of the indexed corpus (doc_id % 4 != 0),
+#: docs with doc_id % DELETE_MOD == 1 are retracted before the probe
+#: (% 8 == 1 ⇒ % 4 == 1 ≠ 0, so the deleted set is always indexed-only)
+DELETE_MOD = 8
+
+
+@query(
+    "dedup_index_post_delete",
+    oracle=_incremental_oracle(exclude=f"doc_id % {DELETE_MOD} = 1"),
+)
+def dedup_index_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-incremental deletion parity (VERDICT r8 #2): build the corpus
+    index, RETRACT a split (doc_id % 8 == 1) via tombstones, probe the
+    batch. The oracle is the monolithic recompute over the SURVIVING
+    corpus — proving post-deletion probe ≡ from-scratch rebuild without
+    ever rewriting the index (the tombstone anti-join is the whole
+    deletion cost until compaction)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "post_delete")
+    cached = _DDIDX_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        name = index_table_name(
+            "ddidxd", spark.sparkContext.applicationId, sf_dir
+        )
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+        )
+        delete_from_dedup_index(
+            spark,
+            index,
+            docs.filter(F.col("doc_id") % DELETE_MOD == 1).select("doc_id"),
+        )
+        res = dedup_batch_against_index(
+            spark, docs.filter(F.col("doc_id") % BATCH_MOD == 0), index
+        )
+        cached = _DDIDX_MEMO.put(
+            key, res.matched.localCheckpoint(eager=True), *res.checkpoints
+        )
+    return cached
+
+
+def delete_from_dedup_index(
+    spark: SparkSession, index: DedupIndex, doc_ids: DataFrame
+) -> None:
+    """Retract documents from the index (takedowns, license changes,
+    re-crawl invalidation — VERDICT r8 #2). O(deleted): a tombstone
+    append, no index rewrite; every subsequent probe anti-joins the
+    tombstones (broadcast, exchange-free) so retracted docs match
+    nothing, exactly as if the index had been rebuilt without them
+    (oracle-proved by `dedup_index_post_delete`). Compaction folds the
+    tombstones into a physical rewrite and clears them. Retracted ids
+    stay retracted until that compaction — the globally-unique-id
+    contract means an id is never legitimately re-ingested before then."""
+    with single_writer(spark, index.bands_table, op="delete"):
+        add_tombstones(spark, index.bands_table, doc_ids)
+
+
+def expire_dedup_index(
+    spark: SparkSession, index: DedupIndex, before_stamp: int
+) -> None:
+    """TTL expiry: retract every doc whose latest ingest stamp predates
+    ``before_stamp`` (stamps are recorded by build/extend when the
+    caller passes one). Pure composition: expired ids → tombstones —
+    the probe/compaction machinery is the deletion path's."""
+    with single_writer(spark, index.bands_table, op="expire"):
+        ids = expired_ids(spark, index.bands_table, before_stamp)
+        add_tombstones(spark, index.bands_table, ids)
+
+
 def compact_dedup_index(
     spark: SparkSession,
     index: DedupIndex,
     new_path: str,
     n_buckets: int = N_INDEX_BUCKETS,
 ) -> dict[str, tuple[int, int]]:
-    """Rewrite both index tables into ONE file per bucket.
+    """Rewrite both index tables into ONE file per bucket, physically
+    dropping tombstoned docs, then clear the tombstone/stamp relations.
 
     Every :func:`extend_dedup_index` appends up to one file per
     non-empty bucket, so file count grows with batch cadence — the
@@ -458,27 +556,33 @@ def compact_dedup_index(
     one file per (task, bucket).)
     The rewrite lands at ``new_path`` (reading the live table while
     overwriting its own location is not safe), then the catalog entry
-    is swapped via DROP + RENAME; the old generation's directory is the
+    is swapped rename-aside (functions/index_base.swap_table — every
+    failure window recoverable); the old generation's directory is the
     caller's scratch to reclaim.
 
     Returns {table: (files_before, files_after)}.
     """
     out: dict[str, tuple[int, int]] = {}
-    for table, key, sub in (
-        (index.bands_table, "band_key", "bands"),
-        (index.shingles_table, "doc_id", "shingles"),
-    ):
-        before = len(spark.table(table).inputFiles())
-        tmp = f"{table}_compacting"
-        bucket_id = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
-        write_bucketed(
-            spark.table(table).repartition(n_buckets, bucket_id),
-            tmp,
-            os.path.join(new_path, sub),
-            key,
-            n_buckets,
-        )
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-        out[table] = (before, len(spark.table(table).inputFiles()))
+    with single_writer(spark, index.bands_table, op="compact"):
+        tombs = tombstones(spark, index.bands_table)
+        for table, key, sub in (
+            (index.bands_table, "band_key", "bands"),
+            (index.shingles_table, "doc_id", "shingles"),
+        ):
+            before = len(spark.table(table).inputFiles())
+            tmp = f"{table}_compacting"
+            bucket_id = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+            write_bucketed(
+                apply_tombstones(spark.table(table), tombs, "doc_id").repartition(
+                    n_buckets, bucket_id
+                ),
+                tmp,
+                os.path.join(new_path, sub),
+                key,
+                n_buckets,
+            )
+            swap_table(spark, table, tmp)
+            out[table] = (before, len(spark.table(table).inputFiles()))
+        # deletions are now physical: the side relations are spent
+        drop_side_tables(spark, index.bands_table)
     return out

@@ -221,3 +221,167 @@ def test_compaction_preserves_layout_and_results(spark):
         unpersist_checkpoints(d)
     for t in (index.bands_table, index.shingles_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+# ---------------------------------------------------------------------------
+# round 9: deletion/retraction, TTL expiry, compaction folding, and the
+# single-writer contract (VERDICT r8 #2/#6)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_then_probe_equals_rebuild_on_survivors(spark):
+    """Retracting docs via tombstones must make every probe behave as
+    if the index had been rebuilt from scratch without them."""
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        delete_from_dedup_index,
+    )
+
+    name = f"ddidx_d{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    extend_dedup_index(spark, index, r1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+
+    # retract 105 (matched by wave2's near-dup 310) and 210 (matched by
+    # wave2's exact dup 301): both wave2 matches must vanish and 301/310
+    # must now be reported NOVEL
+    deleted = {105, 210}
+    delete_from_dedup_index(
+        spark, index, _docs(spark, [(i, "") for i in deleted]).select("doc_id")
+    )
+
+    r2 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    got = _pairs(r2.matched)
+    # ground truth: monolithic LSH over the SURVIVING corpus + wave2
+    survivors = [
+        r for r in WAVE0 + WAVE1
+        if r[0] in ({101, 102, 103, 104, 105, 210, 212, 220} - deleted)
+    ]
+    full = _full_pairs(spark, survivors + WAVE2)
+    w2 = {i for i, _ in WAVE2}
+    assert got == {p: j for p, j in full.items() if p[0] in w2 or p[1] in w2}
+    assert (105, 310) not in got and (210, 301) not in got
+    assert {r.doc_id for r in r2.novel_ids.collect()} == {301, 310, 320}
+    for d in r2.checkpoints:
+        unpersist_checkpoints(d)
+
+    # probe plan is still exchange-free on the index sides (the
+    # tombstone anti-join is a broadcast — bucketed layout preserved)
+    r3 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    for frag in (f"{name}_bands", f"{name}_shingles"):
+        counts = exchanges_below_first_join_above_scan(r3.matched, frag)
+        assert counts and all(c == 0 for c in counts), (frag, counts)
+    for d in r3.checkpoints:
+        unpersist_checkpoints(d)
+    for t in (index.bands_table, index.shingles_table, f"{name}_tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_folds_tombstones_physically(spark):
+    """Compaction after deletion must (a) physically drop the deleted
+    ids from BOTH tables, (b) drop the spent side relations, and (c)
+    leave probe results identical to the tombstone path."""
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        compact_dedup_index,
+        delete_from_dedup_index,
+    )
+
+    name = f"ddidx_f{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    extend_dedup_index(spark, index, r1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+    delete_from_dedup_index(
+        spark, index, _docs(spark, [(105, ""), (210, "")]).select("doc_id")
+    )
+    probe_tomb = _pairs(
+        dedup_batch_against_index(spark, _docs(spark, WAVE2), index).matched
+    )
+
+    compact_dedup_index(spark, index, tempfile.mkdtemp(prefix=f"{name}_gen2"))
+    for t in (index.bands_table, index.shingles_table):
+        left = {r.doc_id for r in spark.table(t).select("doc_id").distinct().collect()}
+        assert not ({105, 210} & left), (t, left)
+    assert not spark.catalog.tableExists(f"{name}_tombstones")
+    assert not spark.catalog.tableExists(f"{name}_stamps")
+
+    r2 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    assert _pairs(r2.matched) == probe_tomb
+    for d in r2.checkpoints:
+        unpersist_checkpoints(d)
+    for t in (index.bands_table, index.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ttl_expiry_retracts_old_stamps_only(spark):
+    """expire_dedup_index(before_stamp=N) retracts exactly the docs
+    whose latest ingest stamp is < N."""
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        expire_dedup_index,
+    )
+
+    name = f"ddidx_e{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name, stamp=0
+    )
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    extend_dedup_index(spark, index, r1, stamp=1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+
+    expire_dedup_index(spark, index, before_stamp=1)  # wave0 ages out
+
+    r2 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    got = _pairs(r2.matched)
+    # 301 still matches wave1-survivor 210 (stamp 1, retained);
+    # 310's near-dup target 105 (stamp 0) has expired
+    assert (210, 301) in got
+    assert (105, 310) not in got
+    for d in r2.checkpoints:
+        unpersist_checkpoints(d)
+    for t in (index.bands_table, index.shingles_table,
+              f"{name}_tombstones", f"{name}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_single_writer_lock_refuses_concurrent_mutation(spark):
+    """Two interleaved writers must fail loudly, not tear the index
+    (VERDICT r8 #6)."""
+    import pytest
+
+    from postgresql_transfer_tool_spark.functions.index_base import (
+        ConcurrentIndexWriteError,
+        single_writer,
+    )
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        delete_from_dedup_index,
+    )
+
+    name = f"ddidx_l{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    with single_writer(spark, index.bands_table, op="test-holder"):
+        with pytest.raises(ConcurrentIndexWriteError, match="test-holder"):
+            extend_dedup_index(spark, index, r1)
+        with pytest.raises(ConcurrentIndexWriteError):
+            delete_from_dedup_index(
+                spark, index, _docs(spark, [(105, "")]).select("doc_id")
+            )
+    # lock released → the same mutation now succeeds and is not torn
+    extend_dedup_index(spark, index, r1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table).select("doc_id").distinct().collect()
+    }
+    assert {210, 220} <= indexed
+    for t in (index.bands_table, index.shingles_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
