@@ -4,7 +4,7 @@ The same build-once / probe-per-batch inversion as the cross-batch
 dedup index (operators/dedup_index.py), applied to benchmark
 decontamination (the Brown et al. GPT-3 appendix-C check that
 `contamination_ngram_overlap` runs monolithically): the held-out sets'
-word-5-gram universe is persisted ONCE as a parquet table bucketed on
+word-5-grams are persisted ONCE as a parquet table bucketed on
 ``gram``; every incoming training batch tokenizes ITSELF — O(batch) —
 and probes its grams against the index. The benchmark corpus is never
 re-tokenized, never rescanned, and in the sort-merge path never
@@ -12,6 +12,20 @@ shuffled (its bucketed layout satisfies the join distribution; only the
 batch side is exchanged). When the gram set is small enough, AQE's
 auto-broadcast picks the broadcast plan instead — both plans leave the
 per-batch cost ∝ batch.
+
+The index stores ATTRIBUTED rows (bench_doc_id, gram), not the bare
+distinct-gram universe (round 9, VERDICT #2): retracting a held-out
+document (a benchmark is versioned, withdrawn, or re-licensed) must
+remove exactly the grams no SURVIVING bench doc carries, which is
+unanswerable without attribution. The probe collapses the rows to the
+surviving distinct-gram universe with a per-bucket aggregate — the
+table is bucketed on gram, so the distinct requires NO exchange — and
+the storage premium is the benchmark corpus's cross-doc gram
+duplication factor (held-out sets are tiny next to the training stream,
+so the premium is noise at scale). A second dividend: duplicate
+(doc_id, gram) appends are HARMLESS (distinct-at-probe), which makes
+the streaming admission path's replay story trivially idempotent
+(streaming/index_contamination.py).
 
 No explicit broadcast hint: the index relation is an unbounded-leaf
 table scan under the registry-wide broadcast-hint sweep's rules
@@ -26,6 +40,7 @@ ingest batch.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +48,17 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.bucketing import index_table_name, write_bucketed
+from ..functions.index_base import (
+    add_tombstones,
+    append_bucketed,
+    apply_tombstones,
+    drop_side_tables,
+    expired_ids,
+    record_stamps,
+    single_writer,
+    swap_table,
+    tombstones,
+)
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .corpus import _BENCH_MOD, _NGRAM, _SQL_TOKS
 from .registry import query
@@ -62,22 +88,65 @@ def gram_arrays_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def gram_rows_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) attributed rows — one per (document, distinct
+    gram). The pre-explode checkpoint defuses the Generate-collapse
+    trap (dedup.py:94-100); the caller owns it via the returned plan's
+    lineage (unpersist_checkpoints when done)."""
+    pre = gram_arrays_from_docs(docs).localCheckpoint(eager=False)
+    return pre.select("doc_id", F.explode("grams").alias("gram"))
+
+
 def build_contamination_index(
     spark: SparkSession,
     bench_docs: DataFrame,
     path: str,
     name: str,
     n_buckets: int = N_GRAM_BUCKETS,
+    stamp: int | None = None,
 ) -> str:
-    """Persist the DISTINCT gram universe of the held-out corpus as a
-    single-column bucketed table; returns the table name. The benchmark
-    tokenization cost is paid exactly once, here."""
-    pre = gram_arrays_from_docs(bench_docs).localCheckpoint(eager=False)
-    grams = pre.select(F.explode("grams").alias("gram")).distinct()
+    """Persist the held-out corpus's attributed (doc_id, gram) rows as
+    a table bucketed on gram; returns the table name. The benchmark
+    tokenization cost is paid exactly once, here. ``stamp``: optional
+    logical ingest stamp for TTL expiry (None skips the write)."""
+    rows = gram_rows_from_docs(bench_docs)
     table = f"{name}_grams"
-    write_bucketed(grams, table, path, "gram", n_buckets)
-    unpersist_checkpoints(pre)
+    write_bucketed(rows, table, os.path.join(path, "grams"), "gram", n_buckets)
+    if stamp is not None:
+        record_stamps(spark, table, rows.select("doc_id").distinct(), stamp)
+    unpersist_checkpoints(rows)
     return table
+
+
+def extend_contamination_index(
+    spark: SparkSession,
+    grams_table: str,
+    new_bench_docs: DataFrame,
+    n_buckets: int = N_GRAM_BUCKETS,
+    stamp: int | None = None,
+) -> None:
+    """Append a new held-out set's attributed gram rows (benchmarks
+    version and grow — the index must too, without re-tokenizing what
+    is already there). Duplicate rows from replayed appends are
+    harmless (distinct-at-probe); compaction removes them."""
+    with single_writer(spark, grams_table, op="extend"):
+        rows = gram_rows_from_docs(new_bench_docs).localCheckpoint(eager=True)
+        append_bucketed(spark, grams_table, rows, "gram", n_buckets)
+        if stamp is not None:
+            record_stamps(spark, grams_table, rows.select("doc_id").distinct(), stamp)
+    unpersist_checkpoints(rows)
+
+
+def surviving_grams(spark: SparkSession, grams_table: str) -> DataFrame:
+    """The distinct gram universe of the NON-retracted bench docs —
+    what probes actually join against. Exchange-free by layout: the
+    tombstone anti-join broadcasts its tiny side (bucketed partitioning
+    preserved), and the distinct aggregates within buckets (the table
+    is hash-clustered on gram, satisfying the aggregate's distribution
+    requirement)."""
+    idx = spark.table(grams_table)
+    live = apply_tombstones(idx, tombstones(spark, grams_table), "doc_id")
+    return live.select("gram").distinct()
 
 
 def check_batch_contamination(
@@ -96,11 +165,8 @@ def check_batch_contamination(
     park the result in a ``CheckpointMemo`` (the registry query below
     does the latter) — or block-manager storage grows one checkpoint
     per batch for the life of the session."""
-    # pre-explode cut: Generate would otherwise re-evaluate the 5-gram
-    # transform per OUTPUT element (the dedup.py:94-100 trap)
-    pre = gram_arrays_from_docs(batch_docs).localCheckpoint(eager=False)
-    train = pre.select("doc_id", F.explode("grams").alias("gram"))
-    bench = spark.table(grams_table).select(F.col("gram").alias("bgram"))
+    train = gram_rows_from_docs(batch_docs)
+    bench = surviving_grams(spark, grams_table).select(F.col("gram").alias("bgram"))
     return (
         train.join(bench, train.gram == bench.bgram, "left")
         .groupBy("doc_id")
@@ -112,6 +178,58 @@ def check_batch_contamination(
     )
 
 
+def delete_from_contamination_index(
+    spark: SparkSession, grams_table: str, bench_doc_ids: DataFrame
+) -> None:
+    """Retract held-out documents (withdrawn/re-versioned benchmarks).
+    O(deleted) tombstones; probes see the surviving gram universe —
+    grams carried ONLY by retracted docs stop flagging training docs,
+    grams shared with surviving docs keep flagging (attribution makes
+    that distinction computable; oracle-proved by
+    `contamination_index_post_delete`)."""
+    with single_writer(spark, grams_table, op="delete"):
+        add_tombstones(spark, grams_table, bench_doc_ids)
+
+
+def expire_contamination_index(
+    spark: SparkSession, grams_table: str, before_stamp: int
+) -> None:
+    """TTL expiry over the ingest-stamp ledger — composition of
+    expired_ids → tombstones, like the dedup index's."""
+    with single_writer(spark, grams_table, op="expire"):
+        add_tombstones(spark, grams_table, expired_ids(spark, grams_table, before_stamp))
+
+
+def compact_contamination_index(
+    spark: SparkSession,
+    grams_table: str,
+    new_path: str,
+    n_buckets: int = N_GRAM_BUCKETS,
+) -> tuple[int, int]:
+    """Rewrite the gram table into one file per bucket, physically
+    dropping tombstoned docs' rows AND replay-duplicated rows, then
+    clear the side relations. Same pmod(hash(gram), n)-repartition
+    trick as compact_dedup_index (see there for why repartitioning on
+    the raw key is not enough). Returns (files_before, files_after)."""
+    with single_writer(spark, grams_table, op="compact"):
+        before = len(spark.table(grams_table).inputFiles())
+        live = apply_tombstones(
+            spark.table(grams_table), tombstones(spark, grams_table), "doc_id"
+        ).distinct()
+        tmp = f"{grams_table}_compacting"
+        bucket_id = F.pmod(F.hash(F.col("gram")), F.lit(n_buckets))
+        write_bucketed(
+            live.repartition(n_buckets, bucket_id),
+            tmp,
+            os.path.join(new_path, "grams"),
+            "gram",
+            n_buckets,
+        )
+        swap_table(spark, grams_table, tmp)
+        drop_side_tables(spark, grams_table)
+        return before, len(spark.table(grams_table).inputFiles())
+
+
 _CONTIDX_MEMO = CheckpointMemo()
 
 
@@ -119,9 +237,11 @@ def _index_name(app_id: str, sf_dir: str) -> str:
     return index_table_name("contidx", app_id, sf_dir)
 
 
-@query(
-    "contamination_incremental_index",
-    oracle=f"""
+def _monolithic_oracle(bench_pred: str) -> str:
+    """Monolithic decontamination recompute with the bench universe
+    defined by ``bench_pred`` — the from-scratch rebuild the index path
+    must match (post-delete: the predicate excludes retracted docs)."""
+    return f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
       WHERE len({_SQL_TOKS}) >= {_NGRAM}
@@ -133,7 +253,7 @@ def _index_name(app_id: str, sf_dir: str) -> str:
       FROM t
     ), bench AS (
       SELECT DISTINCT unnest(grams) AS gram FROM g
-      WHERE doc_id % {_BENCH_MOD} = 0
+      WHERE {bench_pred}
     ), train AS (
       SELECT doc_id, unnest(grams) AS gram FROM g
       WHERE doc_id % {_BENCH_MOD} <> 0
@@ -144,7 +264,12 @@ def _index_name(app_id: str, sf_dir: str) -> str:
            COUNT(b.gram) > 0 AS is_contaminated
     FROM train t LEFT JOIN bench b ON t.gram = b.gram
     GROUP BY t.doc_id
-    """,
+    """
+
+
+@query(
+    "contamination_incremental_index",
+    oracle=_monolithic_oracle(f"doc_id % {_BENCH_MOD} = 0"),
 )
 def contamination_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through the PERSISTED gram index: benchmark =
@@ -172,5 +297,50 @@ def contamination_incremental_index(spark: SparkSession, sf_dir: str) -> DataFra
         # the eager checkpoint's plan no longer references the batch's
         # lazy pre-explode checkpoint hiding in probe's lineage, and the
         # memo must free those blocks too (the r7 ADVICE extras pattern)
+        cached = _CONTIDX_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
+    return cached
+
+
+#: post-delete split: bench docs with doc_id % (2·_BENCH_MOD) == 0 are
+#: retracted — half the held-out set (always a subset of the bench set)
+_DELETE_PRED = f"doc_id % {2 * _BENCH_MOD} = 0"
+
+
+@query(
+    "contamination_index_post_delete",
+    oracle=_monolithic_oracle(
+        f"doc_id % {_BENCH_MOD} = 0 AND NOT ({_DELETE_PRED})"
+    ),
+)
+def contamination_index_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 deletion parity (VERDICT r8 #2): retract half the held-out
+    set (doc_id % 100 == 0) from the built index, then probe. Oracle =
+    from-scratch recompute on the surviving bench docs — grams unique
+    to retracted docs must stop flagging, shared grams must keep
+    flagging, which only the attributed (doc_id, gram) schema can
+    answer."""
+    key = (spark.sparkContext.applicationId, sf_dir, "post_delete")
+    cached = _CONTIDX_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        name = index_table_name(
+            "contidxd", spark.sparkContext.applicationId, sf_dir
+        )
+        table = build_contamination_index(
+            spark,
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+        )
+        delete_from_contamination_index(
+            spark,
+            table,
+            docs.filter(F.expr(_DELETE_PRED)).select("doc_id"),
+        )
+        probe = check_batch_contamination(
+            spark, docs.filter(F.col("doc_id") % _BENCH_MOD != 0), table
+        )
         cached = _CONTIDX_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
     return cached

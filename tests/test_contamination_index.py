@@ -83,3 +83,161 @@ def test_registry_query_memoized(spark):
     assert again is first
     assert (spark.sparkContext.applicationId, SF1) in _CONTIDX_MEMO
     assert _rows(again) == rows
+
+# ---------------------------------------------------------------------------
+# round 9: extend / retraction / TTL / compaction over the attributed
+# (doc_id, gram) schema (VERDICT r8 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_extend_then_delete_matches_rebuild_on_survivors(spark):
+    """Grams unique to a retracted bench doc stop flagging; grams it
+    SHARED with surviving bench docs keep flagging — the distinction
+    the attributed schema exists to answer."""
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        delete_from_contamination_index,
+        extend_contamination_index,
+    )
+
+    bench0 = [(0, "aa bb cc dd ee ff"),           # grams: aa..ee, bb..ff
+              (50, "aa bb cc dd ee zz")]          # shares "aa bb cc dd ee"
+    bench1 = [(100, "qq ww rr tt yy uu")]
+    train = [(1, "aa bb cc dd ee xx"),            # hits the shared gram
+             (2, "bb cc dd ee ff gg"),            # hits doc-0-only gram
+             (3, "qq ww rr tt yy pp"),            # hits the extension
+             (4, "nn mm oo pp qq rr")]            # clean
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    name = f"contidx_d{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark, docs(bench0), tempfile.mkdtemp(prefix=name), name
+    )
+    try:
+        extend_contamination_index(spark, table, docs(bench1))
+        got = _rows(check_batch_contamination(spark, docs(train), table))
+        assert got[1][2] and got[2][2] and got[3][2] and not got[4][2]
+
+        # retract bench doc 0: its exclusive gram ("bb cc dd ee ff")
+        # stops flagging train doc 2; the gram shared with surviving
+        # doc 50 ("aa bb cc dd ee") keeps flagging train doc 1
+        delete_from_contamination_index(
+            spark, table, docs([(0, "")]).select("doc_id")
+        )
+        got = _rows(check_batch_contamination(spark, docs(train), table))
+        assert got[1] == (2, 1, True)
+        assert got[2] == (2, 0, False)
+        assert got[3][2] is True and got[4][2] is False
+    finally:
+        for t in (table, f"{name}_tombstones", f"{name}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_folds_deletions_and_replay_duplicates(spark):
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        compact_contamination_index,
+        delete_from_contamination_index,
+        extend_contamination_index,
+        surviving_grams,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    bench = [(0, "aa bb cc dd ee"), (50, "ff gg hh ii jj")]
+    name = f"contidx_c{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark, docs(bench), tempfile.mkdtemp(prefix=name), name
+    )
+    try:
+        # a replayed extend appends duplicate rows — harmless at probe
+        extend_contamination_index(spark, table, docs([(100, "kk ll mm nn oo")]))
+        extend_contamination_index(spark, table, docs([(100, "kk ll mm nn oo")]))
+        assert spark.table(table).count() == 4  # 2 + 1 + 1 duplicate
+        assert surviving_grams(spark, table).count() == 3
+
+        delete_from_contamination_index(spark, table, docs([(50, "")]).select("doc_id"))
+        before_grams = {r.gram for r in surviving_grams(spark, table).collect()}
+        assert before_grams == {"aa bb cc dd ee", "kk ll mm nn oo"}
+
+        files_before, files_after = compact_contamination_index(
+            spark, table, tempfile.mkdtemp(prefix=f"{name}_gen2")
+        )
+        assert files_after <= files_before
+        # physical: deleted doc's rows gone, duplicates collapsed
+        assert spark.table(table).count() == 2
+        assert {r.doc_id for r in spark.table(table).collect()} == {0, 100}
+        assert not spark.catalog.tableExists(f"{name}_tombstones")
+        assert {r.gram for r in surviving_grams(spark, table).collect()} == before_grams
+    finally:
+        for t in (table, f"{name}_tombstones", f"{name}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ttl_expiry_on_stamps(spark):
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        expire_contamination_index,
+        extend_contamination_index,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    name = f"contidx_e{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark, docs([(0, "aa bb cc dd ee")]), tempfile.mkdtemp(prefix=name),
+        name, stamp=0,
+    )
+    try:
+        extend_contamination_index(
+            spark, table, docs([(50, "ff gg hh ii jj")]), stamp=1
+        )
+        expire_contamination_index(spark, table, before_stamp=1)
+        got = _rows(
+            check_batch_contamination(
+                spark,
+                docs([(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")]),
+                table,
+            )
+        )
+        assert got[1] == (1, 0, False)   # stamp-0 bench doc expired
+        assert got[2] == (1, 1, True)    # stamp-1 bench doc retained
+    finally:
+        for t in (table, f"{name}_tombstones", f"{name}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_surviving_grams_distinct_is_exchange_free_on_index_side(spark):
+    """The probe's distinct-gram collapse must aggregate within buckets
+    (the table is hash-clustered on gram) — no corpus-sized exchange."""
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        delete_from_contamination_index,
+        surviving_grams,
+    )
+
+    docs = load_table(spark, SF1, "documents")
+    name = f"contidx_p{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark,
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=name),
+        name,
+    )
+    try:
+        for with_tombs in (False, True):
+            if with_tombs:
+                delete_from_contamination_index(
+                    spark,
+                    table,
+                    docs.filter(F.col("doc_id") % (2 * _BENCH_MOD) == 0).select(
+                        "doc_id"
+                    ),
+                )
+            plan = physical_plan(surviving_grams(spark, table))
+            # no Exchange between the index scan and the distinct agg
+            agg_side = plan.split("Scan parquet")[0]
+            assert "Exchange hashpartitioning" not in agg_side, plan
+    finally:
+        for t in (table, f"{name}_tombstones", f"{name}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
