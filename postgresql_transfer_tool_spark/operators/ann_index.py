@@ -40,6 +40,16 @@ from pyspark.sql.window import Window
 
 from ..catalog import table_row_count
 from ..functions.bucketing import index_table_name, write_bucketed
+from ..functions.index_base import (
+    add_tombstones,
+    apply_tombstones,
+    drop_side_tables,
+    expired_ids,
+    record_stamps,
+    single_writer,
+    swap_table,
+    tombstones,
+)
 from ..functions.memo import CheckpointMemo
 from .registry import ORACLES, query
 from .similarity import (
@@ -107,32 +117,165 @@ def extend_ann_index(
     index: AnnIndex,
     new_vectors: DataFrame,
     n_buckets: int = N_CELL_BUCKETS,
+    stamp: int | None = None,
 ) -> None:
     """Append new vectors under the FROZEN centroid set (classic IVF
-    incremental ingest). The append relation is materialized before the
-    write (read-your-own-writes hygiene shared with the dedup index —
-    here the plan only reads the centroids table, which this function
-    never mutates, but the snapshot keeps the contract uniform)."""
+    incremental ingest; recall under distribution shift is the re-train
+    path's business — :func:`retrain_ann_index`). The append relation
+    is materialized before the write (read-your-own-writes hygiene
+    shared with the dedup index — here the plan only reads the
+    centroids table, which this function never mutates, but the
+    snapshot keeps the contract uniform). ``stamp``: optional logical
+    ingest stamp for TTL expiry."""
+    from ..functions.index_base import append_bucketed, snapshot_before_write
     from ..functions.memo import unpersist_checkpoints
 
-    cent_rows = [
-        (r.cid, r.ce, r.ncent) for r in spark.table(index.centroids_table).collect()
-    ]
-    assigned = new_vectors.select(
-        "vec_id",
-        top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
-        "qe",
-        "nq",
-    ).localCheckpoint(eager=True)
-    (
-        assigned.write.mode("append")
-        .bucketBy(n_buckets, "cell")
-        .sortBy("cell")
-        .format("parquet")
-        .saveAsTable(index.cells_table)
-    )
-    spark.catalog.refreshTable(index.cells_table)
+    with single_writer(spark, index.cells_table, op="extend"):
+        cent_rows = [
+            (r.cid, r.ce, r.ncent)
+            for r in spark.table(index.centroids_table).collect()
+        ]
+        assigned = snapshot_before_write(
+            new_vectors.select(
+                "vec_id",
+                top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
+                "qe",
+                "nq",
+            )
+        )
+        append_bucketed(spark, index.cells_table, assigned, "cell", n_buckets)
+        if stamp is not None:
+            record_stamps(
+                spark, index.cells_table, assigned.select("vec_id"), stamp
+            )
     unpersist_checkpoints(assigned)
+
+
+def delete_from_ann_index(
+    spark: SparkSession, index: AnnIndex, vec_ids: DataFrame
+) -> None:
+    """Retract vectors from the served corpus (takedowns — VERDICT r8
+    #2). O(deleted) tombstones; probes broadcast-anti-join them out of
+    the cells relation, so retracted vectors never surface as neighbors
+    and surviving ranks close up exactly as a rebuild's would
+    (pytest-proved parity in tests/test_ann_index.py). Compaction or
+    re-train folds the tombstones physically. Frozen centroids are
+    untouched — a centroid is a cell ADDRESS, not a served row, so a
+    retracted vector that seeded a cell keeps addressing it."""
+    with single_writer(spark, index.cells_table, op="delete"):
+        add_tombstones(spark, index.cells_table, vec_ids)
+
+
+def expire_ann_index(
+    spark: SparkSession, index: AnnIndex, before_stamp: int
+) -> None:
+    """TTL expiry over the ingest-stamp ledger (stamps recorded when
+    build/extend were called with one)."""
+    with single_writer(spark, index.cells_table, op="expire"):
+        add_tombstones(
+            spark, index.cells_table, expired_ids(spark, index.cells_table, before_stamp)
+        )
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index: AnnIndex,
+    new_path: str,
+    n_buckets: int = N_CELL_BUCKETS,
+) -> tuple[int, int]:
+    """Rewrite the cells table one-file-per-bucket, physically dropping
+    tombstoned vectors, then clear the side relations. Centroids stay
+    frozen (compaction is storage hygiene, not a model change — that is
+    :func:`retrain_ann_index`). Same pmod(hash(cell), n) repartition
+    trick as compact_dedup_index. Returns (files_before, files_after)."""
+    with single_writer(spark, index.cells_table, op="compact"):
+        before = len(spark.table(index.cells_table).inputFiles())
+        live = apply_tombstones(
+            spark.table(index.cells_table), tombstones(spark, index.cells_table), "vec_id"
+        )
+        tmp = f"{index.cells_table}_compacting"
+        bucket_id = F.pmod(F.hash(F.col("cell")), F.lit(n_buckets))
+        write_bucketed(
+            live.repartition(n_buckets, bucket_id),
+            tmp,
+            f"{new_path}/cells",
+            "cell",
+            n_buckets,
+        )
+        swap_table(spark, index.cells_table, tmp)
+        drop_side_tables(spark, index.cells_table)
+        return before, len(spark.table(index.cells_table).inputFiles())
+
+
+def retrain_ann_index(
+    spark: SparkSession,
+    index: AnnIndex,
+    new_path: str,
+    n_buckets: int = N_CELL_BUCKETS,
+) -> dict[str, int]:
+    """Re-train the IVF model on the ACCUMULATED corpus (VERDICT r8
+    #3): frozen centroids decay under distribution shift — vectors
+    ingested far from every build-time centroid pile into few cells
+    and recall drops (measured drift curve in SCALE.md). The fix is
+    the classic IVF rebuild: resample centroids from everything now
+    served (the same deterministic md5 id-hash sample as build, stride
+    recomputed for the grown corpus), reassign every vector map-side,
+    and rewrite the cells table bucketed — one corpus-sized job, the
+    cost model compaction already set. Tombstoned vectors are folded
+    out (they are neither sampled nor reassigned) and the side
+    relations cleared.
+
+    The two table swaps are not jointly atomic: a crash between them
+    leaves new centroids over old assignments. The writer lock file
+    survives a crash (fail-loud on the next writer), and both retired
+    generations survive under ``*_retired`` — recover with
+    functions/index_base.recover_swap on both tables before clearing
+    the lock.
+
+    Returns {"n_vectors": ..., "n_centroids": ...}.
+    """
+    with single_writer(spark, index.cells_table, op="retrain"):
+        corpus = apply_tombstones(
+            spark.table(index.cells_table), tombstones(spark, index.cells_table), "vec_id"
+        ).select("vec_id", "qe", "nq")
+        # one count job — retrain is corpus-sized by design
+        n = corpus.count()
+        stride = centroid_stride(n)
+        cent = corpus.filter(centroid_sample_filter(stride)).select(
+            F.col("vec_id").alias("cid"),
+            F.col("qe").alias("ce"),
+            F.col("nq").alias("ncent"),
+        )
+        tmp_cent = f"{index.centroids_table}_retraining"
+        (
+            cent.coalesce(1)
+            .write.mode("overwrite")
+            .option("path", f"{new_path}/centroids")
+            .format("parquet")
+            .saveAsTable(tmp_cent)
+        )
+        cent_rows = [
+            (r.cid, r.ce, r.ncent) for r in spark.table(tmp_cent).collect()
+        ]
+        assigned = corpus.select(
+            "vec_id",
+            top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
+            "qe",
+            "nq",
+        )
+        tmp_cells = f"{index.cells_table}_retraining"
+        bucket_id = F.pmod(F.hash(F.col("cell")), F.lit(n_buckets))
+        write_bucketed(
+            assigned.repartition(n_buckets, bucket_id),
+            tmp_cells,
+            f"{new_path}/cells",
+            "cell",
+            n_buckets,
+        )
+        swap_table(spark, index.cells_table, tmp_cells)
+        swap_table(spark, index.centroids_table, tmp_cent)
+        drop_side_tables(spark, index.cells_table)
+        return {"n_vectors": n, "n_centroids": len(cent_rows)}
 
 
 def ann_query_index(
@@ -153,7 +296,11 @@ def ann_query_index(
         F.col("vec_id").alias("query_id"),
         F.explode(top_cells_by_cosine(cent_rows, nprobe)("qe", "nq")).alias("cell"),
     )
-    corpus = spark.table(index.cells_table).select(
+    # retracted vectors never surface as neighbors: broadcast anti-join
+    # (no-op when nothing was ever deleted), cells-side bucketing kept
+    corpus = apply_tombstones(
+        spark.table(index.cells_table), tombstones(spark, index.cells_table), "vec_id"
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("qe").alias("qb"),
