@@ -1,0 +1,145 @@
+"""Streaming benchmark ingest into the persistent contamination index
+(streaming/index_contamination.py): two micro-batches through a
+file-source stream must leave the index probe-identical to a batch
+build over all held-out docs; replays (full and partial) must change
+nothing a probe can see."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from postgresql_transfer_tool_spark.operators.contamination_index import (
+    build_contamination_index,
+    check_batch_contamination,
+    surviving_grams,
+)
+from postgresql_transfer_tool_spark.streaming.index_contamination import (
+    ContaminationIndexSink,
+)
+
+BENCH0 = [(0, "aa bb cc dd ee ff")]
+WAVE1 = [(50, "gg hh ii jj kk"), (100, "aa bb cc dd ee")]  # 100 shares with 0
+WAVE2 = [(150, "ll mm nn oo pp qq")]
+TRAIN = [(1, "aa bb cc dd ee xx"),   # hits bench0/wave1 shared gram
+         (2, "gg hh ii jj kk yy"),   # hits wave1
+         (3, "mm nn oo pp qq zz"),   # hits wave2
+         (4, "rr ss tt uu vv ww")]   # clean
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _probe(spark, table):
+    return {
+        r.doc_id: (r.n_grams, r.n_shared, r.is_contaminated)
+        for r in check_batch_contamination(spark, _docs(spark, TRAIN), table).collect()
+    }
+
+
+def test_streaming_ingest_two_epochs_then_replays(spark, tmp_path):
+    name = f"contidx_s{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark, _docs(spark, BENCH0), tempfile.mkdtemp(prefix=name), name
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    sink = ContaminationIndexSink(spark, table, str(tmp_path / "out"))
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(landing)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        _docs(spark, WAVE1).coalesce(1).write.mode("append").parquet(landing)
+        q.processAllAvailable()
+        _docs(spark, WAVE2).coalesce(1).write.mode("append").parquet(landing)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    committed = sorted(sink.ledger.committed())
+    assert len(committed) >= 2  # semantic asserts below are the contract
+    assert {r.doc_id for r in sink.ingested().select("doc_id").collect()} == {
+        50, 100, 150,
+    }
+
+    # parity: probe ≡ batch-built index over ALL held-out docs
+    name2 = f"contidx_s2{uuid.uuid4().hex[:8]}"
+    table2 = build_contamination_index(
+        spark, _docs(spark, BENCH0 + WAVE1 + WAVE2), tempfile.mkdtemp(prefix=name2),
+        name2,
+    )
+    want = _probe(spark, table2)
+    assert want[4] == (2, 0, False) and want[1][2] and want[2][2] and want[3][2]
+    assert _probe(spark, table) == want
+
+    # --- full replay: committed epoch skipped outright (no new rows) ---
+    rows_before = spark.table(table).count()
+    sink(_docs(spark, WAVE2), committed[-1])
+    assert spark.table(table).count() == rows_before
+
+    # --- partial replay (crash between extend and commit): re-delivery
+    # re-appends duplicate rows — inert for every probe, reclaimed by
+    # compaction; the epoch record rewrite is idempotent ---
+    marker = os.path.join(
+        str(tmp_path / "out"), "_epochs", f"epoch={committed[-1]}.committed"
+    )
+    os.remove(marker)
+    sink(_docs(spark, WAVE2), committed[-1])
+    assert spark.table(table).count() > rows_before  # duplicates landed...
+    assert _probe(spark, table) == want              # ...and are invisible
+    assert surviving_grams(spark, table).count() == surviving_grams(
+        spark, table2
+    ).count()
+    assert sorted(sink.ledger.committed()) == committed
+
+    for t in (table, table2, f"{name}_tombstones", f"{name}_stamps",
+              f"{name2}_tombstones", f"{name2}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_crash_before_commit_is_fully_idempotent(spark, tmp_path, monkeypatch):
+    """Every crash window reduces to 'duplicate rows, same probe': kill
+    the sink after the extend but before the commit, re-deliver, and
+    compare against the batch build."""
+    name = f"contidx_w{uuid.uuid4().hex[:8]}"
+    table = build_contamination_index(
+        spark, _docs(spark, BENCH0), tempfile.mkdtemp(prefix=name), name
+    )
+    sink = ContaminationIndexSink(spark, table, str(tmp_path / "out"))
+
+    real_commit = sink.ledger.commit
+
+    def boom(epoch_id):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(sink.ledger, "commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(_docs(spark, WAVE1), 0)
+    assert sink.ledger.committed() == set()  # crashed pre-commit
+
+    monkeypatch.setattr(sink.ledger, "commit", real_commit)
+    sink(_docs(spark, WAVE1), 0)  # replay: duplicate rows, then commit
+    assert sink.ledger.committed() == {0}
+
+    name2 = f"contidx_w2{uuid.uuid4().hex[:8]}"
+    table2 = build_contamination_index(
+        spark, _docs(spark, BENCH0 + WAVE1), tempfile.mkdtemp(prefix=name2), name2
+    )
+    assert _probe(spark, table) == _probe(spark, table2)
+
+    # TTL works over streamed ingest: the epoch id is the stamp
+    stamps = f"{name}_stamps"
+    assert spark.catalog.tableExists(stamps)
+    assert {(r.id, r.stamp) for r in spark.table(stamps).collect()} >= {
+        (50, 0), (100, 0),
+    }
+    for t in (table, table2, f"{name}_tombstones", stamps,
+              f"{name2}_tombstones", f"{name2}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
