@@ -25,8 +25,11 @@ normalizer_sec across rounds separates host slowdown from real
 regressions: query_ratio / normalizer_ratio ≈ host-corrected ratio. If
 the normalizer drifts >20% WITHIN a run the numbers are cross-
 contaminated by a mid-run load shift — the bench prints a loud stderr
-warning and sets "normalizer_drift_exceeded": true so the round record
-carries the invalidation.
+warning, sets "normalizer_drift_exceeded": true, and RETRIES the whole
+pass once (VERDICT r8 #5). A clean retry becomes the record; a second
+exceeded run is recorded anyway with BOTH normalizer series
+("first_attempt_normalizer_sec") — evidence the host, not the code,
+moved.
 """
 
 from __future__ import annotations
@@ -133,17 +136,11 @@ def bench_transfer(spark, sf_dir: str) -> float:
         shutil.rmtree(target, ignore_errors=True)
 
 
-def main() -> None:
-    import __spark_entry__ as entrymod
-    from postgresql_transfer_tool_spark.session import get_spark
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
-
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in sorted(qs) if n not in HEADLINE
-    ]
+def run_once(spark, qs, names, sf_dir: str, attempt: dict) -> dict:
+    """One full measurement pass. Returns the record (the same shape
+    BENCH_FULL.json holds); ``attempt`` fields are merged into every
+    flush so a retried run's artifact says which attempt it is and
+    carries the prior attempt's normalizer series as evidence."""
     # checkpoint partial timings every few queries: if the harness kills
     # a long run mid-way, BENCH_FULL.json still holds everything timed
     # so far (marked partial) instead of nothing.
@@ -167,6 +164,7 @@ def main() -> None:
             "normalizer_drift": drift,
             "normalizer_drift_exceeded": drift > 0.20,
             "partial": partial,
+            **attempt,
         }
         tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
         with open(tmp, "w") as f:
@@ -241,24 +239,61 @@ def main() -> None:
     _flush(partial=False)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     headline = {n: timings[n] for n in [*HEADLINE, "transfer_pipeline"] if n in timings}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": headline,
-                "sf": sf_from_dir(sf_dir),
-                "n_queries": len(timings),
-                "n_failed": sum(1 for t in timings.values() if t < 0),
-                "n_cold": len(cold),
-                "normalizer_sec": normalizers,
-                "normalizer_drift": drift,
-                "normalizer_drift_exceeded": drift > 0.20,
-                "full_table": "BENCH_FULL.json",
-            }
+    return {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "n_cold": len(cold),
+        "normalizer_sec": normalizers,
+        "normalizer_drift": drift,
+        "normalizer_drift_exceeded": drift > 0.20,
+        "full_table": "BENCH_FULL.json",
+        **attempt,
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from postgresql_transfer_tool_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+    rec = run_once(spark, qs, names, sf_dir, attempt={"attempt": 1})
+    if rec["normalizer_drift_exceeded"]:
+        # VERDICT r8 #5: a drift-exceeded artifact is an invalidated
+        # record — retry ONCE (memo-cold, same session: the JVM warmth
+        # is part of every attempt's steady state). If the retry drifts
+        # too, record it anyway WITH the first attempt's normalizer
+        # series — two consecutive exceeded runs are the evidence that
+        # the host, not the code, moved.
+        print(
+            "bench: normalizer drift exceeded 20% — retrying once "
+            f"(first series: {rec['normalizer_sec']})",
+            file=sys.stderr,
         )
-    )
+        clear_memos()
+        rec = run_once(
+            spark,
+            qs,
+            names,
+            sf_dir,
+            attempt={
+                "attempt": 2,
+                "retried_after_drift": True,
+                "first_attempt_normalizer_sec": rec["normalizer_sec"],
+                "first_attempt_value": rec["value"],
+            },
+        )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
