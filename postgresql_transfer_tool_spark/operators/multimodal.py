@@ -615,3 +615,152 @@ def exif_metadata(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "blob").mapInPandas(
         exif_metadata_batches, EXIF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic JPEG construction (round 9, VERDICT r8 #8).
+#
+# The fixtures carry no real JPEGs, so the EXIF stage's driver-gated
+# query SYNTHESIZES them: tiff_bytes/jpeg_bytes build structurally real
+# JPEG/APP1/TIFF streams (both byte orders, inline and offset values —
+# the same builders tests/test_exif.py uses), a mapInPandas stage wraps
+# per-document tag values derived in closed form from doc_id, and
+# exif_metadata parses them back. The oracle states the closed form
+# directly in SQL, so the whole construct→parse round-trip is verified
+# against an independent arithmetic spec — the FIMG decode pattern
+# (media_decode_stats above) applied to the EXIF stage.
+# ---------------------------------------------------------------------------
+
+
+def tiff_bytes(endian: str, tags: list) -> bytes:
+    """Minimal TIFF block: header + IFD0 + data area. ``tags`` entries
+    are (tag, type, value): type 2 takes bytes (NUL added here), type
+    3/4 take an int. ``endian``: "II" or "MM"."""
+    import struct
+
+    e = "<" if endian == "II" else ">"
+    header = endian.encode() + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    n = len(tags)
+    data_start = 8 + 2 + 12 * n + 4  # header .. entries .. next-IFD ptr
+    entries, data = b"", b""
+    for tag, typ, val in tags:
+        if typ == 2:
+            raw = val + b"\x00"
+            if len(raw) <= 4:
+                field = raw.ljust(4, b"\x00")
+            else:
+                field = struct.pack(e + "I", data_start + len(data))
+                data += raw
+            entries += struct.pack(e + "HHI", tag, typ, len(raw)) + field
+        elif typ == 3:
+            entries += struct.pack(e + "HHI", tag, typ, 1) + struct.pack(
+                e + "H", val
+            ) + b"\x00\x00"
+        else:  # type 4, single LONG
+            entries += struct.pack(e + "HHI", tag, typ, 1) + struct.pack(e + "I", val)
+    ifd = struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0)
+    return header + ifd + data
+
+
+def jpeg_bytes(tiff: bytes | None, extra_app0: bool = False) -> bytes:
+    """Deterministic JPEG stream: SOI [APP0] [APP1/Exif] COM EOI.
+    ``extra_app0`` puts a JFIF header ahead of APP1, as cameras emit."""
+    import struct
+
+    out = b"\xff\xd8"
+    if extra_app0:
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if tiff is not None:
+        payload = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    comment = b"deterministic fixture"
+    out += b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
+    return out + b"\xff\xd9"
+
+
+#: closed-form tag spec for a doc_id — the single source both the
+#: synthesizer and the SQL oracle below express. doc_id % 7 == 0 docs
+#: get a JPEG WITHOUT an EXIF APP1 (the has_exif=false path);
+#: byte order alternates by parity (both TIFF endiannesses exercised
+#: through the driver gate); make takes the >4-byte offset-ASCII path,
+#: model the inline path.
+def _exif_fixture_blob(doc_id: int) -> bytes:
+    if doc_id % 7 == 0:
+        return jpeg_bytes(None, extra_app0=True)
+    tags = [
+        (_EXIF_TAG_MAKE, 2, f"Cam{doc_id % 5}".encode()),
+        (_EXIF_TAG_MODEL, 2, f"M{doc_id % 3}".encode()),
+        (_EXIF_TAG_ORIENTATION, 3, 1 + doc_id % 8),
+        (_EXIF_TAG_DATETIME, 2, f"2026:01:{1 + doc_id % 28:02d} 00:00:00".encode()),
+    ]
+    return jpeg_bytes(
+        tiff_bytes("II" if doc_id % 2 == 0 else "MM", tags),
+        extra_app0=doc_id % 3 == 0,
+    )
+
+
+_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("blob", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched JPEG synthesis: (doc_id) → (doc_id, media_type,
+    blob). Map-only like every media stage — blobs are born where the
+    ids live and never shuffle."""
+    for pdf in it:
+        ids = pdf["doc_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "media_type": ["image/jpeg"] * len(ids),
+                "blob": [_exif_fixture_blob(int(i)) for i in ids],
+            }
+        )
+
+
+#: driver-gate bound: enough docs to exercise every modulus class many
+#: times over at sf0.01 without dominating the probe's runtime
+_EXIF_MAX_DOC = 400
+
+
+@query(
+    "exif_metadata_extract",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id % 7 <> 0) AS has_exif,
+           CASE WHEN doc_id % 7 <> 0
+                THEN 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 7 <> 0
+                THEN 'M' || CAST(doc_id % 3 AS VARCHAR) END AS model,
+           CASE WHEN doc_id % 7 <> 0
+                THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+           CASE WHEN doc_id % 7 <> 0
+                THEN '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                     || ' 00:00:00' END AS taken_at
+    FROM documents WHERE doc_id < {_EXIF_MAX_DOC}
+    """,
+)
+def exif_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: EXIF extraction end-to-end through the driver gate (VERDICT
+    r8 #8). Structurally real JPEGs (both TIFF byte orders, inline and
+    offset tag values, EXIF-less files) are synthesized per document
+    from a closed-form tag spec, then parsed back by the codec-free
+    exif_metadata stage; the oracle states the closed form in SQL, so
+    a parse bug in EITHER direction breaks the hash match. Two chained
+    map-only mapInPandas stages — zero shuffles, the posture every
+    media stage shares."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EXIF_MAX_DOC)
+        .select("doc_id")
+    )
+    media = docs.mapInPandas(synthesize_jpeg_batches, _SYNTH_SCHEMA)
+    return exif_metadata(media).select(
+        "doc_id", "has_exif", "make", "model", "orientation", "taken_at"
+    )

@@ -16,49 +16,14 @@ from postgresql_transfer_tool_spark.operators.multimodal import (
     EXIF_SCHEMA,
     exif_metadata,
     extract_exif,
+    jpeg_bytes,
+    tiff_bytes,
 )
 
-
-def _tiff(endian: str, tags: list[tuple[int, int, bytes | int]]) -> bytes:
-    """Minimal TIFF block: header + IFD0 + data area. ``tags`` entries
-    are (tag, type, value): type 2 takes bytes (NUL added here), type
-    3/4 take an int."""
-    e = "<" if endian == "II" else ">"
-    header = endian.encode() + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
-    n = len(tags)
-    data_start = 8 + 2 + 12 * n + 4  # header .. entries .. next-IFD ptr
-    entries, data = b"", b""
-    for tag, typ, val in tags:
-        if typ == 2:
-            raw = val + b"\x00"
-            if len(raw) <= 4:
-                field = raw.ljust(4, b"\x00")
-            else:
-                field = struct.pack(e + "I", data_start + len(data))
-                data += raw
-            entries += struct.pack(e + "HHI", tag, typ, len(raw)) + field
-        elif typ == 3:
-            entries += struct.pack(e + "HHI", tag, typ, 1) + struct.pack(
-                e + "H", val
-            ) + b"\x00\x00"
-        else:  # type 4, single LONG
-            entries += struct.pack(e + "HHI", tag, typ, 1) + struct.pack(e + "I", val)
-    ifd = struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0)
-    return header + ifd + data
-
-
-def _jpeg(tiff: bytes | None, extra_app0: bool = False) -> bytes:
-    """Deterministic JPEG stream: SOI [APP0] [APP1/Exif] COM EOI."""
-    out = b"\xff\xd8"
-    if extra_app0:  # JFIF header ahead of APP1, as cameras emit
-        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
-    if tiff is not None:
-        payload = b"Exif\x00\x00" + tiff
-        out += b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
-    comment = b"deterministic fixture"
-    out += b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
-    return out + b"\xff\xd9"
+# the builders moved into the engine in round 9 (the driver-gated
+# exif_metadata_extract query synthesizes its fixtures with them)
+_tiff = tiff_bytes
+_jpeg = jpeg_bytes
 
 
 TAGS = [
@@ -152,3 +117,26 @@ def test_type_confused_tags_degrade_to_null_not_crash(spark):
     assert r.has_exif is True
     assert r.make is None and r.orientation is None
     assert r.taken_at == "2026:01:01 00:00:00"
+
+
+def test_exif_registry_query_is_map_only_and_closed_form(spark):
+    """The driver-gated query (synthesize → parse) never shuffles and
+    matches the closed-form spec on a spot-checked modulus sample."""
+    from postgresql_transfer_tool_spark.operators.multimodal import (
+        exif_metadata_extract,
+    )
+    from postgresql_transfer_tool_spark.plans import count_exchanges
+
+    out = exif_metadata_extract(spark, "/root/testdata/sf0.001")
+    assert count_exchanges(out) == 0
+    got = {r.doc_id: r for r in out.collect()}
+    r1 = got[1]  # MM byte order, no APP0
+    assert (r1.has_exif, r1.make, r1.model, r1.orientation, r1.taken_at) == (
+        True, "Cam1", "M1", 2, "2026:01:02 00:00:00",
+    )
+    r6 = got[6]  # II byte order + APP0 ahead of APP1
+    assert (r6.has_exif, r6.make, r6.orientation) == (True, "Cam1", 7)
+    r0 = got[0]  # % 7 == 0: JPEG without EXIF
+    assert (r0.has_exif, r0.make, r0.model, r0.orientation, r0.taken_at) == (
+        False, None, None, None, None,
+    )
