@@ -1,0 +1,99 @@
+"""Streaming vector ingest into the persistent IVF index — the
+continuous form of operators/ann_index.py (completes the index
+trilogy's streaming story: near-dup streaming/index_dedup.py,
+contamination streaming/index_contamination.py).
+
+Embedding pipelines emit vectors continuously; each micro-batch must be
+assigned under the frozen centroids and appended to the bucketed cells
+table. Unlike the contamination index, DUPLICATE ROWS ARE NOT INERT
+here: a vector appended twice surfaces twice in the probe's candidate
+stream and occupies two ranks — wrong results, not just wasted storage.
+So this sink needs the dedup sink's replay bracket, in its simplest
+form (there is no admission decision, so no pre-PROBE repair — only
+exactly-once ingest):
+
+1. skip committed epochs (full replay);
+2. if this epoch's ingest record exists (partial replay), REPAIR
+   instead of append: extend with exactly the recorded ids missing
+   from the cells table (an anti-join bounded by one epoch — covers
+   the record-written → extend-lost crash window) and nothing else
+   (covers the extend-done → commit-lost window: nothing is missing,
+   nothing is re-appended, no duplicates ever);
+3. otherwise write the ingest record FIRST, then extend;
+4. commit the epoch.
+
+Writing the record before the extend is what makes every crash window
+repairable: a record without rows is completed by step 2; rows without
+a commit are detected by step 2 finding nothing missing. (Record-less
+rows are impossible — the record write precedes the extend.)
+
+The epoch id doubles as the ingest stamp, so TTL expiry
+(expire_ann_index) works over streamed vectors for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.memo import unpersist_checkpoints
+from ..operators.ann_index import AnnIndex, extend_ann_index
+from .exactly_once import EpochLedger
+
+
+class AnnIndexSink:
+    """foreachBatch target: exactly-once vector ingest under frozen
+    centroids. Batches carry (vec_id, qe, nq) quantized rows."""
+
+    def __init__(self, spark: SparkSession, index: AnnIndex, out_dir: str) -> None:
+        self.spark = spark
+        self.index = index
+        self.ingested_dir = os.path.join(out_dir, "ingested")
+        self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in self.ledger.committed():
+            return
+        epoch_dir = os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}")
+        prior = None
+        if os.path.isdir(epoch_dir):
+            try:
+                prior = self.spark.read.parquet(epoch_dir).localCheckpoint(
+                    eager=True
+                )
+            except AnalysisException:
+                prior = None  # dir exists, no parquet yet → fresh path
+        if prior is not None:
+            # partial replay: extend with exactly the recorded ids whose
+            # rows never reached the cells table. The anti-join's left
+            # side is one epoch's ids; the cells side is pruned to the
+            # id column. After a post-extend crash this is empty and
+            # NOTHING is appended — replay can never duplicate a vector.
+            indexed = self.spark.table(self.index.cells_table).select("vec_id")
+            missing = prior.join(indexed, "vec_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if missing.limit(1).count():
+                rows = batch_df.join(
+                    missing.select("vec_id"), "vec_id", "left_semi"
+                ).localCheckpoint(eager=True)
+                extend_ann_index(
+                    self.spark, self.index, rows, stamp=int(epoch_id)
+                )
+                unpersist_checkpoints(rows)
+            unpersist_checkpoints(missing)
+        else:
+            # the record precedes the extend — see module docstring
+            batch_df = batch_df.localCheckpoint(eager=True)
+            batch_df.select("vec_id").write.mode("overwrite").parquet(epoch_dir)
+            extend_ann_index(self.spark, self.index, batch_df, stamp=int(epoch_id))
+            unpersist_checkpoints(batch_df)
+        self.ledger.commit(int(epoch_id))
+
+    # -- read-back helper -------------------------------------------------
+    def ingested(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.ingested_dir).parquet(
+            self.ingested_dir
+        )
