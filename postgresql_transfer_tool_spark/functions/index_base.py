@@ -186,13 +186,20 @@ def recover_swap(spark: SparkSession, live: str) -> bool:
 # tombstones (deletion/retraction) + ingest stamps (TTL)
 # ---------------------------------------------------------------------------
 
+def _side_name(any_index_table: str, kind: str) -> str:
+    """Catalog name of a side relation for the index owning
+    ``any_index_table``: the index's stem (the table name up to its
+    last '_'-suffix) + kind, so side tables are session-unique exactly
+    like the index tables themselves."""
+    return f"{any_index_table.rsplit('_', 1)[0]}_{kind}"
+
+
 def _side_table(spark: SparkSession, any_index_table: str, kind: str) -> tuple[str, str]:
-    """(catalog name, path) of a side relation for the index owning
-    ``any_index_table``. The name reuses the index's stem (the table
-    name up to its last '_'-suffix) so side tables are session-unique
-    exactly like the index tables themselves."""
-    stem = any_index_table.rsplit("_", 1)[0]
-    return f"{stem}_{kind}", os.path.join(index_root(spark, any_index_table), kind)
+    """(catalog name, path) — path resolution costs a DESC EXTENDED, so
+    probe-side readers use :func:`_side_name` alone."""
+    return _side_name(any_index_table, kind), os.path.join(
+        index_root(spark, any_index_table), kind
+    )
 
 
 def add_tombstones(spark: SparkSession, any_index_table: str, ids: DataFrame) -> str:
@@ -225,7 +232,7 @@ def tombstones(spark: SparkSession, any_index_table: str) -> DataFrame | None:
     """The (id) tombstone relation of the index owning
     ``any_index_table``, or None when nothing was ever deleted (the
     common case — probes then skip the anti-join entirely)."""
-    tomb, _ = _side_table(spark, any_index_table, "tombstones")
+    tomb = _side_name(any_index_table, "tombstones")
     return spark.table(tomb) if spark.catalog.tableExists(tomb) else None
 
 
@@ -250,8 +257,7 @@ def drop_side_tables(spark: SparkSession, any_index_table: str) -> None:
     """Drop the tombstone/stamp side relations (compaction calls this
     after physically folding deletions into the rewrite)."""
     for kind in ("tombstones", "stamps"):
-        name, _ = _side_table(spark, any_index_table, kind)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {_side_name(any_index_table, kind)}")
 
 
 def record_stamps(
@@ -288,7 +294,7 @@ def expired_ids(
     under a newer stamp refreshes an id's TTL, the retention semantics
     every cache/TTL store uses). Feed straight into
     :func:`add_tombstones` to expire."""
-    stamps, _ = _side_table(spark, any_index_table, "stamps")
+    stamps = _side_name(any_index_table, "stamps")
     if not spark.catalog.tableExists(stamps):
         return spark.range(0).select(F.col("id"))
     return (
