@@ -254,10 +254,37 @@ def apply_tombstones(
 
 
 def drop_side_tables(spark: SparkSession, any_index_table: str) -> None:
-    """Drop the tombstone/stamp side relations (compaction calls this
-    after physically folding deletions into the rewrite)."""
+    """Drop the tombstone/stamp side relations unconditionally. Only
+    correct when the index itself is being torn down — compaction must
+    use :func:`fold_side_tables` instead (dropping the stamps ledger
+    would silently exempt every surviving row from future TTL expiry)."""
     for kind in ("tombstones", "stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {_side_name(any_index_table, kind)}")
+
+
+def fold_side_tables(spark: SparkSession, any_index_table: str, new_path: str) -> None:
+    """Post-rewrite side-relation upkeep for compaction/retrain: the
+    tombstones are spent (the rewrite dropped their rows physically)
+    and are dropped; the stamps ledger is REWRITTEN to the surviving
+    ids — rows that lived through the compaction keep their ingest
+    history, so TTL expiry keeps working across generations (round-9
+    review finding: dropping stamps here silently disabled TTL for
+    every pre-compaction survivor)."""
+    stamps = _side_name(any_index_table, "stamps")
+    tombs = tombstones(spark, any_index_table)
+    if spark.catalog.tableExists(stamps):
+        live = spark.table(stamps)
+        if tombs is not None:
+            live = live.join(F.broadcast(tombs), "id", "left_anti")
+        tmp = f"{stamps}_compacting"
+        (
+            live.write.mode("overwrite")
+            .option("path", os.path.join(new_path, "stamps"))
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+        swap_table(spark, stamps, tmp)
+    spark.sql(f"DROP TABLE IF EXISTS {_side_name(any_index_table, 'tombstones')}")
 
 
 def record_stamps(

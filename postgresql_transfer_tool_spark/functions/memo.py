@@ -132,8 +132,20 @@ class CheckpointMemo:
         self._entries.move_to_end(key)
         while len(self._entries) > self.capacity:
             _, evicted = self._entries.popitem(last=False)
+            # keep-set here too: an evicted entry may share checkpoint
+            # blocks with entries still in the memo (a derived handle
+            # registered under another key) — same class as the
+            # overwrite path above
+            kept_rdds = frozenset().union(
+                frozenset(),
+                *(
+                    checkpoint_rdd_ids(d)
+                    for dfs in self._entries.values()
+                    for d in dfs
+                ),
+            )
             for d in evicted:
-                unpersist_checkpoints(d)
+                unpersist_checkpoints(d, keep=kept_rdds)
         return df
 
     def clear(self) -> None:

@@ -43,7 +43,7 @@ from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.index_base import (
     add_tombstones,
     apply_tombstones,
-    drop_side_tables,
+    fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
@@ -143,11 +143,16 @@ def extend_ann_index(
                 "nq",
             )
         )
-        append_bucketed(spark, index.cells_table, assigned, "cell", n_buckets)
+        # stamps BEFORE the data append (round-9 review): a crash in
+        # between then leaves stamped-but-unindexed ids (harmless —
+        # expiry tombstones a row that does not exist, and the streaming
+        # repair re-appends + re-stamps the same values), never
+        # indexed-but-unstamped rows that TTL could no longer reach
         if stamp is not None:
             record_stamps(
                 spark, index.cells_table, assigned.select("vec_id"), stamp
             )
+        append_bucketed(spark, index.cells_table, assigned, "cell", n_buckets)
     unpersist_checkpoints(assigned)
 
 
@@ -203,8 +208,33 @@ def compact_ann_index(
             n_buckets,
         )
         swap_table(spark, index.cells_table, tmp)
-        drop_side_tables(spark, index.cells_table)
+        fold_side_tables(spark, index.cells_table, new_path)
         return before, len(spark.table(index.cells_table).inputFiles())
+
+
+def _retrain_swap(
+    spark: SparkSession, index: AnnIndex, tmp_cells: str, tmp_cent: str
+) -> None:
+    """Swap BOTH tables to the new generation, holding BOTH retired
+    generations until every rename has landed (round-9 review finding:
+    using swap_table twice dropped the first table's retired generation
+    before the second swap ran, so a crash in between had no complete
+    old generation left to recover from). The drops come last and are
+    cosmetic — a crash anywhere earlier leaves every generation's data
+    reachable under live/_retired/_retraining names."""
+    for live in (index.cells_table, index.centroids_table):
+        spark.sql(f"DROP TABLE IF EXISTS {live}_retired")
+    spark.sql(
+        f"ALTER TABLE {index.cells_table} RENAME TO {index.cells_table}_retired"
+    )
+    spark.sql(f"ALTER TABLE {tmp_cells} RENAME TO {index.cells_table}")
+    spark.sql(
+        f"ALTER TABLE {index.centroids_table} RENAME TO "
+        f"{index.centroids_table}_retired"
+    )
+    spark.sql(f"ALTER TABLE {tmp_cent} RENAME TO {index.centroids_table}")
+    for live in (index.cells_table, index.centroids_table):
+        spark.sql(f"DROP TABLE {live}_retired")
 
 
 def retrain_ann_index(
@@ -225,12 +255,14 @@ def retrain_ann_index(
     out (they are neither sampled nor reassigned) and the side
     relations cleared.
 
-    The two table swaps are not jointly atomic: a crash between them
-    leaves new centroids over old assignments. The writer lock file
-    survives a crash (fail-loud on the next writer), and both retired
-    generations survive under ``*_retired`` — recover with
-    functions/index_base.recover_swap on both tables before clearing
-    the lock.
+    The two-table swap (:func:`_retrain_swap`) is not jointly atomic,
+    but no crash window loses data: both retired generations are held
+    until both live names point at the new generation. A crash mid-swap
+    can leave probes mis-routed (new cells under old centroids or vice
+    versa) until recovery; recovery is simply RE-RUNNING retrain after
+    clearing the crashed run's lock file — retrain reads only
+    (vec_id, qe, nq) from the cells table, columns both generations
+    carry identically, so it is self-healing from any partial state.
 
     Returns {"n_vectors": ..., "n_centroids": ...}.
     """
@@ -272,9 +304,8 @@ def retrain_ann_index(
             "cell",
             n_buckets,
         )
-        swap_table(spark, index.cells_table, tmp_cells)
-        swap_table(spark, index.centroids_table, tmp_cent)
-        drop_side_tables(spark, index.cells_table)
+        _retrain_swap(spark, index, tmp_cells, tmp_cent)
+        fold_side_tables(spark, index.cells_table, new_path)
         return {"n_vectors": n, "n_centroids": len(cent_rows)}
 
 

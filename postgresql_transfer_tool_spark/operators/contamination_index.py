@@ -52,7 +52,7 @@ from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
     apply_tombstones,
-    drop_side_tables,
+    fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
@@ -130,11 +130,20 @@ def extend_contamination_index(
     is already there). Duplicate rows from replayed appends are
     harmless (distinct-at-probe); compaction removes them."""
     with single_writer(spark, grams_table, op="extend"):
-        rows = gram_rows_from_docs(new_bench_docs).localCheckpoint(eager=True)
-        append_bucketed(spark, grams_table, rows, "gram", n_buckets)
+        # keep a handle on the INNER pre-explode checkpoint: wrapping
+        # the gram rows in an eager checkpoint truncates lineage, so
+        # unpersist_checkpoints(rows) alone could no longer reach it
+        # (round-9 review: one orphaned checkpoint per epoch otherwise)
+        pre = gram_arrays_from_docs(new_bench_docs).localCheckpoint(eager=False)
+        rows = pre.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint(
+            eager=True
+        )
+        # stamps before the data append — see extend_ann_index
         if stamp is not None:
             record_stamps(spark, grams_table, rows.select("doc_id").distinct(), stamp)
-    unpersist_checkpoints(rows)
+        append_bucketed(spark, grams_table, rows, "gram", n_buckets)
+    for d in (rows, pre):
+        unpersist_checkpoints(d)
 
 
 def surviving_grams(spark: SparkSession, grams_table: str) -> DataFrame:
@@ -226,7 +235,7 @@ def compact_contamination_index(
             n_buckets,
         )
         swap_table(spark, grams_table, tmp)
-        drop_side_tables(spark, grams_table)
+        fold_side_tables(spark, grams_table, new_path)
         return before, len(spark.table(grams_table).inputFiles())
 
 

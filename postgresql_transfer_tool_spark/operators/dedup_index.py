@@ -51,7 +51,7 @@ from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
     apply_tombstones,
-    drop_side_tables,
+    fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
@@ -322,11 +322,14 @@ def extend_dedup_index(
         nh = snapshot_before_write(
             result.batch_shingles.join(result.novel_ids, "doc_id", "left_semi")
         )
-        append_signature_rows(spark, index, nb, nh, n_buckets)
+        # stamps before the data append (round-9 review): a crash in
+        # between leaves stamped-but-unindexed ids (harmless), never
+        # indexed-but-unstamped rows that TTL could no longer reach
         if stamp is not None:
             record_stamps(
                 spark, index.bands_table, nb.select("doc_id").distinct(), stamp
             )
+        append_signature_rows(spark, index, nb, nh, n_buckets)
     for d in (nb, nh):
         unpersist_checkpoints(d)
 
@@ -583,6 +586,7 @@ def compact_dedup_index(
             )
             swap_table(spark, table, tmp)
             out[table] = (before, len(spark.table(table).inputFiles()))
-        # deletions are now physical: the side relations are spent
-        drop_side_tables(spark, index.bands_table)
+        # deletions are physical now: tombstones spent, stamps kept
+        # for survivors (TTL must work across generations)
+        fold_side_tables(spark, index.bands_table, new_path)
     return out

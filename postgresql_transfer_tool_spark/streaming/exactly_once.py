@@ -86,3 +86,43 @@ class IdempotentParquetSink:
                 "to read an empty frame before the first commit"
             )
         return spark.read.parquet(*paths)
+
+# ---------------------------------------------------------------------------
+# Epoch records (round 9): the three index-admission sinks each keep a
+# small per-epoch parquet record (admitted doc ids / ingested vec ids)
+# that partial-replay logic reads back. Two shared properties matter:
+#
+# - WRITES are all-or-nothing. A plain df.write.parquet(dir) commits
+#   file-by-file at job-commit time, so a crash mid-commit can leave a
+#   READABLE SUBSET of the record — replay logic that trusts a record's
+#   existence as completeness would then silently drop the missing rows
+#   (the round-9 review's AnnIndexSink finding). Writing to a sibling
+#   tmp dir and renaming into place makes existence imply completeness.
+# - READS are eagerly checkpointed, because the caller typically
+#   overwrites the very directory the plan reads (read-your-own-writes);
+#   the caller owns the returned blocks (unpersist_checkpoints).
+# ---------------------------------------------------------------------------
+
+
+def write_epoch_record(df: DataFrame, epoch_dir: str) -> None:
+    """All-or-nothing epoch record write (tmp dir + atomic rename)."""
+    import shutil
+
+    tmp = f"{epoch_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(epoch_dir, ignore_errors=True)
+    os.rename(tmp, epoch_dir)
+
+
+def read_epoch_record(spark, epoch_dir: str) -> DataFrame | None:
+    """The epoch's record, eagerly checkpointed (caller owns the
+    blocks), or None when no record was (completely) written."""
+    from pyspark.errors import AnalysisException
+
+    if not os.path.isdir(epoch_dir):
+        return None
+    try:
+        return spark.read.parquet(epoch_dir).localCheckpoint(eager=True)
+    except AnalysisException:
+        return None  # dir exists, holds no parquet yet

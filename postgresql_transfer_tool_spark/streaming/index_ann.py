@@ -25,7 +25,13 @@ exactly-once ingest):
 Writing the record before the extend is what makes every crash window
 repairable: a record without rows is completed by step 2; rows without
 a commit are detected by step 2 finding nothing missing. (Record-less
-rows are impossible — the record write precedes the extend.)
+rows are impossible — the record write precedes the extend.) The record
+write itself is ALL-OR-NOTHING (exactly_once.write_epoch_record's
+tmp-dir + rename): a plain parquet write commits file-by-file, and a
+crash mid-commit would leave a readable SUBSET that the repair would
+treat as the whole epoch, permanently dropping the missing vectors
+(round-9 review finding). With the rename, a record that exists is
+complete by construction.
 
 The epoch id doubles as the ingest stamp, so TTL expiry
 (expire_ann_index) works over streamed vectors for free.
@@ -35,12 +41,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.memo import unpersist_checkpoints
 from ..operators.ann_index import AnnIndex, extend_ann_index
-from .exactly_once import EpochLedger
+from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
 
 
 class AnnIndexSink:
@@ -57,39 +62,40 @@ class AnnIndexSink:
         if int(epoch_id) in self.ledger.committed():
             return
         epoch_dir = os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}")
-        prior = None
-        if os.path.isdir(epoch_dir):
-            try:
-                prior = self.spark.read.parquet(epoch_dir).localCheckpoint(
-                    eager=True
-                )
-            except AnalysisException:
-                prior = None  # dir exists, no parquet yet → fresh path
+        prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # partial replay: extend with exactly the recorded ids whose
             # rows never reached the cells table. The anti-join's left
             # side is one epoch's ids; the cells side is pruned to the
             # id column. After a post-extend crash this is empty and
             # NOTHING is appended — replay can never duplicate a vector.
-            indexed = self.spark.table(self.index.cells_table).select("vec_id")
-            missing = prior.join(indexed, "vec_id", "left_anti").localCheckpoint(
-                eager=True
-            )
-            if missing.limit(1).count():
-                rows = batch_df.join(
-                    missing.select("vec_id"), "vec_id", "left_semi"
-                ).localCheckpoint(eager=True)
-                extend_ann_index(
-                    self.spark, self.index, rows, stamp=int(epoch_id)
+            # (A record that exists is COMPLETE — write_epoch_record.)
+            try:
+                indexed = self.spark.table(self.index.cells_table).select("vec_id")
+                missing = prior.join(indexed, "vec_id", "left_anti").localCheckpoint(
+                    eager=True
                 )
-                unpersist_checkpoints(rows)
-            unpersist_checkpoints(missing)
+                if missing.limit(1).count():
+                    rows = batch_df.join(
+                        missing.select("vec_id"), "vec_id", "left_semi"
+                    ).localCheckpoint(eager=True)
+                    extend_ann_index(
+                        self.spark, self.index, rows, stamp=int(epoch_id)
+                    )
+                    unpersist_checkpoints(rows)
+                unpersist_checkpoints(missing)
+            finally:
+                unpersist_checkpoints(prior)
         else:
             # the record precedes the extend — see module docstring
             batch_df = batch_df.localCheckpoint(eager=True)
-            batch_df.select("vec_id").write.mode("overwrite").parquet(epoch_dir)
-            extend_ann_index(self.spark, self.index, batch_df, stamp=int(epoch_id))
-            unpersist_checkpoints(batch_df)
+            try:
+                write_epoch_record(batch_df.select("vec_id"), epoch_dir)
+                extend_ann_index(
+                    self.spark, self.index, batch_df, stamp=int(epoch_id)
+                )
+            finally:
+                unpersist_checkpoints(batch_df)
         self.ledger.commit(int(epoch_id))
 
     # -- read-back helper -------------------------------------------------

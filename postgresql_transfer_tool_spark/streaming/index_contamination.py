@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.contamination_index import extend_contamination_index
-from .exactly_once import EpochLedger
+from .exactly_once import EpochLedger, write_epoch_record
 
 
 class ContaminationIndexSink:
@@ -64,11 +64,9 @@ class ContaminationIndexSink:
         extend_contamination_index(
             self.spark, self.grams_table, batch_df, stamp=int(epoch_id)
         )
-        (
-            batch_df.select("doc_id")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}"))
+        write_epoch_record(
+            batch_df.select("doc_id").distinct(),
+            os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}"),
         )
         self.ledger.commit(int(epoch_id))
 

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.memo import unpersist_checkpoints
@@ -54,7 +53,7 @@ from ..operators.dedup_index import (
     dedup_batch_against_index,
     extend_dedup_index,
 )
-from .exactly_once import EpochLedger
+from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
 
 
 class DedupIndexSink:
@@ -99,17 +98,12 @@ class DedupIndexSink:
         # Snapshot it eagerly: step 4 below overwrites the very files
         # this plan reads.
         epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
-        prior = None
-        if os.path.isdir(epoch_dir):
-            try:
-                prior = self.spark.read.parquet(epoch_dir).localCheckpoint(
-                    eager=True
-                )
-            except AnalysisException:
-                prior = None  # dir exists but holds no parquet yet
-                # anything non-Analysis (corrupt files, transient IO)
-                # PROPAGATES: silently skipping the replay repair would
-                # admit duplicate rows.
+        # eagerly checkpointed (step 4 overwrites the dir this plan
+        # reads); written via write_epoch_record below so existence ⇒
+        # completeness. Non-Analysis read errors (corrupt files,
+        # transient IO) PROPAGATE out of the helper: silently skipping
+        # the replay repair would admit duplicate rows.
+        prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # drop already-admitted docs, then snapshot: the admit
             # rewrite must not erase rows the extend step still reads
@@ -149,7 +143,7 @@ class DedupIndexSink:
             admitted = batch_df.join(res.novel_ids, "doc_id", "left_semi")
             if prior is not None:
                 admitted = admitted.unionByName(prior)
-            admitted.write.mode("overwrite").parquet(epoch_dir)
+            write_epoch_record(admitted, epoch_dir)
             (
                 res.matched.write.mode("overwrite").parquet(
                     os.path.join(self.pairs_dir, f"epoch={int(epoch_id)}")

@@ -385,3 +385,36 @@ def test_single_writer_lock_refuses_concurrent_mutation(spark):
     assert {210, 220} <= indexed
     for t in (index.bands_table, index.shingles_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ttl_survives_compaction(spark):
+    """Round-9 review finding: compaction used to drop the stamps
+    ledger, silently exempting every surviving row from future TTL.
+    The fold must preserve surviving ids' stamps across generations."""
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        compact_dedup_index,
+        expire_dedup_index,
+    )
+
+    name = f"ddidx_ts{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name, stamp=0
+    )
+    r1 = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+    extend_dedup_index(spark, index, r1, stamp=1)
+    for d in r1.checkpoints:
+        unpersist_checkpoints(d)
+
+    compact_dedup_index(spark, index, tempfile.mkdtemp(prefix=f"{name}_g2"))
+    assert spark.catalog.tableExists(f"{name}_stamps")  # ledger survived
+
+    expire_dedup_index(spark, index, before_stamp=1)  # wave0 ages out
+    r2 = dedup_batch_against_index(spark, _docs(spark, WAVE2), index)
+    got = _pairs(r2.matched)
+    assert (210, 301) in got        # stamp-1 survivor still matches
+    assert (105, 310) not in got    # stamp-0 doc expired post-compaction
+    for d in r2.checkpoints:
+        unpersist_checkpoints(d)
+    for t in (index.bands_table, index.shingles_table,
+              f"{name}_tombstones", f"{name}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
