@@ -401,3 +401,39 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ADVICE class from the opposite direction).
         cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True))
     return cached
+
+
+@query("ann_ivf_retrain_topk", oracle=ORACLES["ann_ivf_topk"])
+def ann_ivf_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k through a RETRAINED index (round 9): build on the even
+    half of the corpus, extend with the odd half under the then-frozen
+    (half-corpus) centroids, then retrain_ann_index over the accumulated
+    whole. Retrain resamples centroids from the full corpus with the
+    same deterministic id-hash rule and stride a fresh full-corpus build
+    would use, so the retrained index must reproduce the monolithic
+    `ann_ivf_topk` result bit-for-bit — that query's oracle applies
+    verbatim, giving the re-train lifecycle an oracle-backed driver row
+    (the recall-recovery behavior itself is pinned separately by the
+    drift-curve pytest)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "retrain")
+    cached = _ANNIDX_MEMO.get(key)
+    if cached is None:
+        vectors = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        name = index_table_name(
+            "annidxr", spark.sparkContext.applicationId, sf_dir
+        )
+        even = vectors.filter(F.col("vec_id") % 2 == 0)
+        index = build_ann_index(
+            spark, even, tempfile.mkdtemp(prefix=f"{name}_"), name
+        )
+        extend_ann_index(spark, index, vectors.filter(F.col("vec_id") % 2 == 1))
+        retrain_ann_index(spark, index, tempfile.mkdtemp(prefix=f"{name}_g2"))
+        out = ann_query_index(
+            spark, vectors.filter(F.col("vec_id") < N_QUERIES), index
+        )
+        # no eviction extra — same shared-checkpoint ownership note as
+        # ann_ivf_index_topk above
+        cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True))
+    return cached

@@ -149,7 +149,10 @@ class DedupIndexSink:
                     os.path.join(self.pairs_dir, f"epoch={int(epoch_id)}")
                 )
             )
-            extend_dedup_index(self.spark, self.index, res)
+            # epoch id doubles as the ingest stamp (TTL parity with the
+            # contamination/ANN sinks: expire_dedup_index works over
+            # streamed admissions too)
+            extend_dedup_index(self.spark, self.index, res, stamp=int(epoch_id))
             self.ledger.commit(int(epoch_id))
         finally:
             for d in (*res.checkpoints, batch_df) + (

@@ -57,6 +57,14 @@ def test_streaming_two_epochs_then_replay(spark, tmp_path):
     # count depends on how the file source batched the waves (belt and
     # braces with the coalesce(1) above — either alone suffices)
     assert len(committed) >= 2
+    # streamed admissions are epoch-stamped (TTL works over the stream);
+    # shingle-less 212 has no signature rows, so there is nothing of it
+    # in the index for TTL to ever expire — correctly unstamped
+    stamps = {
+        r.id
+        for r in spark.table(f"{index.bands_table.rsplit('_', 1)[0]}_stamps").collect()
+    }
+    assert stamps == {210, 220, 320}
 
     # --- full replay: committed epoch is skipped outright ---
     before_files = set(sink.admitted().inputFiles())
@@ -78,7 +86,9 @@ def test_streaming_two_epochs_then_replay(spark, tmp_path):
     assert pairs2 == pairs
     assert sorted(sink.ledger.committed()) == committed
 
-    for t in (index.bands_table, index.shingles_table):
+    stem = index.bands_table.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table,
+              f"{stem}_tombstones", f"{stem}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -128,5 +138,7 @@ def test_partial_replay_before_extend_reindexes_admitted(spark, tmp_path, monkey
     assert {r.doc_id for r in sink.admitted().collect()} == {210, 212, 220}
     pairs = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
     assert {(101, 201), (210, 211)} <= pairs
-    for t in (index.bands_table, index.shingles_table):
+    stem = index.bands_table.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table,
+              f"{stem}_tombstones", f"{stem}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
