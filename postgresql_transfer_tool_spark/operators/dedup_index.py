@@ -378,7 +378,25 @@ def _incremental_oracle(exclude: str = "FALSE") -> str:
     documents RETRACTED from the corpus (the post-delete variant) —
     filtering the distinct-fingerprint CTE removes them from signature,
     candidate, and verification stages alike, i.e. the from-scratch
-    rebuild on the surviving corpus."""
+    rebuild on the surviving corpus. Signature pipeline identical to
+    dedup._minhash_sql but over DISTINCT (doc_id, h) fingerprints —
+    the domain the index persists."""
+    return f"""
+    WITH {verified_pairs_cte(exclude)}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def verified_pairs_cte(exclude: str = "FALSE") -> str:
+    """The CTE chain producing ``verified(doc_a, doc_b, jaccard)`` —
+    every batch-touching candidate pair with its exact fingerprint
+    Jaccard (UNFILTERED; consumers apply the threshold). Shared by the
+    incremental/post-delete oracles here and the ingest-funnel oracle
+    (operators/ingest.py), so the three driver rows prove parity
+    against literally the same monolithic recompute. Claims CTE names:
+    toks, sh, hashed (via dedup._SQL_SHINGLES), hsh, sigs, sigs2,
+    bands, cand, counts, inter, verified."""
     mins = ",\n         ".join(
         f"MIN((h * {A_CONST[j]} + {B_CONST[j]}) % {P_MINHASH}) AS mh{j}"
         for j in range(N_PERM)
@@ -391,11 +409,7 @@ def _incremental_oracle(exclude: str = "FALSE") -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, band{b} AS band_key FROM sigs2" for b in range(N_BANDS)
     )
-    # Same signature pipeline as dedup._minhash_sql, but over DISTINCT
-    # (doc_id, h) fingerprints — the domain the index persists — and
-    # with candidates filtered to batch-touching pairs.
-    return f"""
-    WITH {_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
     hsh AS (SELECT DISTINCT doc_id, h FROM hashed WHERE NOT ({exclude})),
     sigs AS (
       SELECT doc_id,
@@ -428,10 +442,7 @@ def _incremental_oracle(exclude: str = "FALSE") -> str:
       FROM inter i
       JOIN counts ca ON ca.doc_id = i.da
       JOIN counts cb ON cb.doc_id = i.db
-    )
-    SELECT doc_a, doc_b, jaccard FROM verified
-    WHERE jaccard >= {JACCARD_THRESHOLD}
-    """
+    )"""
 
 
 @query("dedup_incremental_index", oracle=_incremental_oracle())

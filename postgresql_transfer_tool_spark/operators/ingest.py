@@ -1,0 +1,176 @@
+"""End-to-end incremental ingest funnel — the persistent indexes
+composing into the actual 100 TB admission pipeline (round 9).
+
+Every prior query exercises ONE index; a real training-data pipeline
+runs them as a per-batch funnel: near-dup admission against the
+accumulated corpus (operators/dedup_index.py), benchmark
+decontamination against the held-out gram index
+(operators/contamination_index.py), then a cheap quality gate — and
+emits one admission decision per incoming document with the evidence
+columns downstream audits need. This module is that composition, and
+its oracle recomputes the WHOLE funnel monolithically (the dedup
+verified-pairs CTE is shared verbatim with the dedup oracles —
+operators/dedup_index.verified_pairs_cte — so all three driver rows
+prove parity against literally the same SQL).
+
+100 TB posture: the funnel inherits the indexes' cost model — per-batch
+work ∝ batch (bucketed index sides never shuffled or rescanned), and
+the three stages compose as ONE Spark plan over the batch (two left
+joins against batch-sized relations), so admission adds no extra scan
+of anything corpus-sized.
+
+Reference parity: the reference's closest analog is the unsynced-flag
+loop (transfer_data_script.py:96-133) — "rows not yet copied" decided
+per batch; this funnel generalizes the admission predicate from
+"not yet copied" to "novel ∧ uncontaminated ∧ above quality floor".
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.bucketing import index_table_name
+from ..functions.memo import CheckpointMemo
+from .contamination_index import build_contamination_index, check_batch_contamination
+from .corpus import _BENCH_MOD, _NGRAM, _SQL_TOKS
+from .dedup import JACCARD_THRESHOLD
+from .dedup_index import (
+    BATCH_MOD,
+    build_dedup_index,
+    dedup_batch_against_index,
+    verified_pairs_cte,
+)
+from .registry import query
+
+#: quality floor: documents shorter than this many whitespace tokens
+#: are rejected regardless of novelty/contamination
+MIN_TOKENS = 10
+
+_INGEST_MEMO = CheckpointMemo()
+
+
+def _funnel_oracle() -> str:
+    """Monolithic recompute of the whole funnel. CTE namespace: the
+    shared verified-pairs chain claims toks/sh/hashed/hsh/sigs/sigs2/
+    bands/cand/counts/inter/verified; the funnel adds f-prefixed ones."""
+    return f"""
+    WITH {verified_pairs_cte()},
+    fdups AS (
+      SELECT DISTINCT CASE
+        WHEN doc_a % {BATCH_MOD} = 0 AND doc_b % {BATCH_MOD} = 0 THEN doc_b
+        WHEN doc_a % {BATCH_MOD} = 0 THEN doc_a
+        ELSE doc_b END AS doc_id
+      FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    ftoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    fg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t) - {_NGRAM - 1}),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] || ' ' || t[i+5])) AS grams
+      FROM ftoks WHERE len(t) >= {_NGRAM}
+    ),
+    fbench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM fg
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    ftrain AS (
+      SELECT doc_id, unnest(grams) AS gram FROM fg
+      WHERE doc_id % {BATCH_MOD} = 0
+    ),
+    fcont AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(b.gram) AS n_shared,
+             COUNT(b.gram) > 0 AS isc
+      FROM ftrain t LEFT JOIN fbench b ON t.gram = b.gram
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           (dp.doc_id IS NULL) AS is_novel,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_shared, 0) AS n_shared,
+           COALESCE(c.isc, FALSE) AS is_contaminated,
+           len({_SQL_TOKS}) AS n_tokens,
+           ((dp.doc_id IS NULL) AND NOT COALESCE(c.isc, FALSE)
+            AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS admitted
+    FROM documents d
+    LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+    LEFT JOIN fcont c ON c.doc_id = d.doc_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+    """
+
+
+@query("incremental_ingest_funnel", oracle=_funnel_oracle())
+def incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document admission decision for one incoming batch
+    (doc_id % 4 == 0) against the accumulated corpus: novel under the
+    persistent near-dup index, clean under the persistent benchmark
+    gram index, and above the MIN_TOKENS quality floor — with the
+    evidence columns (pair/gram counts) an audit trail needs. The
+    oracle recomputes all three stages monolithically; matching it
+    proves the composed incremental path end-to-end, not just each
+    index in isolation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        app = spark.sparkContext.applicationId
+
+        dname = index_table_name("ddidxf", app, sf_dir)
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{dname}_"),
+            dname,
+        )
+        res = dedup_batch_against_index(spark, batch, index)
+
+        gname = index_table_name("contidxf", app, sf_dir)
+        gtable = build_contamination_index(
+            spark,
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            tempfile.mkdtemp(prefix=f"{gname}_"),
+            gname,
+        )
+        cont = check_batch_contamination(spark, batch, gtable)
+
+        n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        out = (
+            batch.select("doc_id", n_tokens.alias("n_tokens"))
+            .join(
+                res.novel_ids.withColumn("is_novel", F.lit(True)),
+                "doc_id",
+                "left",
+            )
+            .join(cont, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("is_novel", F.lit(False)).alias("is_novel"),
+                F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+                F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+                F.coalesce("is_contaminated", F.lit(False)).alias(
+                    "is_contaminated"
+                ),
+                "n_tokens",
+            )
+        )
+        out = out.withColumn(
+            "admitted",
+            F.col("is_novel")
+            & ~F.col("is_contaminated")
+            & (F.col("n_tokens") >= MIN_TOKENS),
+        )
+        # extras: the probe/contamination plans hide the batch's lazy
+        # pre-explode checkpoints (the r7 ADVICE extras pattern)
+        cached = _INGEST_MEMO.put(
+            key, out.localCheckpoint(eager=True), *res.checkpoints, cont
+        )
+    return cached

@@ -199,6 +199,7 @@ def load_all() -> None:
         dedup,
         dedup_index,
         contamination_index,
+        ingest,
         similarity,
         ann_index,
         text,
