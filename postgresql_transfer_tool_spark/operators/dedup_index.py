@@ -334,6 +334,40 @@ def extend_dedup_index(
         unpersist_checkpoints(d)
 
 
+def append_all_signatures(
+    spark: SparkSession,
+    index: DedupIndex,
+    bands_rows: DataFrame,
+    shingle_rows: DataFrame,
+    stamp: int | None = None,
+    op: str = "extend",
+    n_buckets: int = N_INDEX_BUCKETS,
+) -> None:
+    """Append the signature rows of ALL given docs — no novelty filter —
+    with the full extend contract (single-writer lock; stamps recorded
+    BEFORE the data append so a crash in between leaves
+    stamped-but-unindexed ids, never unstampable rows).
+
+    This is the ingest-funnel's "seen = probed" index discipline
+    (streaming/ingest_funnel.py): indexing duplicates too makes the
+    funnel's dup rule — "a doc is a duplicate iff it verified-pairs
+    with ANY previously probed doc, regardless of that doc's own fate" —
+    invariant under how the stream is cut into epochs, which is exactly
+    what lets N streamed epochs hash-match the monolithic batch oracle.
+    extend_dedup_index's novel-only append stays the right call for the
+    plain admission sink, where re-reporting a retained doc's matches is
+    the goal and index growth is the cost.
+
+    The inputs must not read the index tables through a lazy plan
+    (batch_signatures output never does)."""
+    with single_writer(spark, index.bands_table, op=op):
+        if stamp is not None:
+            record_stamps(
+                spark, index.bands_table, bands_rows.select("doc_id").distinct(), stamp
+            )
+        append_signature_rows(spark, index, bands_rows, shingle_rows, n_buckets)
+
+
 def append_signature_rows(
     spark: SparkSession,
     index: DedupIndex,

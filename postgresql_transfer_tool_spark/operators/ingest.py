@@ -105,6 +105,45 @@ def _funnel_oracle() -> str:
     """
 
 
+def funnel_decisions(
+    batch: DataFrame, novel_ids: DataFrame, cont: DataFrame
+) -> DataFrame:
+    """The funnel's per-document admission decision relation:
+    (doc_id, is_novel, n_grams, n_shared, is_contaminated, n_tokens,
+    admitted) from one batch's docs, its dedup-probe novel ids, and its
+    contamination stats. One Spark plan — two left joins against
+    batch-sized relations plus per-row expressions; shared verbatim by
+    the batch query below and the streaming sink
+    (streaming/ingest_funnel.py), so both paths decide admission with
+    literally the same code."""
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    out = (
+        batch.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(
+            novel_ids.withColumn("is_novel", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_novel", F.lit(False)).alias("is_novel"),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.coalesce("is_contaminated", F.lit(False)).alias(
+                "is_contaminated"
+            ),
+            "n_tokens",
+        )
+    )
+    return out.withColumn(
+        "admitted",
+        F.col("is_novel")
+        & ~F.col("is_contaminated")
+        & (F.col("n_tokens") >= MIN_TOKENS),
+    )
+
+
 @query("incremental_ingest_funnel", oracle=_funnel_oracle())
 def incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document admission decision for one incoming batch
@@ -142,35 +181,82 @@ def incremental_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cont = check_batch_contamination(spark, batch, gtable)
 
-        n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        out = (
-            batch.select("doc_id", n_tokens.alias("n_tokens"))
-            .join(
-                res.novel_ids.withColumn("is_novel", F.lit(True)),
-                "doc_id",
-                "left",
-            )
-            .join(cont, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("is_novel", F.lit(False)).alias("is_novel"),
-                F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
-                F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
-                F.coalesce("is_contaminated", F.lit(False)).alias(
-                    "is_contaminated"
-                ),
-                "n_tokens",
-            )
-        )
-        out = out.withColumn(
-            "admitted",
-            F.col("is_novel")
-            & ~F.col("is_contaminated")
-            & (F.col("n_tokens") >= MIN_TOKENS),
-        )
+        out = funnel_decisions(batch, res.novel_ids, cont)
         # extras: the probe/contamination plans hide the batch's lazy
         # pre-explode checkpoints (the r7 ADVICE extras pattern)
         cached = _INGEST_MEMO.put(
             key, out.localCheckpoint(eager=True), *res.checkpoints, cont
         )
+    return cached
+
+
+@query("streaming_ingest_funnel", oracle=_funnel_oracle())
+def streaming_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same admission funnel run as a STREAM: the incoming batch cut
+    into three nondecreasing doc_id ranges (the monotone-serial HWM
+    contract of the reference's incremental loop,
+    transfer_data_script.py:96-133) and pushed epoch-by-epoch through
+    the composed foreachBatch sink (streaming/ingest_funnel.py —
+    per-epoch: dedup-index probe → contamination probe → quality floor →
+    decision record → index extension, exactly-once). The union of the
+    three epochs' decision records must hash-match the SAME monolithic
+    DuckDB oracle as `incremental_ingest_funnel` — proving the streamed
+    composition, including the cross-epoch index growth, ≡ the one-shot
+    batch computation. The real readStream delivery of the identical
+    sink (file source, epoch files, replay after crash/checkpoint wipe)
+    is pinned by tests/test_streaming_ingest_funnel.py; this row pins
+    the epoch-wise semantics cross-engine."""
+    from ..streaming.ingest_funnel import IngestFunnelSink
+
+    key = (spark.sparkContext.applicationId, sf_dir, "streaming")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        app = spark.sparkContext.applicationId
+
+        dname = index_table_name("ddidxs", app, sf_dir)
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{dname}_"),
+            dname,
+        )
+        gname = index_table_name("contidxs", app, sf_dir)
+        gtable = build_contamination_index(
+            spark,
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            tempfile.mkdtemp(prefix=f"{gname}_"),
+            gname,
+        )
+        sink = IngestFunnelSink(
+            spark, index, gtable, tempfile.mkdtemp(prefix=f"{dname}_funnel_")
+        )
+        # three epochs as id-ordered ranges: two scalar percentile
+        # boundaries (a partial-aggregatable scan, no global sort — the
+        # scale-safe way to range-cut; NTILE would funnel every row
+        # through one task)
+        b1, b2 = batch.select(
+            F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
+        ).first()
+        for epoch, ep_df in enumerate(
+            (
+                batch.filter(F.col("doc_id") <= b1),
+                batch.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+                batch.filter(F.col("doc_id") > b2),
+            )
+        ):
+            sink(ep_df, epoch)
+        out = sink.decisions().select(
+            "doc_id",
+            "is_novel",
+            "n_grams",
+            "n_shared",
+            "is_contaminated",
+            "n_tokens",
+            "admitted",
+        )
+        cached = _INGEST_MEMO.put(key, out)
     return cached

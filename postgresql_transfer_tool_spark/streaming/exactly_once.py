@@ -104,25 +104,74 @@ class IdempotentParquetSink:
 # ---------------------------------------------------------------------------
 
 
+def _aside_dirs(epoch_dir: str) -> tuple[str, str]:
+    """(tmp, old) scratch siblings for a rename-aside record write. Both
+    live NEXT TO the epoch dir but start with '_' and contain no '=', so
+    Spark's partition discovery over the record root skips them — a
+    crash can never leave a leftover that the admitted()/ingested()
+    read-back helpers would parse as a phantom (string-typed!) epoch
+    partition and double-count (round-9 ADVICE #3; the old scheme's
+    'epoch=N.tmp-<pid>' leftovers did exactly that)."""
+    parent, base = os.path.split(epoch_dir.rstrip("/"))
+    safe = base.replace("=", "-")
+    return (
+        os.path.join(parent, f"_tmp-{safe}-{os.getpid()}"),
+        os.path.join(parent, f"_old-{safe}"),
+    )
+
+
 def write_epoch_record(df: DataFrame, epoch_dir: str) -> None:
-    """All-or-nothing epoch record write (tmp dir + atomic rename)."""
+    """All-or-nothing epoch record write, atomic ACROSS overwrites.
+
+    Two invariants, both load-bearing for the sinks' replay logic:
+
+    - existence ⇒ completeness: the record is written to a scratch dir
+      and renamed into place, so a record that exists was fully written
+      (a plain parquet write commits file-by-file and a mid-commit crash
+      leaves a readable SUBSET — the round-9 AnnIndexSink finding).
+    - nonexistence ⇒ no prior progress: an OVERWRITE renames the live
+      record ASIDE rather than rmtree'ing it, so there is no window in
+      which neither old nor new record is readable. The old scheme's
+      rmtree-then-rename window made a replaying DedupIndexSink see
+      prior=None, skip its pre-filter, and re-probe docs whose
+      signatures were already indexed — self-matching them as
+      duplicates and dropping them from the admitted output forever
+      (round-9 ADVICE #2). read_epoch_record falls back to the aside
+      dir when the live dir is mid-swap.
+    """
+    import glob
     import shutil
 
-    tmp = f"{epoch_dir}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp, old = _aside_dirs(epoch_dir)
+    parent, base = os.path.split(epoch_dir.rstrip("/"))
+    # sweep scratch left by crashed writers: any pid's _tmp for this
+    # epoch, plus pre-round-10 'epoch=N.tmp-<pid>' leftovers that sit
+    # inside the partition root and corrupt discovery
+    for stale in glob.glob(
+        os.path.join(parent, f"_tmp-{base.replace('=', '-')}-*")
+    ) + glob.glob(f"{epoch_dir}.tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(epoch_dir, ignore_errors=True)
+    if os.path.isdir(epoch_dir):
+        shutil.rmtree(old, ignore_errors=True)  # stale aside of an old crash
+        os.rename(epoch_dir, old)
     os.rename(tmp, epoch_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_epoch_record(spark, epoch_dir: str) -> DataFrame | None:
     """The epoch's record, eagerly checkpointed (caller owns the
-    blocks), or None when no record was (completely) written."""
+    blocks), or None when no record was (completely) written. Prefers
+    the live dir; falls back to the rename-aside dir when a crashed
+    overwrite left only the old generation (write_epoch_record)."""
     from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(epoch_dir):
-        return None
+    path = epoch_dir
+    if not os.path.isdir(path):
+        path = _aside_dirs(epoch_dir)[1]
+        if not os.path.isdir(path):
+            return None
     try:
-        return spark.read.parquet(epoch_dir).localCheckpoint(eager=True)
+        return spark.read.parquet(path).localCheckpoint(eager=True)
     except AnalysisException:
         return None  # dir exists, holds no parquet yet

@@ -45,6 +45,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.index_base import record_stamps, single_writer
 from ..functions.memo import unpersist_checkpoints
 from ..operators.dedup_index import (
     append_signature_rows,
@@ -132,9 +133,27 @@ class DedupIndexSink:
             )
             if missing.limit(1).count():
                 m_hashed, m_bands, m_pre = batch_signatures(missing)
-                append_signature_rows(
-                    self.spark, self.index, m_bands, m_hashed
-                )
+                # same contract as extend_dedup_index (round-9 ADVICE
+                # #1): the repair is an index mutation, so it holds the
+                # single-writer lock, and it records the stamps BEFORE
+                # the data append — a crash in between leaves
+                # stamped-but-unindexed ids (harmless; a later replay
+                # re-runs this branch), never indexed-but-unstamped
+                # rows that expire_dedup_index could no longer reach.
+                # Duplicate stamp rows across replays are inert: expiry
+                # reads MAX(stamp) per id.
+                with single_writer(
+                    self.spark, self.index.bands_table, op="replay-repair"
+                ):
+                    record_stamps(
+                        self.spark,
+                        self.index.bands_table,
+                        m_bands.select("doc_id").distinct(),
+                        stamp=int(epoch_id),
+                    )
+                    append_signature_rows(
+                        self.spark, self.index, m_bands, m_hashed
+                    )
                 for d in (m_hashed, m_bands, m_pre):
                     unpersist_checkpoints(d)
             unpersist_checkpoints(missing)

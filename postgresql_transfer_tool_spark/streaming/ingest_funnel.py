@@ -1,0 +1,216 @@
+"""Streaming admission funnel — the three persistent indexes composed
+into ONE per-epoch `foreachBatch` pipeline (VERDICT r9 "Next round" #2).
+
+`operators/ingest.py` proves the composed admission predicate — novel
+under the near-dup index ∧ uncontaminated under the benchmark gram
+index ∧ above the quality floor — for one batch. A real 100 TB pipeline
+runs that predicate continuously: documents arrive as a stream of
+micro-batches, each must be decided against EVERYTHING probed before
+it, and the near-dup index must grow with each epoch so the next one
+sees it. This sink is that composition: per epoch it probes the dedup
+index (`dedup_batch_against_index` — bucketed index side never
+shuffled), probes the contamination gram index
+(`check_batch_contamination`), applies the token floor, emits one
+decision row per document with the audit-evidence columns, and extends
+the dedup index — exactly-once under replay.
+
+Index discipline — "seen = probed", not "seen = admitted": the funnel
+appends the signatures of EVERY probed document, duplicates included
+(`operators/dedup_index.append_all_signatures`). Two reasons:
+
+- It makes the dup rule epoch-invariant: "doc d is a duplicate iff it
+  verified-pairs with any doc probed before it, or a lower-id doc in
+  its own epoch" — the same rule no matter how the stream is cut into
+  epochs. Novel-only indexing would make admission depend on epoch
+  boundaries through dup-chains (a→b→c with no a–c pair: b's fate
+  decides c's), which is both surprising operationally and
+  un-oracle-able.
+- It is exactly the batch funnel's rule: with epochs delivered as
+  nondecreasing doc_id ranges (the monotone-serial ingest contract the
+  reference's incremental loop relies on,
+  transfer_data_script.py:96-133 — its HWM batches are id-ordered by
+  construction), N streamed epochs produce bit-for-bit the monolithic
+  batch decisions, which is what the `streaming_ingest_funnel` driver
+  row proves against the same DuckDB oracle as the batch funnel.
+
+The contamination index is probe-only here: training documents never
+enter the held-out gram universe. Benchmarks stream in through their
+own sink (`streaming/index_contamination.py`) against the same grams
+table — composing the two sinks on one table is the full pipeline; this
+sink needs no knowledge of how the gram side grows.
+
+Exactly-once analysis (the decisions record is written rename-aside, so
+existence ⇒ completeness AND overwrite leaves no record-less window —
+streaming/exactly_once.write_epoch_record):
+
+1. committed epoch → verify the redelivered batch is the recorded one,
+   then skip (full replay). The verification turns the one
+   unrecoverable operator error — wiping the streaming checkpoint while
+   the sink ledger survives, which renumbers fresh batches from 0 —
+   from silent data loss into a loud error naming the recovery unit;
+2. decisions record exists (partial replay) → the probe already ran and
+   its output is durable; the only work possibly lost is the index
+   extension. Repair: re-derive signatures for recorded docs missing
+   from the shingle index (anti-join bounded by one epoch) and append
+   them under the extend contract, then commit. After a post-extend
+   crash the anti-join finds only shingle-less docs, whose re-derived
+   signature set is empty — nothing is appended, replay is idempotent.
+   No re-probe happens, so the probe always runs against an index free
+   of its own batch (the prober's disjoint-id contract).
+3. no record → probe, write decisions record, extend with all probed
+   signatures (stamps-before-append, single-writer), commit.
+
+Crash between the two table appends inside the extension (bands landed,
+shingles not): the repair anti-join is keyed on the SHINGLE table, so
+those docs are re-appended to both tables. The duplicate band rows are
+probe-inert (candidate pairs are `.distinct()`ed) and compaction
+reclaims them; shingle rows — the Jaccard-count substrate, where a
+duplicate WOULD corrupt results — are never duplicated.
+
+The epoch id doubles as the ingest stamp, so TTL expiry
+(`expire_dedup_index`) works over streamed admissions for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.memo import unpersist_checkpoints
+from ..operators.contamination_index import check_batch_contamination
+from ..operators.dedup_index import (
+    append_all_signatures,
+    batch_signatures,
+    DedupIndex,
+    dedup_batch_against_index,
+)
+from ..operators.ingest import funnel_decisions
+from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
+
+
+class IngestFunnelSink:
+    """foreachBatch target: continuous composed admission.
+
+    Per micro-batch of (doc_id, text) rows: probe dedup index →
+    contamination probe → quality floor → write per-doc decision rows
+    under ``decisions/epoch=N`` → extend the dedup index with all
+    probed signatures → commit the epoch. See the module docstring for
+    the replay bracket and the seen=probed index discipline.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: DedupIndex,
+        grams_table: str,
+        out_dir: str,
+    ) -> None:
+        self.spark = spark
+        self.index = index
+        self.grams_table = grams_table
+        self.decisions_dir = os.path.join(out_dir, "decisions")
+        self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_dir = os.path.join(self.decisions_dir, f"epoch={int(epoch_id)}")
+        if int(epoch_id) in self.ledger.committed():
+            # A committed epoch is normally a harmless redelivery — but
+            # epoch ids are only meaningful WITHIN one streaming
+            # checkpoint lineage. If the checkpoint was wiped while the
+            # sink's ledger survived, the restarted query numbers fresh
+            # batches from 0 and a bare skip would silently drop their
+            # data. Verify the redelivered batch IS the recorded one
+            # (same doc_id set as the epoch's decision record) and fail
+            # loudly on mismatch: the checkpoint and the sink state are
+            # ONE recovery unit — restore or reset them together.
+            self._verify_replay(batch_df, epoch_dir, int(epoch_id))
+            return
+        prior = read_epoch_record(self.spark, epoch_dir)
+        if prior is not None:
+            # Partial replay: decisions are complete (existence ⇒
+            # completeness), so only the index extension can be missing.
+            # Repair it from the redelivered rows and commit — never
+            # re-probe (the probe must see an index free of this batch).
+            try:
+                indexed = self.spark.table(self.index.shingles_table).select(
+                    "doc_id"
+                )
+                missing = prior.select("doc_id").join(
+                    indexed, "doc_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                if missing.limit(1).count():
+                    rows = batch_df.join(
+                        missing, "doc_id", "left_semi"
+                    ).localCheckpoint(eager=True)
+                    m_hashed, m_bands, m_pre = batch_signatures(rows)
+                    append_all_signatures(
+                        self.spark,
+                        self.index,
+                        m_bands,
+                        m_hashed,
+                        stamp=int(epoch_id),
+                        op="replay-repair",
+                    )
+                    for d in (m_hashed, m_bands, m_pre, rows):
+                        unpersist_checkpoints(d)
+                unpersist_checkpoints(missing)
+            finally:
+                unpersist_checkpoints(prior)
+            self.ledger.commit(int(epoch_id))
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        res = dedup_batch_against_index(self.spark, batch_df, self.index)
+        cont = check_batch_contamination(self.spark, batch_df, self.grams_table)
+        try:
+            decisions = funnel_decisions(batch_df, res.novel_ids, cont)
+            write_epoch_record(decisions, epoch_dir)
+            append_all_signatures(
+                self.spark,
+                self.index,
+                res.batch_bands,
+                res.batch_shingles,
+                stamp=int(epoch_id),
+            )
+            self.ledger.commit(int(epoch_id))
+        finally:
+            for d in (*res.checkpoints, cont, batch_df):
+                unpersist_checkpoints(d)
+
+    def _verify_replay(
+        self, batch_df: DataFrame, epoch_dir: str, epoch_id: int
+    ) -> None:
+        """Raise unless the redelivered batch's doc_id set equals the
+        committed epoch's decision record. Cost: two epoch-sized jobs,
+        paid only on replays of committed epochs (rare). A missing
+        record (e.g. reclaimed by decision-retention policy) degrades to
+        the bare skip — the pre-round-10 behavior."""
+        record = read_epoch_record(self.spark, epoch_dir)
+        if record is None:
+            return
+        try:
+            batch_ids = batch_df.select("doc_id")
+            extra = batch_ids.join(
+                record.select("doc_id"), "doc_id", "left_anti"
+            ).limit(1).count()
+            missing = record.select("doc_id").join(
+                batch_ids, "doc_id", "left_anti"
+            ).limit(1).count()
+        finally:
+            unpersist_checkpoints(record)
+        if extra or missing:
+            raise RuntimeError(
+                f"epoch {epoch_id} is committed but was redelivered with "
+                "different contents — this is not a replay but an epoch-id "
+                "collision (typically a wiped/renamed streaming checkpoint "
+                "over a surviving sink ledger). The checkpoint and the sink "
+                "state (ledger + decision records + index) form one "
+                "recovery unit: restore them to the same point, or reset "
+                "all of them, before restarting the stream."
+            )
+
+    # -- read-back helper (test / downstream convenience) ----------------
+    def decisions(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.decisions_dir).parquet(
+            self.decisions_dir
+        )

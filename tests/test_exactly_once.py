@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from postgresql_transfer_tool_spark.catalog import load_table
 from postgresql_transfer_tool_spark.streaming.exactly_once import IdempotentParquetSink
 from postgresql_transfer_tool_spark.streaming.incremental import prepare_landing
@@ -44,6 +46,114 @@ def test_read_all_before_first_commit(spark, tmp_path):
         sink.read_all(spark)
     empty = sink.read_all(spark, schema="event_id long, value double")
     assert empty.count() == 0 and empty.columns == ["event_id", "value"]
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "doc_id bigint")
+
+
+def _rename_bomb(monkeypatch, predicate):
+    """Make os.rename crash when predicate(src, dst) — simulating a
+    process kill at an exact point inside write_epoch_record. Spark's
+    own writes go through the JVM, so only the record protocol's Python
+    renames are affected."""
+    import os as _os
+
+    real = _os.rename
+
+    def boom(src, dst, *a, **k):
+        if predicate(str(src), str(dst)):
+            raise OSError("injected crash at rename")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr(_os, "rename", boom)
+    return real
+
+
+def test_epoch_record_overwrite_has_no_record_less_window(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE #2: the old rmtree-then-rename overwrite had a
+    window with NO readable record, violating the sinks' nonexistence ⇒
+    no-prior-progress assumption. The rename-aside write must leave
+    either the old or the new record readable at every kill point."""
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        read_epoch_record,
+        write_epoch_record,
+    )
+
+    import pytest
+
+    epoch_dir = str(tmp_path / "rec" / "epoch=0")
+    write_epoch_record(_ids(spark, [1, 2, 3]), epoch_dir)
+
+    # kill BEFORE the aside rename (the old record is still live)
+    _rename_bomb(monkeypatch, lambda s, d: s.rstrip("/") == epoch_dir)
+    with pytest.raises(OSError, match="injected"):
+        write_epoch_record(_ids(spark, [7, 8]), epoch_dir)
+    got = read_epoch_record(spark, epoch_dir)
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+
+    # kill between the aside rename and the rename-into-place — the
+    # exact window the old scheme left with NO record at all
+    monkeypatch.undo()
+    _rename_bomb(monkeypatch, lambda s, d: d.rstrip("/") == epoch_dir)
+    with pytest.raises(OSError, match="injected"):
+        write_epoch_record(_ids(spark, [7, 8]), epoch_dir)
+    got = read_epoch_record(spark, epoch_dir)
+    assert got is not None, "record-less window: prior progress invisible"
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+
+    # the retried write converges and clears every aside dir
+    monkeypatch.undo()
+    write_epoch_record(_ids(spark, [7, 8]), epoch_dir)
+    assert {
+        r.doc_id for r in read_epoch_record(spark, epoch_dir).collect()
+    } == {7, 8}
+    leftovers = [
+        f for f in os.listdir(tmp_path / "rec") if f != "epoch=0"
+    ]
+    assert leftovers == []
+
+
+def test_epoch_record_crash_leftovers_invisible_to_discovery(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE #3: the old scheme's tmp dirs lived INSIDE the
+    partitioned root as 'epoch=N.tmp-<pid>', so a pre-rename crash made
+    partition discovery parse the leftover as a phantom string epoch,
+    duplicating rows. Scratch dirs now start with '_' (ignored by
+    discovery), and the writer sweeps legacy leftovers."""
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        read_epoch_record,
+        write_epoch_record,
+    )
+
+    root = str(tmp_path / "rec")
+    write_epoch_record(_ids(spark, [1, 2, 3]), os.path.join(root, "epoch=0"))
+
+    # first write of epoch 1 dies before its rename-into-place
+    e1 = os.path.join(root, "epoch=1")
+    _rename_bomb(monkeypatch, lambda s, d: d.rstrip("/") == e1)
+    import pytest
+
+    with pytest.raises(OSError, match="injected"):
+        write_epoch_record(_ids(spark, [9]), e1)
+    monkeypatch.undo()
+
+    assert read_epoch_record(spark, e1) is None  # no progress recorded
+    disc = spark.read.option("basePath", root).parquet(root)
+    assert {r.doc_id for r in disc.collect()} == {1, 2, 3}
+    assert dict(disc.dtypes)["epoch"] == "int"  # not a string phantom
+
+    # a legacy 'epoch=N.tmp-<pid>' leftover is swept by the next write
+    legacy = os.path.join(root, "epoch=1.tmp-12345")
+    _ids(spark, [42]).write.parquet(legacy)
+    write_epoch_record(_ids(spark, [9]), e1)
+    assert not os.path.exists(legacy)
+    disc = spark.read.option("basePath", root).parquet(root)
+    assert {r.doc_id for r in disc.collect()} == {1, 2, 3, 9}
+    assert dict(disc.dtypes)["epoch"] == "int"
 
 
 def test_two_ledger_writers_do_not_lose_epochs(tmp_path):

@@ -1,0 +1,230 @@
+"""Streaming admission funnel (streaming/ingest_funnel.py): three
+id-ordered epochs through a real file-source stream must reproduce the
+one-shot batch funnel bit-for-bit, including the seen=probed index
+discipline (a doc matching only a REJECTED earlier doc is still a dup);
+then the replay bracket for every crash window, restart-from-checkpoint
+continuation, and the loud epoch-id-collision guard."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from tests.test_dedup_index import _docs, _text
+
+from postgresql_transfer_tool_spark.operators.contamination_index import (
+    build_contamination_index,
+    check_batch_contamination,
+)
+from postgresql_transfer_tool_spark.operators.dedup_index import (
+    build_dedup_index,
+    dedup_batch_against_index,
+)
+from postgresql_transfer_tool_spark.operators.ingest import funnel_decisions
+from postgresql_transfer_tool_spark.streaming.ingest_funnel import IngestFunnelSink
+
+CORPUS = [(100, _text(1)), (101, _text(2)), (102, _text(3)),
+          (103, _text(4)), (104, _text(5))]
+BENCH = [(900, _text(50))]
+
+SHORT7 = "q1 q2 q3 q4 q5 q6 q7"  # shingled but under the 10-token floor
+
+#: epochs are nondecreasing doc_id ranges (the monotone-HWM ingest
+#: contract). Engineered cases: cross-index dup (200), within-epoch twin
+#: (203), shingle-less short doc (204), contaminated novel doc (205),
+#: quality-rejected shingled doc (206), and in later epochs docs whose
+#: ONLY near-dup is an earlier REJECTED doc (305 ≡ 205, 306 ≡ 206) —
+#: dups under seen=probed, wrongly novel under seen=admitted.
+EPOCH0 = [(200, _text(1)), (201, _text(11)), (202, _text(12)),
+          (203, _text(12)), (204, "too short"), (205, _text(50)),
+          (206, SHORT7)]
+EPOCH1 = [(300, _text(12)), (301, _text(11)), (302, _text(13)),
+          (305, _text(50)), (306, SHORT7)]
+EPOCH2 = [(400, _text(13)), (401, _text(14)), (402, _text(5))]
+
+DECISION_COLS = ["doc_id", "is_novel", "n_grams", "n_shared",
+                 "is_contaminated", "n_tokens", "admitted"]
+
+
+def _build(spark, prefix):
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, CORPUS), tempfile.mkdtemp(prefix=name), name
+    )
+    gname = f"{name}g"
+    gtable = build_contamination_index(
+        spark, _docs(spark, BENCH), tempfile.mkdtemp(prefix=gname), gname
+    )
+    return index, gtable
+
+
+def _drop(spark, index, gtable):
+    stem = index.bands_table.rsplit("_", 1)[0]
+    gstem = gtable.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table, gtable,
+              f"{stem}_tombstones", f"{stem}_stamps",
+              f"{gstem}_tombstones", f"{gstem}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select(*DECISION_COLS).collect()}
+
+
+def _batch_oracle_rows(spark):
+    """One-shot batch-funnel ground truth over the same input: fresh
+    corpus index, whole batch probed at once, same decision builder."""
+    index, gtable = _build(spark, "fnlb")
+    batch = _docs(spark, EPOCH0 + EPOCH1 + EPOCH2)
+    res = dedup_batch_against_index(spark, batch, index)
+    cont = check_batch_contamination(spark, batch, gtable)
+    rows = _rows(funnel_decisions(batch, res.novel_ids, cont))
+    _drop(spark, index, gtable)
+    return rows
+
+
+def test_streaming_epochs_equal_batch_funnel(spark, tmp_path):
+    index, gtable = _build(spark, "fnls")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    sink = IngestFunnelSink(spark, index, gtable, str(tmp_path / "out"))
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(landing)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        for wave in (EPOCH0, EPOCH1, EPOCH2):
+            _docs(spark, wave).coalesce(1).write.mode("append").parquet(landing)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = _rows(sink.decisions())
+    assert got == _batch_oracle_rows(spark)
+
+    by_id = {r[0]: r for r in got}
+    admitted = {d for d, r in by_id.items() if r[6]}
+    assert admitted == {201, 202, 302, 401}
+    # the seen=probed discipline: 305/306's only near-dups (205/206)
+    # were REJECTED (contamination / quality) yet still indexed, so the
+    # later twins are correctly non-novel
+    assert by_id[305][1] is False and by_id[306][1] is False
+    # evidence columns: 205/305 share every gram with the benchmark doc
+    assert by_id[305][4] is True and by_id[305][2] == by_id[305][3] > 0
+    # cross-index and cross-epoch dups
+    for d in (200, 203, 300, 301, 400, 402):
+        assert by_id[d][1] is False
+    # shingle-less + quality floor
+    assert by_id[204][1] is True and by_id[204][6] is False
+    assert by_id[206][1] is True and by_id[206][6] is False
+
+    # epoch ids double as TTL stamps for every probed doc with shingles
+    stamps = {
+        r.id
+        for r in spark.table(
+            f"{index.bands_table.rsplit('_', 1)[0]}_stamps"
+        ).collect()
+    }
+    assert stamps == {d for d, _ in EPOCH0 + EPOCH1 + EPOCH2} - {204}
+
+    # --- restart from the SAME checkpoint: the stream continues with
+    # the next epoch and decisions stay consistent (no redelivery
+    # confusion, no duplicate decision rows) ---
+    extra = [(500, _text(15)), (501, _text(14))]  # 501 dup of admitted 401
+    q2 = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        _docs(spark, extra).coalesce(1).write.mode("append").parquet(landing)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    by_id2 = {r[0]: r for r in _rows(sink.decisions())}
+    assert len(by_id2) == len(by_id) + 2
+    assert by_id2[500][6] is True and by_id2[501][1] is False
+    _drop(spark, index, gtable)
+
+
+def test_replay_windows_and_collision_guard(spark, tmp_path, monkeypatch):
+    from postgresql_transfer_tool_spark.streaming import ingest_funnel as mod
+
+    index, gtable = _build(spark, "fnlr")
+    out = str(tmp_path / "out")
+    sink = IngestFunnelSink(spark, index, gtable, out)
+
+    # --- crash window A: decisions written, extend lost ---
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before extend")
+
+    monkeypatch.setattr(mod, "append_all_signatures", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(_docs(spark, EPOCH0), 0)
+    assert sink.ledger.committed() == set()
+    decided0 = _rows(sink.decisions())
+    assert {r[0] for r in decided0} == {d for d, _ in EPOCH0}
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table)
+        .select("doc_id").distinct().collect()
+    }
+    assert indexed == {d for d, _ in CORPUS}  # nothing of epoch 0 landed
+
+    # replay repairs the extension WITHOUT re-probing, records the
+    # stamps (the round-9 ADVICE class: a repair that appends without
+    # stamping creates rows TTL can never expire), and commits
+    monkeypatch.undo()
+    sink(_docs(spark, EPOCH0), 0)
+    assert sink.ledger.committed() == {0}
+    assert _rows(sink.decisions()) == decided0  # decisions untouched
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table)
+        .select("doc_id").distinct().collect()
+    }
+    assert indexed == {d for d, _ in CORPUS} | {d for d, _ in EPOCH0} - {204}
+    stamps = {
+        (r.id, r.stamp)
+        for r in spark.table(
+            f"{index.bands_table.rsplit('_', 1)[0]}_stamps"
+        ).collect()
+    }
+    assert stamps == {(d, 0) for d, _ in EPOCH0 if d != 204}
+
+    # --- crash window B: extend done, commit lost → replay must append
+    # NOTHING (no duplicate signature rows, which would corrupt the
+    # Jaccard counts) and just commit ---
+    sink(_docs(spark, EPOCH1), 1)
+    n_sh = spark.table(index.shingles_table).count()
+    n_bd = spark.table(index.bands_table).count()
+    os.remove(os.path.join(out, "_epochs", "epoch=1.committed"))
+    sink(_docs(spark, EPOCH1), 1)
+    assert sink.ledger.committed() == {0, 1}
+    assert spark.table(index.shingles_table).count() == n_sh
+    assert spark.table(index.bands_table).count() == n_bd
+
+    # --- full replay of a committed epoch with identical contents: a
+    # verified no-op ---
+    files_before = set(sink.decisions().inputFiles())
+    sink(_docs(spark, EPOCH1), 1)
+    assert set(sink.decisions().inputFiles()) == files_before
+
+    # --- epoch-id collision (wiped checkpoint, surviving ledger):
+    # NEW data redelivered under a committed epoch id must fail loudly,
+    # not be silently dropped ---
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, EPOCH2), 0)
+    # and the guard mutated nothing: decisions still cover exactly
+    # epochs 0-1, the ledger is unchanged, the index row counts too
+    assert {r[0] for r in _rows(sink.decisions())} == {
+        d for d, _ in EPOCH0 + EPOCH1
+    }
+    assert sink.ledger.committed() == {0, 1}
+    assert spark.table(index.shingles_table).count() == n_sh
+    _drop(spark, index, gtable)
