@@ -80,19 +80,13 @@ def index_root(spark: SparkSession, table: str) -> str:
 # ---------------------------------------------------------------------------
 
 @contextmanager
-def single_writer(spark: SparkSession, table: str, op: str = "write"):
-    """Exclusive write lock over the index that owns ``table``.
-
-    O_CREAT|O_EXCL creation of ``_writer.lock`` in the index root is
-    atomic on every POSIX filesystem; a held lock raises
-    :class:`ConcurrentIndexWriteError` immediately (fail-loud, never
-    block — a queued writer would operate on a snapshot taken before
-    the holder's appends, exactly the torn-extend interleaving the lock
-    exists to prevent). At 100 TB the same contract holds via the
-    object store's conditional-put / a catalog lock service; the
-    acquire/release sites in the index modules are the integration
-    points."""
-    root = index_root(spark, table)
+def writer_lock(root: str, op: str = "write"):
+    """Exclusive write lock over the index rooted at ``root`` — the
+    path-keyed core of :func:`single_writer`, usable without a Spark
+    session (and therefore from OTHER PROCESSES: the whole point of an
+    O_EXCL file lock is that it arbitrates between writers that share
+    nothing but the filesystem — tests/test_index_base.py races real
+    subprocesses through this exact function)."""
     lock = os.path.join(root, "_writer.lock")
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -116,6 +110,23 @@ def single_writer(spark: SparkSession, table: str, op: str = "write"):
             os.remove(lock)
         except OSError:
             pass
+
+
+@contextmanager
+def single_writer(spark: SparkSession, table: str, op: str = "write"):
+    """Exclusive write lock over the index that owns ``table``.
+
+    O_CREAT|O_EXCL creation of ``_writer.lock`` in the index root is
+    atomic on every POSIX filesystem — including between unrelated OS
+    processes; a held lock raises :class:`ConcurrentIndexWriteError`
+    immediately (fail-loud, never block — a queued writer would operate
+    on a snapshot taken before the holder's appends, exactly the
+    torn-extend interleaving the lock exists to prevent). At 100 TB the
+    same contract holds via the object store's conditional-put / a
+    catalog lock service; the acquire/release sites in the index
+    modules are the integration points."""
+    with writer_lock(index_root(spark, table), op=op):
+        yield
 
 
 # ---------------------------------------------------------------------------

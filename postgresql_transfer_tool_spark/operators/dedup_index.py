@@ -553,6 +553,67 @@ def dedup_index_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+@query(
+    "dedup_index_post_ttl",
+    oracle=_incremental_oracle(
+        exclude=f"doc_id % {DELETE_MOD} = 5 AND doc_id % {2 * DELETE_MOD} <> 13"
+    ),
+)
+def dedup_index_post_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-incremental TTL parity (VERDICT r9 #5): the stamps →
+    expired_ids → tombstones path proved end-to-end against an oracle,
+    not just unit-tested. The corpus is ingested in two stamped phases
+    (doc_id % 8 == 5 at stamp 0, the rest at stamp 1), one old slice
+    (doc_id % 16 == 13, a subset of the stamp-0 docs) is RE-INGESTED at
+    stamp 1 — the latest-stamp-wins refresh semantics — and then
+    everything whose latest stamp predates 1 is expired. The oracle is
+    the monolithic recompute over exactly the unexpired survivors
+    (closed form: drop doc_id % 8 == 5 except the refreshed % 16 == 13
+    slice), so a probe after expiry must equal a from-scratch rebuild
+    on what retention kept. Both residues are ≡ 1 (mod 4), so the
+    expired set is always corpus-only, never the probed batch."""
+    key = (spark.sparkContext.applicationId, sf_dir, "post_ttl")
+    cached = _DDIDX_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        name = index_table_name(
+            "ddidxt", spark.sparkContext.applicationId, sf_dir
+        )
+        corpus = docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+        phase0 = corpus.filter(F.col("doc_id") % DELETE_MOD == 5)
+        index = build_dedup_index(
+            spark, phase0, tempfile.mkdtemp(prefix=f"{name}_"), name, stamp=0
+        )
+        hashed, bands, pre = batch_signatures(
+            corpus.filter(F.col("doc_id") % DELETE_MOD != 5)
+        )
+        append_all_signatures(spark, index, bands, hashed, stamp=1)
+        for d in (hashed, bands, pre):
+            unpersist_checkpoints(d)
+        # the refreshed slice arrives again at stamp 1: only its stamp
+        # ledger row is new (its signature rows are already indexed) —
+        # an index mutation all the same, so it holds the writer lock
+        with single_writer(spark, index.bands_table, op="refresh"):
+            record_stamps(
+                spark,
+                index.bands_table,
+                corpus.filter(F.col("doc_id") % (2 * DELETE_MOD) == 13).select(
+                    "doc_id"
+                ),
+                stamp=1,
+            )
+        expire_dedup_index(spark, index, before_stamp=1)
+        res = dedup_batch_against_index(
+            spark, docs.filter(F.col("doc_id") % BATCH_MOD == 0), index
+        )
+        cached = _DDIDX_MEMO.put(
+            key, res.matched.localCheckpoint(eager=True), *res.checkpoints
+        )
+    return cached
+
+
 def delete_from_dedup_index(
     spark: SparkSession, index: DedupIndex, doc_ids: DataFrame
 ) -> None:

@@ -287,3 +287,54 @@ def test_retrain_recovers_recall_after_distribution_shift(spark):
         for t in (index.centroids_table, index.cells_table,
                   f"{name}_tombstones", f"{name}_stamps"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reader_during_retrain_swap_sees_one_consistent_generation(spark):
+    """VERDICT r9 #4: a probe plan built BEFORE a retrain must answer
+    from the pre-swap generation, whole and unmixed, even when evaluated
+    AFTER the swap completes. Why this holds by construction: the probe
+    collects the centroid literals at build time, its cells relation is
+    resolved to the old generation's storage at plan-analysis time, the
+    swap retires catalog NAMES without touching old data files
+    (_retrain_swap / swap_table leave the retired directory as caller
+    scratch), and the tombstone anti-join is decided when the plan is
+    built. A probe built after the swap sees the new generation — which,
+    over the same surviving corpus, equals a fresh rebuild."""
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        delete_from_ann_index,
+        retrain_ann_index,
+    )
+
+    vectors = _spark_quantized_materialized(spark, SF1).select("vec_id", "qe", "nq")
+    name = f"annidx_sw{uuid.uuid4().hex[:8]}"
+    index = build_ann_index(spark, vectors, tempfile.mkdtemp(prefix=name), name)
+    queries = vectors.filter(F.col("vec_id") < N_QUERIES)
+    try:
+        base = _rows(ann_query_index(spark, queries, index))
+        # plant a distinguishing vector: generation 1 = with the dup,
+        # generation 2 (post-delete retrain) = without it
+        q0 = vectors.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 10**9).alias("vec_id"), "qe", "nq"
+        )
+        extend_ann_index(spark, index, q0)
+        gen1 = _rows(ann_query_index(spark, queries, index))
+        assert gen1[(0, 1)][0] == 10**9  # the generations really differ
+
+        held = ann_query_index(spark, queries, index)  # built, NOT evaluated
+        delete_from_ann_index(
+            spark, index, spark.createDataFrame([(10**9,)], "vec_id bigint")
+        )
+        retrain_ann_index(spark, index, tempfile.mkdtemp(prefix=f"{name}_g2"))
+
+        # fresh probe: the new generation, ≡ rebuild on survivors
+        assert _rows(ann_query_index(spark, queries, index)) == base
+        # in-flight probe: the OLD generation, exactly — not a mix of
+        # new cells under old centroid literals, not a partial listing
+        assert _rows(held) == gen1
+    finally:
+        for t in (index.centroids_table, index.cells_table):
+            for suffix in ("", "_retired", "_retraining"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        stem = index.cells_table.rsplit("_", 1)[0]
+        for t in (f"{stem}_tombstones", f"{stem}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

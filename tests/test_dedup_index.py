@@ -418,3 +418,51 @@ def test_ttl_survives_compaction(spark):
     for t in (index.bands_table, index.shingles_table,
               f"{name}_tombstones", f"{name}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reader_during_compaction_swap_sees_one_consistent_generation(spark):
+    """VERDICT r9 #4 (compaction flavor): a batch-probe plan built
+    before delete+compaction answers from the pre-swap generation when
+    evaluated after the swap — the compacted generation lives at a new
+    path, the swap only moves catalog names, and the old directory
+    stays as caller scratch. A fresh probe sees the survivors only."""
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        compact_dedup_index,
+        delete_from_dedup_index,
+    )
+
+    name = f"ddidx_rs{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    try:
+        gen1 = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_batch_against_index(
+                spark, _docs(spark, WAVE1), index
+            ).matched.collect()
+        }
+        assert (101, 201) in gen1  # 201 duplicates indexed 101
+
+        held = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+        delete_from_dedup_index(
+            spark, index, _docs(spark, [(101, "x")]).select("doc_id")
+        )
+        compact_dedup_index(spark, index, tempfile.mkdtemp(prefix=f"{name}_g2"))
+
+        fresh = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_batch_against_index(
+                spark, _docs(spark, WAVE1), index
+            ).matched.collect()
+        }
+        assert fresh == gen1 - {(101, 201)}  # survivors-only generation
+        # the in-flight probe still answers from generation 1, whole
+        assert {(r.doc_a, r.doc_b) for r in held.matched.collect()} == gen1
+    finally:
+        stem = index.bands_table.rsplit("_", 1)[0]
+        for t in (index.bands_table, index.shingles_table,
+                  f"{index.bands_table}_compacting",
+                  f"{index.shingles_table}_compacting",
+                  f"{stem}_tombstones", f"{stem}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
