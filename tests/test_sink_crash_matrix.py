@@ -1,0 +1,284 @@
+"""Crash-recovery matrix for the three exactly-once index sinks
+(VERDICT r9 "Next round" #6): for EVERY step boundary in each sink's
+commit protocol — including a kill INSIDE write_epoch_record before its
+rename-into-place — inject the crash, replay the same epoch, and assert
+the final state is byte-equal to a run that never crashed. The kill
+points are enumerated exhaustively rather than sampled: each sink's
+protocol has finitely many durability boundaries and the whole claim is
+that every one of them converges."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from tests.test_dedup_index import WAVE0, WAVE1, _docs
+
+from postgresql_transfer_tool_spark.operators.ann_index import build_ann_index
+from postgresql_transfer_tool_spark.operators.contamination_index import (
+    build_contamination_index,
+)
+from postgresql_transfer_tool_spark.operators.dedup_index import build_dedup_index
+from postgresql_transfer_tool_spark.streaming.index_ann import AnnIndexSink
+from postgresql_transfer_tool_spark.streaming.index_contamination import (
+    ContaminationIndexSink,
+)
+from postgresql_transfer_tool_spark.streaming.index_dedup import DedupIndexSink
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _rename_bomb(monkeypatch, target_dir):
+    """Kill write_epoch_record between its tmp write and the
+    rename-into-place of ``target_dir`` (the record stays invisible)."""
+    import os as _os
+
+    real = _os.rename
+
+    def boom(src, dst, *a, **k):
+        if str(dst).rstrip("/") == target_dir.rstrip("/"):
+            raise _Boom("kill inside write_epoch_record")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr(_os, "rename", boom)
+
+
+def _after(monkeypatch, module, fn_name):
+    """Kill immediately AFTER ``module.fn_name`` completes (the step is
+    durable, everything later in the protocol is lost)."""
+    real = getattr(module, fn_name)
+
+    def wrapped(*a, **k):
+        real(*a, **k)
+        raise _Boom(f"kill after {fn_name}")
+
+    monkeypatch.setattr(module, fn_name, wrapped)
+
+
+def _instead(monkeypatch, module, fn_name):
+    """Kill INSTEAD of running ``module.fn_name`` (the step never ran)."""
+
+    def boom(*a, **k):
+        raise _Boom(f"kill before {fn_name}")
+
+    monkeypatch.setattr(module, fn_name, boom)
+
+
+def _commit_bomb(monkeypatch, sink):
+    def boom(*a, **k):
+        raise _Boom("kill before ledger commit")
+
+    monkeypatch.setattr(sink.ledger, "commit", boom)
+
+
+def _drop_index_tables(spark, *tables):
+    for t in tables:
+        stem = t.rsplit("_", 1)[0]
+        for name in (t, f"{stem}_tombstones", f"{stem}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# dedup sink: record(admitted) → pairs → extend → commit
+# ---------------------------------------------------------------------------
+
+def _dedup_sink(spark, tmp_path, tag):
+    name = f"ddidx_cm{tag}_{uuid.uuid4().hex[:6]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    return index, DedupIndexSink(spark, index, str(tmp_path / f"out_{tag}"))
+
+
+def _dedup_state(spark, index, sink):
+    return (
+        {r.doc_id for r in sink.admitted().select("doc_id").collect()},
+        {(r.doc_a, r.doc_b) for r in sink.pairs().collect()},
+        {
+            r.doc_id
+            for r in spark.table(index.shingles_table)
+            .select("doc_id").distinct().collect()
+        },
+        {
+            (r.id, r.stamp)
+            for r in spark.table(
+                f"{index.bands_table.rsplit('_', 1)[0]}_stamps"
+            ).collect()
+        },
+        sink.ledger.committed(),
+    )
+
+
+@pytest.mark.parametrize(
+    "kill",
+    ["in_record_rename", "after_record", "before_extend", "before_commit"],
+)
+def test_dedup_sink_converges_from_every_kill_point(
+    spark, tmp_path, monkeypatch, kill
+):
+    from postgresql_transfer_tool_spark.streaming import index_dedup as mod
+
+    index_c, sink_c = _dedup_sink(spark, tmp_path, "clean")
+    sink_c(_docs(spark, WAVE1), 0)
+    want = _dedup_state(spark, index_c, sink_c)
+
+    index, sink = _dedup_sink(spark, tmp_path, kill)
+    if kill == "in_record_rename":
+        _rename_bomb(
+            monkeypatch, os.path.join(sink.admitted_dir, "epoch=0")
+        )
+    elif kill == "after_record":
+        _after(monkeypatch, mod, "write_epoch_record")
+    elif kill == "before_extend":
+        _instead(monkeypatch, mod, "extend_dedup_index")
+    else:
+        _commit_bomb(monkeypatch, sink)
+    with pytest.raises(_Boom):
+        sink(_docs(spark, WAVE1), 0)
+    monkeypatch.undo()
+
+    sink(_docs(spark, WAVE1), 0)  # the replay Structured Streaming sends
+    got = _dedup_state(spark, index, sink)
+    assert got == want, f"kill={kill}: replay did not converge"
+    _drop_index_tables(
+        spark, index_c.bands_table, index_c.shingles_table,
+        index.bands_table, index.shingles_table,
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination sink: extend → record → commit (duplicates probe-inert)
+# ---------------------------------------------------------------------------
+
+_BENCH0 = [(900, "alpha beta gamma delta epsilon zeta")]
+_BENCH1 = [(901, "one two three four five six seven"),
+           (902, "red orange yellow green blue indigo")]
+
+
+def _cont_sink(spark, tmp_path, tag):
+    name = f"contidx_cm{tag}_{uuid.uuid4().hex[:6]}"
+    gtable = build_contamination_index(
+        spark, _docs(spark, _BENCH0), tempfile.mkdtemp(prefix=name), name
+    )
+    return gtable, ContaminationIndexSink(
+        spark, gtable, str(tmp_path / f"out_{tag}")
+    )
+
+
+def _cont_state(spark, gtable, sink):
+    # DISTINCT rows: the attributed schema makes duplicate rows
+    # semantically inert (the sink's documented contract), so
+    # convergence is up-to-duplicates; compaction reclaims the rest
+    return (
+        {(r.doc_id, r.gram) for r in spark.table(gtable).distinct().collect()},
+        {r.doc_id for r in sink.ingested().collect()},
+        sink.ledger.committed(),
+    )
+
+
+@pytest.mark.parametrize(
+    "kill", ["before_extend", "in_record_rename", "before_commit"]
+)
+def test_contamination_sink_converges_from_every_kill_point(
+    spark, tmp_path, monkeypatch, kill
+):
+    from postgresql_transfer_tool_spark.streaming import index_contamination as mod
+
+    gtable_c, sink_c = _cont_sink(spark, tmp_path, "clean")
+    sink_c(_docs(spark, _BENCH1), 0)
+    want = _cont_state(spark, gtable_c, sink_c)
+
+    gtable, sink = _cont_sink(spark, tmp_path, kill)
+    if kill == "before_extend":
+        _instead(monkeypatch, mod, "extend_contamination_index")
+    elif kill == "in_record_rename":
+        _rename_bomb(monkeypatch, os.path.join(sink.ingested_dir, "epoch=0"))
+    else:
+        _commit_bomb(monkeypatch, sink)
+    with pytest.raises(_Boom):
+        sink(_docs(spark, _BENCH1), 0)
+    monkeypatch.undo()
+
+    sink(_docs(spark, _BENCH1), 0)
+    got = _cont_state(spark, gtable, sink)
+    assert got == want, f"kill={kill}: replay did not converge"
+    _drop_index_tables(spark, gtable_c, gtable)
+
+
+# ---------------------------------------------------------------------------
+# ann sink: record(ingested) → extend → commit (duplicates NOT inert:
+# convergence must be exact row-for-row, no vector appended twice)
+# ---------------------------------------------------------------------------
+
+_DIM = 8
+
+
+def _vec(vec_id, axis, bump):
+    qe = [0] * _DIM
+    qe[axis] = 1_000_000 + bump
+    return (vec_id, qe, sum(x * x for x in qe))
+
+
+_ANN_BASE = [_vec(i, i % _DIM, i) for i in range(32)]
+_ANN_WAVE = [_vec(100 + i, i % _DIM, 500 + i) for i in range(8)]
+_ANN_SCHEMA = "vec_id bigint, qe array<bigint>, nq bigint"
+
+
+def _ann_sink(spark, tmp_path, tag):
+    name = f"annidx_cm{tag}_{uuid.uuid4().hex[:6]}"
+    index = build_ann_index(
+        spark,
+        spark.createDataFrame(_ANN_BASE, _ANN_SCHEMA),
+        tempfile.mkdtemp(prefix=name),
+        name,
+        n_rows=len(_ANN_BASE),
+    )
+    return index, AnnIndexSink(spark, index, str(tmp_path / f"out_{tag}"))
+
+
+def _ann_state(spark, index, sink):
+    return (
+        sorted(r.vec_id for r in spark.table(index.cells_table).collect()),
+        {r.vec_id for r in sink.ingested().collect()},
+        sink.ledger.committed(),
+    )
+
+
+@pytest.mark.parametrize(
+    "kill", ["in_record_rename", "before_extend", "before_commit"]
+)
+def test_ann_sink_converges_from_every_kill_point(
+    spark, tmp_path, monkeypatch, kill
+):
+    from postgresql_transfer_tool_spark.streaming import index_ann as mod
+
+    index_c, sink_c = _ann_sink(spark, tmp_path, "clean")
+    sink_c(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)
+    want = _ann_state(spark, index_c, sink_c)
+
+    index, sink = _ann_sink(spark, tmp_path, kill)
+    if kill == "in_record_rename":
+        _rename_bomb(monkeypatch, os.path.join(sink.ingested_dir, "epoch=0"))
+    elif kill == "before_extend":
+        _instead(monkeypatch, mod, "extend_ann_index")
+    else:
+        _commit_bomb(monkeypatch, sink)
+    with pytest.raises(_Boom):
+        sink(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)
+    monkeypatch.undo()
+
+    sink(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)
+    got = _ann_state(spark, index, sink)
+    assert got == want, f"kill={kill}: replay did not converge"
+    # the duplicate-sensitivity claim, explicitly: every vector once
+    assert got[0] == sorted(set(got[0]))
+    _drop_index_tables(
+        spark, index_c.cells_table, index.cells_table,
+    )
+    for t in (index_c.centroids_table, index.centroids_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
