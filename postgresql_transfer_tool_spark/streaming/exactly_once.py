@@ -175,3 +175,55 @@ def read_epoch_record(spark, epoch_dir: str) -> DataFrame | None:
         return spark.read.parquet(path).localCheckpoint(eager=True)
     except AnalysisException:
         return None  # dir exists, holds no parquet yet
+
+
+def verify_committed_replay(
+    spark,
+    batch_df: DataFrame,
+    epoch_dir: str,
+    epoch_id: int,
+    id_col: str,
+    subset_ok: bool = False,
+) -> None:
+    """Guard a committed-epoch skip against EPOCH-ID COLLISIONS.
+
+    A committed epoch redelivered by Structured Streaming is a harmless
+    replay — but epoch ids are only meaningful within one streaming
+    checkpoint lineage. If the checkpoint is wiped (or the query is
+    pointed at a fresh checkpoint) while the sink's ledger survives,
+    the restarted query numbers fresh batches from 0 and a bare
+    "committed → skip" silently drops their data. This check compares
+    the redelivered batch's ``id_col`` set against the committed
+    epoch's record and raises on mismatch — loud failure naming the
+    recovery unit instead of silent loss.
+
+    ``subset_ok``: for sinks whose record is a FILTERED view of the
+    batch (DedupIndexSink records admitted ⊂ batch), only
+    record-but-not-in-batch ids can prove a collision.
+    A missing record (e.g. reclaimed by retention) degrades to the
+    bare skip. Cost: at most two epoch-sized jobs, paid only on
+    replays of committed epochs (rare)."""
+    from ..functions.memo import unpersist_checkpoints
+
+    record = read_epoch_record(spark, epoch_dir)
+    if record is None:
+        return
+    try:
+        rec_ids = record.select(id_col)
+        batch_ids = batch_df.select(id_col)
+        missing = rec_ids.join(batch_ids, id_col, "left_anti").limit(1).count()
+        extra = 0
+        if not subset_ok:
+            extra = batch_ids.join(rec_ids, id_col, "left_anti").limit(1).count()
+    finally:
+        unpersist_checkpoints(record)
+    if missing or extra:
+        raise RuntimeError(
+            f"epoch {epoch_id} is committed but was redelivered with "
+            "different contents — this is not a replay but an epoch-id "
+            "collision (typically a wiped/renamed streaming checkpoint "
+            "over a surviving sink ledger). The checkpoint and the sink "
+            "state (ledger + epoch records + index) form one recovery "
+            "unit: restore them to the same point, or reset all of them, "
+            "before restarting the stream."
+        )

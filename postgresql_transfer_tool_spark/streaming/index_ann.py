@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.memo import unpersist_checkpoints
 from ..operators.ann_index import AnnIndex, extend_ann_index
-from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
+from .exactly_once import (
+    EpochLedger,
+    read_epoch_record,
+    verify_committed_replay,
+    write_epoch_record,
+)
 
 
 class AnnIndexSink:
@@ -59,9 +64,15 @@ class AnnIndexSink:
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if int(epoch_id) in self.ledger.committed():
-            return
         epoch_dir = os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}")
+        if int(epoch_id) in self.ledger.committed():
+            # fail loudly on epoch-id collision (wiped checkpoint over a
+            # surviving ledger) instead of silently dropping a renumbered
+            # batch — the record holds the epoch's exact vec-id set
+            verify_committed_replay(
+                self.spark, batch_df, epoch_dir, int(epoch_id), "vec_id"
+            )
+            return
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # partial replay: extend with exactly the recorded ids whose

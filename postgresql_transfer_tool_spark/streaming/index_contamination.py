@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.contamination_index import extend_contamination_index
-from .exactly_once import EpochLedger, write_epoch_record
+from .exactly_once import EpochLedger, verify_committed_replay, write_epoch_record
 
 
 class ContaminationIndexSink:
@@ -60,6 +60,16 @@ class ContaminationIndexSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) in self.ledger.committed():
+            # fail loudly on epoch-id collision (wiped checkpoint over a
+            # surviving ledger) instead of silently dropping a renumbered
+            # batch — the record holds the epoch's exact doc-id set
+            verify_committed_replay(
+                self.spark,
+                batch_df,
+                os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}"),
+                int(epoch_id),
+                "doc_id",
+            )
             return
         extend_contamination_index(
             self.spark, self.grams_table, batch_df, stamp=int(epoch_id)

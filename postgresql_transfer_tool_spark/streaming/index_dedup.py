@@ -54,7 +54,12 @@ from ..operators.dedup_index import (
     dedup_batch_against_index,
     extend_dedup_index,
 )
-from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
+from .exactly_once import (
+    EpochLedger,
+    read_epoch_record,
+    verify_committed_replay,
+    write_epoch_record,
+)
 
 
 class DedupIndexSink:
@@ -87,7 +92,17 @@ class DedupIndexSink:
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
         if int(epoch_id) in self.ledger.committed():
+            # guard the skip against epoch-id collisions (a wiped
+            # checkpoint over a surviving ledger renumbers fresh batches
+            # from 0 — fail loudly instead of dropping them). The
+            # admitted record is a FILTERED view of the batch, so only
+            # recorded-but-not-redelivered ids can prove a collision.
+            verify_committed_replay(
+                self.spark, batch_df, epoch_dir, int(epoch_id),
+                "doc_id", subset_ok=True,
+            )
             return
         # Partial-replay state is confined to THIS epoch's output dir:
         # foreachBatch re-delivers the same rows under the same epoch
@@ -98,7 +113,6 @@ class DedupIndexSink:
         # the whole-dir scan contradicted the per-batch-cost posture).
         # Snapshot it eagerly: step 4 below overwrites the very files
         # this plan reads.
-        epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
         # eagerly checkpointed (step 4 overwrites the dir this plan
         # reads); written via write_epoch_record below so existence ⇒
         # completeness. Non-Analysis read errors (corrupt files,

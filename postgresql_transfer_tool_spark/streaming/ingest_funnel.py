@@ -86,7 +86,12 @@ from ..operators.dedup_index import (
     dedup_batch_against_index,
 )
 from ..operators.ingest import funnel_decisions
-from .exactly_once import EpochLedger, read_epoch_record, write_epoch_record
+from .exactly_once import (
+    EpochLedger,
+    read_epoch_record,
+    verify_committed_replay,
+    write_epoch_record,
+)
 
 
 class IngestFunnelSink:
@@ -181,33 +186,12 @@ class IngestFunnelSink:
         self, batch_df: DataFrame, epoch_dir: str, epoch_id: int
     ) -> None:
         """Raise unless the redelivered batch's doc_id set equals the
-        committed epoch's decision record. Cost: two epoch-sized jobs,
-        paid only on replays of committed epochs (rare). A missing
-        record (e.g. reclaimed by decision-retention policy) degrades to
-        the bare skip — the pre-round-10 behavior."""
-        record = read_epoch_record(self.spark, epoch_dir)
-        if record is None:
-            return
-        try:
-            batch_ids = batch_df.select("doc_id")
-            extra = batch_ids.join(
-                record.select("doc_id"), "doc_id", "left_anti"
-            ).limit(1).count()
-            missing = record.select("doc_id").join(
-                batch_ids, "doc_id", "left_anti"
-            ).limit(1).count()
-        finally:
-            unpersist_checkpoints(record)
-        if extra or missing:
-            raise RuntimeError(
-                f"epoch {epoch_id} is committed but was redelivered with "
-                "different contents — this is not a replay but an epoch-id "
-                "collision (typically a wiped/renamed streaming checkpoint "
-                "over a surviving sink ledger). The checkpoint and the sink "
-                "state (ledger + decision records + index) form one "
-                "recovery unit: restore them to the same point, or reset "
-                "all of them, before restarting the stream."
-            )
+        committed epoch's decision record (exactly_once.
+        verify_committed_replay — the decision record covers EVERY
+        probed doc, so the check is exact, not subset)."""
+        verify_committed_replay(
+            self.spark, batch_df, epoch_dir, epoch_id, "doc_id"
+        )
 
     # -- read-back helper (test / downstream convenience) ----------------
     def decisions(self) -> DataFrame:

@@ -282,3 +282,33 @@ def test_ann_sink_converges_from_every_kill_point(
     )
     for t in (index_c.centroids_table, index.centroids_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_committed_epoch_collision_raises_for_every_sink(spark, tmp_path):
+    """Epoch ids are only meaningful within one checkpoint lineage: a
+    committed epoch redelivered with DIFFERENT contents (the wiped-
+    checkpoint-over-surviving-ledger case) must raise in every sink,
+    not silently skip — silent skip is data loss. Identical redelivery
+    (the normal at-least-once replay) stays a no-op, covered by the
+    per-sink streaming tests."""
+    from tests.test_dedup_index import WAVE2
+
+    index, sink = _dedup_sink(spark, tmp_path, "dcol")
+    sink(_docs(spark, WAVE1), 0)
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, WAVE2), 0)
+    _drop_index_tables(spark, index.bands_table, index.shingles_table)
+
+    gtable, csink = _cont_sink(spark, tmp_path, "ccol")
+    csink(_docs(spark, _BENCH1), 0)
+    with pytest.raises(RuntimeError, match="collision"):
+        csink(_docs(spark, _BENCH0), 0)
+    _drop_index_tables(spark, gtable)
+
+    aindex, asink = _ann_sink(spark, tmp_path, "acol")
+    asink(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)
+    other = [_vec(300 + i, i % _DIM, 700 + i) for i in range(4)]
+    with pytest.raises(RuntimeError, match="collision"):
+        asink(spark.createDataFrame(other, _ANN_SCHEMA), 0)
+    _drop_index_tables(spark, aindex.cells_table)
+    spark.sql(f"DROP TABLE IF EXISTS {aindex.centroids_table}")
