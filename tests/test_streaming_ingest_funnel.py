@@ -228,3 +228,46 @@ def test_replay_windows_and_collision_guard(spark, tmp_path, monkeypatch):
     assert sink.ledger.committed() == {0, 1}
     assert spark.table(index.shingles_table).count() == n_sh
     _drop(spark, index, gtable)
+
+
+def test_benchmark_stream_interleaves_with_funnel(spark, tmp_path):
+    """The full two-stream pipeline: benchmarks arrive through their own
+    sink (ContaminationIndexSink) against the SAME grams table the
+    funnel probes. A benchmark ingested between funnel epochs must gate
+    every LATER epoch (its grams are in the universe when they probe)
+    while already-written decisions stay untouched — per-epoch snapshot
+    semantics, exactly how a real pipeline versions its held-out sets."""
+    from postgresql_transfer_tool_spark.streaming.index_contamination import (
+        ContaminationIndexSink,
+    )
+
+    index, gtable = _build(spark, "fnlb2")
+    bench_sink = ContaminationIndexSink(
+        spark, gtable, str(tmp_path / "bench_out")
+    )
+    sink = IngestFunnelSink(spark, index, gtable, str(tmp_path / "out"))
+
+    # epoch 0: doc 207 shares no grams with the initial benchmark (900)
+    probe_doc = [(207, _text(60))]
+    sink(_docs(spark, probe_doc), 0)
+    d0 = {r[0]: r for r in _rows(sink.decisions())}
+    assert d0[207][4] is False and d0[207][6] is True  # clean, admitted
+
+    # a NEW benchmark lands mid-stream: same text as a doc that will
+    # arrive in the funnel's next epoch
+    bench_sink(_docs(spark, [(901, _text(61))]), 0)
+
+    # epoch 1: 307 matches the new benchmark → contaminated, rejected;
+    # 308 is clean. Epoch 0's decision row is untouched.
+    sink(_docs(spark, [(307, _text(61)), (308, _text(62))]), 1)
+    d1 = {r[0]: r for r in _rows(sink.decisions())}
+    assert d1[307][4] is True and d1[307][6] is False
+    assert d1[308][4] is False and d1[308][6] is True
+    assert d1[207] == d0[207]  # snapshot semantics: not re-decided
+
+    # and the benchmark sink's replay bracket still holds on the shared
+    # table: a redelivered benchmark epoch is a verified no-op
+    n = spark.table(gtable).count()
+    bench_sink(_docs(spark, [(901, _text(61))]), 0)
+    assert spark.table(gtable).count() == n
+    _drop(spark, index, gtable)
