@@ -53,13 +53,11 @@ MIN_TOKENS = 10
 _INGEST_MEMO = CheckpointMemo()
 
 
-def _funnel_oracle() -> str:
-    """Monolithic recompute of the whole funnel. CTE namespace: the
-    shared verified-pairs chain claims toks/sh/hashed/hsh/sigs/sigs2/
-    bands/cand/counts/inter/verified; the funnel adds f-prefixed ones."""
-    return f"""
-    WITH {verified_pairs_cte()},
-    fdups AS (
+def _funnel_cte() -> str:
+    """The funnel's f-prefixed CTE chain (text-dup set + contamination
+    stats), appended after :func:`verified_pairs_cte`. Shared by the
+    plain funnel oracle and the ANN-composed one."""
+    return f"""fdups AS (
       SELECT DISTINCT CASE
         WHEN doc_a % {BATCH_MOD} = 0 AND doc_b % {BATCH_MOD} = 0 THEN doc_b
         WHEN doc_a % {BATCH_MOD} = 0 THEN doc_a
@@ -89,7 +87,16 @@ def _funnel_oracle() -> str:
              COUNT(b.gram) > 0 AS isc
       FROM ftrain t LEFT JOIN fbench b ON t.gram = b.gram
       GROUP BY t.doc_id
-    )
+    )"""
+
+
+def _funnel_oracle() -> str:
+    """Monolithic recompute of the whole funnel. CTE namespace: the
+    shared verified-pairs chain claims toks/sh/hashed/hsh/sigs/sigs2/
+    bands/cand/counts/inter/verified; the funnel adds f-prefixed ones."""
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()}
     SELECT d.doc_id,
            (dp.doc_id IS NULL) AS is_novel,
            COALESCE(c.n_grams, 0) AS n_grams,
@@ -259,4 +266,171 @@ def streaming_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "admitted",
         )
         cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
+# ---------------------------------------------------------------------------
+# ANN-composed funnel (round 10): the index trilogy completed. The plain
+# funnel composes the near-dup TEXT index and the contamination gram
+# index; real curation pipelines also reject documents whose EMBEDDING
+# is a near-duplicate of the accumulated corpus (SemDeDup-style semantic
+# dedup — paraphrases and translations share no shingles but sit at high
+# cosine). This stage probes the third persistent index — the IVF cells
+# table of operators/ann_index.py — for each batch document's nearest
+# accumulated neighbor and adds "embedding-novel" to the admission
+# predicate. The probe is the production ANN path (nprobe cells under
+# the deterministic centroid rule, map-side assignment, bucketed cells
+# never reshuffled), NOT the quadratic exact baseline; the oracle
+# mirrors the IVF semantics exactly (same CTE chain as ann_ivf_topk,
+# restricted to the corpus split), so approximate-but-deterministic
+# search is hash-verified cross-engine.
+# ---------------------------------------------------------------------------
+
+#: embedding near-dup admission threshold — the same cosine the
+#: monolithic semantic-dedup operator uses (operators/dedup.py)
+from .dedup import COSINE_NEARDUP_THRESHOLD as TAU_EMB  # noqa: E402
+
+
+def _funnel_ann_oracle() -> str:
+    from .similarity import (
+        _SQL_DOT,
+        _SQL_QUANTIZED,
+        DIM,
+        MAX_CELL_BITS,
+        MIN_CELL_BITS,
+        NPROBE,
+        TARGET_CELL,
+    )
+
+    cell_cos = (
+        f"CAST(list_sum(list_transform(range({DIM}),"
+        " i -> v.qe[i+1] * c.ce[i+1])) AS DOUBLE)"
+        " / (sqrt(CAST(v.nq AS DOUBLE)) * sqrt(CAST(c.ncent AS DOUBLE)))"
+    )
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    {_SQL_QUANTIZED},
+    eq AS (SELECT vec_id, qe, nq FROM q WHERE vec_id % {BATCH_MOD} <> 0),
+    eparams AS (
+      SELECT nc, GREATEST(1, cnt // nc) AS stride FROM (
+        SELECT COUNT(*) AS cnt,
+               CAST(POWER(2, LEAST({MAX_CELL_BITS}, GREATEST({MIN_CELL_BITS},
+                 length(bin((COUNT(*) - 1) // {TARGET_CELL}))))) AS BIGINT) AS nc
+        FROM eq) p0
+    ),
+    ecent AS (
+      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM eq
+      WHERE (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % (SELECT stride FROM eparams)) = 0
+    ),
+    escored AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cell_cos} DESC, c.cid) AS crk
+      FROM eq v, ecent c
+    ),
+    eassigned AS (SELECT vec_id, cid AS cell FROM escored WHERE crk = 1),
+    eb AS (
+      SELECT vec_id, qe, nq FROM q
+      WHERE vec_id % {BATCH_MOD} = 0
+        AND vec_id IN (SELECT doc_id FROM documents)
+    ),
+    eprobes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cell_cos} DESC, c.cid) AS crk
+        FROM eb v, ecent c
+      ) WHERE crk <= {NPROBE}
+    ),
+    ecand AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id
+      FROM eprobes p JOIN eassigned s ON s.cell = p.cell
+      WHERE s.vec_id <> p.query_id
+    ),
+    enn AS (
+      SELECT c.query_id,
+             MAX(CAST({_SQL_DOT} AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+             ) AS nn_cosine
+      FROM ecand c
+      JOIN q a ON a.vec_id = c.query_id
+      JOIN q b ON b.vec_id = c.neighbor_id
+      GROUP BY c.query_id
+    )
+    SELECT d.doc_id,
+           (dp.doc_id IS NULL) AS is_novel,
+           (COALESCE(e.nn_cosine, 0.0) < {TAU_EMB}) AS is_emb_novel,
+           COALESCE(e.nn_cosine, 0.0) AS nn_cosine,
+           COALESCE(c.isc, FALSE) AS is_contaminated,
+           len({_SQL_TOKS}) AS n_tokens,
+           ((dp.doc_id IS NULL) AND COALESCE(e.nn_cosine, 0.0) < {TAU_EMB}
+            AND NOT COALESCE(c.isc, FALSE)
+            AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS admitted
+    FROM documents d
+    LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+    LEFT JOIN fcont c ON c.doc_id = d.doc_id
+    LEFT JOIN enn e ON e.query_id = d.doc_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+    """
+
+
+@query("incremental_ingest_funnel_ann", oracle=_funnel_ann_oracle())
+def incremental_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-trilogy admission decision: novel under the persistent
+    near-dup TEXT index ∧ embedding-novel under the persistent IVF
+    index (nearest accumulated neighbor's cosine < {TAU_EMB}) ∧ clean
+    under the benchmark gram index ∧ above the quality floor. Builds on
+    the memoized plain funnel (the text/contamination stages are
+    literally that query's decisions) and adds one IVF probe per batch
+    document — topk=1 against corpus cells, the production ANN path.
+    The oracle recomputes all four stages monolithically, so the
+    composed decision — including the APPROXIMATE-but-deterministic
+    nearest-neighbor semantics — is hash-verified against DuckDB."""
+    from .ann_index import ann_query_index, build_ann_index
+    from .similarity import _spark_quantized_materialized, NPROBE
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ann")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        base = incremental_ingest_funnel(spark, sf_dir)
+        qv = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        corpus_v = qv.filter(F.col("vec_id") % BATCH_MOD != 0)
+        name = index_table_name(
+            "annidxf", spark.sparkContext.applicationId, sf_dir
+        )
+        index = build_ann_index(
+            spark, corpus_v, tempfile.mkdtemp(prefix=f"{name}_"), name
+        )
+        batch_v = qv.join(
+            base.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        nn = (
+            ann_query_index(spark, batch_v, index, nprobe=NPROBE, topk=1)
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("query_id").alias("doc_id"),
+                F.col("cosine").alias("nn_raw"),
+            )
+        )
+        nnc = F.coalesce(F.col("nn_raw"), F.lit(0.0))
+        emb_novel = nnc < TAU_EMB
+        out = base.join(nn, "doc_id", "left").select(
+            "doc_id",
+            "is_novel",
+            emb_novel.alias("is_emb_novel"),
+            nnc.alias("nn_cosine"),
+            "is_contaminated",
+            "n_tokens",
+            (
+                F.col("is_novel")
+                & emb_novel
+                & ~F.col("is_contaminated")
+                & (F.col("n_tokens") >= MIN_TOKENS)
+            ).alias("admitted"),
+        )
+        cached = _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))
     return cached
