@@ -376,6 +376,58 @@ def _funnel_ann_oracle() -> str:
     """
 
 
+def apply_embedding_stage(decisions: DataFrame, nn: DataFrame) -> DataFrame:
+    """Fold the embedding-novelty stage into a funnel decision relation:
+    left-join each doc's nearest accumulated neighbor cosine (``nn``:
+    (doc_id, nn_raw), absent rows ⇒ no probed candidate ⇒ novel) and
+    re-derive the admission predicate with the extra conjunct. Shared
+    by the batch query below and the streaming sink, like
+    :func:`funnel_decisions`."""
+    nnc = F.coalesce(F.col("nn_raw"), F.lit(0.0))
+    emb_novel = nnc < TAU_EMB
+    return decisions.join(nn, "doc_id", "left").select(
+        "doc_id",
+        "is_novel",
+        emb_novel.alias("is_emb_novel"),
+        nnc.alias("nn_cosine"),
+        "is_contaminated",
+        "n_tokens",
+        (
+            F.col("is_novel")
+            & emb_novel
+            & ~F.col("is_contaminated")
+            & (F.col("n_tokens") >= MIN_TOKENS)
+        ).alias("admitted"),
+    )
+
+
+def embedding_nn_probe(
+    spark: SparkSession,
+    batch_doc_ids: DataFrame,
+    embeddings: DataFrame,
+    ann_index,
+    nprobe: int,
+) -> DataFrame:
+    """(doc_id, nn_raw): each batch doc's nearest accumulated neighbor
+    cosine through the persisted IVF index — top-1 over ``nprobe``
+    probed cells, the production ANN path. Docs without an embedding
+    row simply produce no probe (and stay embedding-novel)."""
+    from .ann_index import ann_query_index
+
+    batch_v = embeddings.join(
+        batch_doc_ids.select(F.col(batch_doc_ids.columns[0]).alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    return (
+        ann_query_index(spark, batch_v, ann_index, nprobe=nprobe, topk=1)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("doc_id"), F.col("cosine").alias("nn_raw")
+        )
+    )
+
+
 @query("incremental_ingest_funnel_ann", oracle=_funnel_ann_oracle())
 def incremental_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-trilogy admission decision: novel under the persistent
@@ -388,7 +440,7 @@ def incremental_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame
     The oracle recomputes all four stages monolithically, so the
     composed decision — including the APPROXIMATE-but-deterministic
     nearest-neighbor semantics — is hash-verified against DuckDB."""
-    from .ann_index import ann_query_index, build_ann_index
+    from .ann_index import build_ann_index
     from .similarity import _spark_quantized_materialized, NPROBE
 
     key = (spark.sparkContext.applicationId, sf_dir, "ann")
@@ -405,32 +457,90 @@ def incremental_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame
         index = build_ann_index(
             spark, corpus_v, tempfile.mkdtemp(prefix=f"{name}_"), name
         )
-        batch_v = qv.join(
-            base.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        nn = embedding_nn_probe(
+            spark, base.select("doc_id"), qv, index, nprobe=NPROBE
         )
-        nn = (
-            ann_query_index(spark, batch_v, index, nprobe=NPROBE, topk=1)
-            .filter(F.col("rk") == 1)
-            .select(
-                F.col("query_id").alias("doc_id"),
-                F.col("cosine").alias("nn_raw"),
+        out = apply_embedding_stage(base, nn)
+        cached = _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))
+    return cached
+
+
+@query("streaming_ingest_funnel_ann", oracle=_funnel_ann_oracle())
+def streaming_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-trilogy funnel run as a STREAM: three id-ordered epochs
+    through the composed sink with the embedding stage enabled (probe
+    the persisted IVF index per epoch, the dedup index growing
+    seen=probed, the gram and IVF indexes probe-only). The union of the
+    epochs' decision records must hash-match the SAME monolithic oracle
+    as `incremental_ingest_funnel_ann` — the streamed composition of
+    all four stages ≡ the one-shot batch computation. With the batch
+    twin this makes four funnel driver rows proven against two shared
+    SQL texts."""
+    from ..streaming.ingest_funnel import IngestFunnelSink
+    from .ann_index import build_ann_index
+    from .similarity import _spark_quantized_materialized, NPROBE
+
+    key = (spark.sparkContext.applicationId, sf_dir, "streaming-ann")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        app = spark.sparkContext.applicationId
+
+        dname = index_table_name("ddidxsa", app, sf_dir)
+        index = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{dname}_"),
+            dname,
+        )
+        gname = index_table_name("contidxsa", app, sf_dir)
+        gtable = build_contamination_index(
+            spark,
+            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            tempfile.mkdtemp(prefix=f"{gname}_"),
+            gname,
+        )
+        qv = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        aname = index_table_name("annidxsa", app, sf_dir)
+        ann_index = build_ann_index(
+            spark,
+            qv.filter(F.col("vec_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{aname}_"),
+            aname,
+        )
+        sink = IngestFunnelSink(
+            spark,
+            index,
+            gtable,
+            tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
+            ann_index=ann_index,
+            embeddings=qv,
+            nprobe=NPROBE,
+        )
+        b1, b2 = batch.select(
+            F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
+        ).first()
+        for epoch, ep_df in enumerate(
+            (
+                batch.filter(F.col("doc_id") <= b1),
+                batch.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+                batch.filter(F.col("doc_id") > b2),
             )
-        )
-        nnc = F.coalesce(F.col("nn_raw"), F.lit(0.0))
-        emb_novel = nnc < TAU_EMB
-        out = base.join(nn, "doc_id", "left").select(
+        ):
+            sink(ep_df, epoch)
+        out = sink.decisions().select(
             "doc_id",
             "is_novel",
-            emb_novel.alias("is_emb_novel"),
-            nnc.alias("nn_cosine"),
+            "is_emb_novel",
+            "nn_cosine",
             "is_contaminated",
             "n_tokens",
-            (
-                F.col("is_novel")
-                & emb_novel
-                & ~F.col("is_contaminated")
-                & (F.col("n_tokens") >= MIN_TOKENS)
-            ).alias("admitted"),
+            "admitted",
         )
-        cached = _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))
+        cached = _INGEST_MEMO.put(key, out)
     return cached

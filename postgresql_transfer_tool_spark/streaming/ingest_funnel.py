@@ -85,7 +85,11 @@ from ..operators.dedup_index import (
     DedupIndex,
     dedup_batch_against_index,
 )
-from ..operators.ingest import funnel_decisions
+from ..operators.ingest import (
+    apply_embedding_stage,
+    embedding_nn_probe,
+    funnel_decisions,
+)
 from .exactly_once import (
     EpochLedger,
     read_epoch_record,
@@ -110,10 +114,32 @@ class IngestFunnelSink:
         index: DedupIndex,
         grams_table: str,
         out_dir: str,
+        ann_index=None,
+        embeddings: DataFrame | None = None,
+        nprobe: int | None = None,
     ) -> None:
+        """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
+        relation, vec_id = doc_id) switch on the embedding-novelty
+        stage: each epoch's docs additionally probe the persisted IVF
+        index for their nearest ACCUMULATED-CORPUS neighbor, and the
+        decision gains is_emb_novel / nn_cosine columns
+        (operators/ingest.apply_embedding_stage — shared with the batch
+        query, same oracle). The IVF index is probe-only here, like the
+        gram index: the batch rule is embedding-novel vs the corpus,
+        not vs other batch docs, so extending it per epoch would CHANGE
+        the semantics away from the oracle's (unlike the dedup index,
+        whose seen=probed extension is exactly what makes the text rule
+        epoch-invariant)."""
         self.spark = spark
         self.index = index
         self.grams_table = grams_table
+        self.ann_index = ann_index
+        self.embeddings = embeddings
+        if (ann_index is None) != (embeddings is None):
+            raise ValueError("pass ann_index and embeddings together")
+        if nprobe is None:
+            from ..operators.similarity import NPROBE as nprobe
+        self.nprobe = nprobe
         self.decisions_dir = os.path.join(out_dir, "decisions")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
 
@@ -169,6 +195,17 @@ class IngestFunnelSink:
         cont = check_batch_contamination(self.spark, batch_df, self.grams_table)
         try:
             decisions = funnel_decisions(batch_df, res.novel_ids, cont)
+            if self.ann_index is not None:
+                decisions = apply_embedding_stage(
+                    decisions,
+                    embedding_nn_probe(
+                        self.spark,
+                        batch_df.select("doc_id"),
+                        self.embeddings,
+                        self.ann_index,
+                        nprobe=self.nprobe,
+                    ),
+                )
             write_epoch_record(decisions, epoch_dir)
             append_all_signatures(
                 self.spark,

@@ -271,3 +271,71 @@ def test_benchmark_stream_interleaves_with_funnel(spark, tmp_path):
     bench_sink(_docs(spark, [(901, _text(61))]), 0)
     assert spark.table(gtable).count() == n
     _drop(spark, index, gtable)
+
+
+def test_embedding_stage_in_streaming_sink(spark, tmp_path):
+    """The trilogy sink: a TEXT-novel doc whose embedding exactly
+    duplicates a corpus vector is embedding-rejected; replay of the
+    epoch reproduces the decisions byte-identically (the record carries
+    the emb columns; the repair path is unchanged)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.ann_index import build_ann_index
+
+    index, gtable = _build(spark, "fnle")
+
+    dim = 8
+    def vec(vid, axis, bump):
+        qe = [0] * dim
+        qe[axis] = 1_000_000 + bump
+        return (vid, qe, sum(x * x for x in qe))
+
+    # corpus vectors for the corpus doc ids; batch doc 201's vector
+    # duplicates corpus 101's exactly (cosine 1.0), 202's is unique
+    vecs = [vec(d, i % dim, i) for i, (d, _) in enumerate(CORPUS)]
+    dup_of_101 = vecs[1]
+    emb_rows = vecs + [(201, dup_of_101[1], dup_of_101[2]),
+                       (202, *vec(202, 5, 77)[1:])]
+    embeddings = spark.createDataFrame(
+        emb_rows, "vec_id bigint, qe array<bigint>, nq bigint"
+    )
+    aname = f"annidx_fnle{uuid.uuid4().hex[:6]}"
+    ann_index = build_ann_index(
+        spark,
+        embeddings.filter(F.col("vec_id").isin([d for d, _ in CORPUS])),
+        tempfile.mkdtemp(prefix=aname),
+        aname,
+        n_rows=len(CORPUS),
+    )
+
+    sink = IngestFunnelSink(
+        spark, index, gtable, str(tmp_path / "out"),
+        ann_index=ann_index, embeddings=embeddings, nprobe=2,
+    )
+    wave = [(201, _text(11)), (202, _text(12)), (203, _text(13))]
+    sink(_docs(spark, wave), 0)
+    cols = ["doc_id", "is_novel", "is_emb_novel", "nn_cosine",
+            "is_contaminated", "n_tokens", "admitted"]
+    by_id = {r[0]: tuple(r) for r in sink.decisions().select(*cols).collect()}
+    # 201: text-novel but embedding-dup of corpus 101 → rejected
+    assert by_id[201][1] is True and by_id[201][2] is False
+    assert by_id[201][3] >= 1.0 - 1e-15 and by_id[201][6] is False
+    # 202: has a unique embedding → admitted; 203: no embedding row at
+    # all → embedding-novel by definition → admitted
+    assert by_id[202][2] is True and by_id[202][6] is True
+    assert by_id[203][2] is True and by_id[203][3] == 0.0
+    assert by_id[203][6] is True
+
+    # replay after a lost commit reproduces the decisions exactly
+    os.remove(os.path.join(str(tmp_path / "out"), "_epochs", "epoch=0.committed"))
+    sink(_docs(spark, wave), 0)
+    assert {r[0]: tuple(r) for r in sink.decisions().select(*cols).collect()} == by_id
+
+    # ann_index and embeddings must come together
+    with pytest.raises(ValueError, match="together"):
+        IngestFunnelSink(spark, index, gtable, str(tmp_path / "o2"),
+                         ann_index=ann_index)
+    _drop(spark, index, gtable)
+    for t in (ann_index.centroids_table, ann_index.cells_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
