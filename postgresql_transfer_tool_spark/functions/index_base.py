@@ -298,6 +298,69 @@ def fold_side_tables(spark: SparkSession, any_index_table: str, new_path: str) -
     spark.sql(f"DROP TABLE IF EXISTS {_side_name(any_index_table, 'tombstones')}")
 
 
+def compaction_due(
+    spark: SparkSession,
+    any_index_table: str,
+    n_buckets: int,
+    max_files_per_bucket: int = 8,
+    max_dead_ratio: float = 0.2,
+) -> dict:
+    """Should this index be compacted now? Encodes the MEASURED cadence
+    guidance (SCALE.md, tools/compaction_cadence.py): probe latency is
+    flat in tombstone backlog — the broadcast anti-join is effectively
+    free until the tombstone relation itself stops fitting the driver
+    (~10⁷ ids) — so cadence keys on the two costs compaction actually
+    removes:
+
+    - **file-count decay**: every extend appends up to one file per
+      non-empty bucket, so files/bucket ≈ extends since last compaction;
+      scan open/seek overhead grows with it.
+    - **dead rows**: tombstoned ids still occupy index rows until the
+      rewrite; the post-compaction probe speedup in the measured curve
+      is proportional to the physical shrink.
+
+    Returns {"due": bool, "files_per_bucket": float, "dead_ratio":
+    float, "reasons": [...]}. dead_ratio = tombstoned ids / stamped ids
+    when a stamps ledger exists (two side-relation counts, cheap), else
+    tombstoned ids / distinct index ids (one index-sized job — pass a
+    stamps ledger at build/extend to avoid it). Metadata-only otherwise:
+    no data scan for the file-count check."""
+    files = len(spark.table(any_index_table).inputFiles())
+    fpb = files / max(1, n_buckets)
+    reasons = []
+    if fpb > max_files_per_bucket:
+        reasons.append(f"files/bucket {fpb:.1f} > {max_files_per_bucket}")
+
+    dead_ratio = 0.0
+    tombs = tombstones(spark, any_index_table)
+    if tombs is not None:
+        n_dead = tombs.count()
+        if n_dead:
+            stamps = _side_name(any_index_table, "stamps")
+            if spark.catalog.tableExists(stamps):
+                n_live = (
+                    spark.table(stamps).select("id").distinct().count()
+                )
+            else:
+                n_live = (
+                    spark.table(any_index_table)
+                    .select(F.col(spark.table(any_index_table).columns[0]))
+                    .distinct()
+                    .count()
+                )
+            dead_ratio = n_dead / max(1, n_live)
+            if dead_ratio > max_dead_ratio:
+                reasons.append(
+                    f"dead ratio {dead_ratio:.2f} > {max_dead_ratio}"
+                )
+    return {
+        "due": bool(reasons),
+        "files_per_bucket": round(fpb, 2),
+        "dead_ratio": round(dead_ratio, 4),
+        "reasons": reasons,
+    }
+
+
 def record_stamps(
     spark: SparkSession, any_index_table: str, ids: DataFrame, stamp: int
 ) -> str:

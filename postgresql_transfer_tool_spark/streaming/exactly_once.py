@@ -177,6 +177,33 @@ def read_epoch_record(spark, epoch_dir: str) -> DataFrame | None:
         return None  # dir exists, holds no parquet yet
 
 
+def prune_epoch_records(
+    records_dir: str, ledger: EpochLedger, before_epoch: int
+) -> int:
+    """Retention for per-epoch record dirs: reclaim every COMMITTED
+    epoch's record older than ``before_epoch`` (an uncommitted epoch's
+    record is live replay state and is never touched; the ledger marker
+    itself is kept — it is the exactly-once substrate and is one tiny
+    file per epoch). After pruning, a redelivery of that epoch degrades
+    to the bare ledger skip and an epoch-id collision on it is no
+    longer detectable (verify_committed_replay documents the
+    degradation) — retention trades collision detection and read-back
+    history for storage, a policy call that belongs to the pipeline
+    owner. Returns the number of records reclaimed."""
+    import shutil
+
+    n = 0
+    for e in sorted(ledger.committed()):
+        if e >= before_epoch:
+            continue
+        d = os.path.join(records_dir, f"epoch={e}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            n += 1
+        shutil.rmtree(_aside_dirs(d)[1], ignore_errors=True)
+    return n
+
+
 def verify_committed_replay(
     spark,
     batch_df: DataFrame,

@@ -168,3 +168,76 @@ def test_two_ledger_writers_do_not_lose_epochs(tmp_path):
     b.commit(7)
     a.commit(3)  # A commits without re-reading — must not clobber 7
     assert a.committed() == b.committed() == {3, 7}
+
+
+def test_prune_epoch_records_retention(spark, tmp_path):
+    """Retention reclaims committed records older than the cutoff,
+    keeps newer and UNCOMMITTED ones (live replay state), and a pruned
+    epoch's redelivery degrades to the bare ledger skip."""
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        EpochLedger,
+        prune_epoch_records,
+        read_epoch_record,
+        write_epoch_record,
+    )
+
+    root = str(tmp_path / "rec")
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    for e in range(4):
+        write_epoch_record(_ids(spark, [e]), os.path.join(root, f"epoch={e}"))
+        if e != 3:
+            ledger.commit(e)  # epoch 3 stays uncommitted
+
+    assert prune_epoch_records(root, ledger, before_epoch=2) == 2
+    assert read_epoch_record(spark, os.path.join(root, "epoch=0")) is None
+    assert read_epoch_record(spark, os.path.join(root, "epoch=1")) is None
+    # newer committed + uncommitted records survive
+    assert read_epoch_record(spark, os.path.join(root, "epoch=2")) is not None
+    assert read_epoch_record(spark, os.path.join(root, "epoch=3")) is not None
+    # ledger untouched: the pruned epochs are still exactly-once-skipped
+    assert ledger.committed() == {0, 1, 2}
+    # pruning is idempotent
+    assert prune_epoch_records(root, ledger, before_epoch=2) == 0
+
+
+def test_compaction_due_policy(spark, tmp_path):
+    """compaction_due keys on files/bucket and dead-row ratio — the two
+    costs the measured cadence curve shows compaction actually removes
+    — and stays metadata-only when neither trips."""
+    import tempfile
+    import uuid
+
+    from tests.test_dedup_index import WAVE0, WAVE1, _docs
+
+    from postgresql_transfer_tool_spark.functions.index_base import compaction_due
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        N_INDEX_BUCKETS,
+    )
+
+    name = f"ddidx_cd{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name, stamp=0
+    )
+    fresh = compaction_due(spark, index.bands_table, N_INDEX_BUCKETS)
+    assert fresh["due"] is False and fresh["dead_ratio"] == 0.0
+
+    # retract most of the corpus: dead ratio trips
+    delete_from_dedup_index(
+        spark, index, _docs(spark, WAVE0[:3]).select("doc_id")
+    )
+    after = compaction_due(spark, index.bands_table, N_INDEX_BUCKETS)
+    assert after["due"] is True
+    assert any("dead ratio" in r for r in after["reasons"])
+
+    # file-count trigger: a tiny threshold trips on any real layout
+    tiny = compaction_due(
+        spark, index.bands_table, N_INDEX_BUCKETS,
+        max_files_per_bucket=0, max_dead_ratio=10.0,
+    )
+    assert tiny["due"] is True and any("files/bucket" in r for r in tiny["reasons"])
+    stem = index.bands_table.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table,
+              f"{stem}_tombstones", f"{stem}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
