@@ -320,11 +320,14 @@ def compaction_due(
       is proportional to the physical shrink.
 
     Returns {"due": bool, "files_per_bucket": float, "dead_ratio":
-    float, "reasons": [...]}. dead_ratio = tombstoned ids / stamped ids
-    when a stamps ledger exists (two side-relation counts, cheap), else
-    tombstoned ids / distinct index ids (one index-sized job — pass a
-    stamps ledger at build/extend to avoid it). Metadata-only otherwise:
-    no data scan for the file-count check."""
+    float, "reasons": [...]}. dead_ratio = tombstoned ids / distinct
+    index ids — the one index-sized job, paid only when tombstones
+    exist (a stamps-ledger denominator would be cheaper but is WRONG
+    whenever the ledger covers only part of the index, e.g. built
+    unstamped then extended stamped: a 1k-id ledger under a 1M-id index
+    would inflate 300 deletions to dead_ratio 0.3 and trigger spurious
+    full rewrites — round-10 review). The file-count check stays
+    metadata-only."""
     files = len(spark.table(any_index_table).inputFiles())
     fpb = files / max(1, n_buckets)
     reasons = []
@@ -336,19 +339,9 @@ def compaction_due(
     if tombs is not None:
         n_dead = tombs.count()
         if n_dead:
-            stamps = _side_name(any_index_table, "stamps")
-            if spark.catalog.tableExists(stamps):
-                n_live = (
-                    spark.table(stamps).select("id").distinct().count()
-                )
-            else:
-                n_live = (
-                    spark.table(any_index_table)
-                    .select(F.col(spark.table(any_index_table).columns[0]))
-                    .distinct()
-                    .count()
-                )
-            dead_ratio = n_dead / max(1, n_live)
+            idx = spark.table(any_index_table)
+            n_total = idx.select(F.col(idx.columns[0])).distinct().count()
+            dead_ratio = n_dead / max(1, n_total)
             if dead_ratio > max_dead_ratio:
                 reasons.append(
                     f"dead ratio {dead_ratio:.2f} > {max_dead_ratio}"

@@ -213,60 +213,92 @@ def streaming_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (file source, epoch files, replay after crash/checkpoint wipe)
     is pinned by tests/test_streaming_ingest_funnel.py; this row pins
     the epoch-wise semantics cross-engine."""
-    from ..streaming.ingest_funnel import IngestFunnelSink
-
     key = (spark.sparkContext.applicationId, sf_dir, "streaming")
     cached = _INGEST_MEMO.get(key)
     if cached is None:
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
-        )
-        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
-        app = spark.sparkContext.applicationId
-
-        dname = index_table_name("ddidxs", app, sf_dir)
-        index = build_dedup_index(
-            spark,
-            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
-            tempfile.mkdtemp(prefix=f"{dname}_"),
-            dname,
-        )
-        gname = index_table_name("contidxs", app, sf_dir)
-        gtable = build_contamination_index(
-            spark,
-            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
-            tempfile.mkdtemp(prefix=f"{gname}_"),
-            gname,
-        )
-        sink = IngestFunnelSink(
-            spark, index, gtable, tempfile.mkdtemp(prefix=f"{dname}_funnel_")
-        )
-        # three epochs as id-ordered ranges: two scalar percentile
-        # boundaries (a partial-aggregatable scan, no global sort — the
-        # scale-safe way to range-cut; NTILE would funnel every row
-        # through one task)
-        b1, b2 = batch.select(
-            F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
-        ).first()
-        for epoch, ep_df in enumerate(
-            (
-                batch.filter(F.col("doc_id") <= b1),
-                batch.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
-                batch.filter(F.col("doc_id") > b2),
-            )
-        ):
-            sink(ep_df, epoch)
-        out = sink.decisions().select(
-            "doc_id",
-            "is_novel",
-            "n_grams",
-            "n_shared",
-            "is_contaminated",
-            "n_tokens",
-            "admitted",
-        )
+        out = _run_streaming_funnel(spark, sf_dir, with_ann=False)
         cached = _INGEST_MEMO.put(key, out)
     return cached
+
+
+def _run_streaming_funnel(
+    spark: SparkSession, sf_dir: str, with_ann: bool
+) -> DataFrame:
+    """Shared driver body for the two streaming funnel rows: build the
+    probe-only side indexes (+ the IVF index when ``with_ann``), cut the
+    batch into three nondecreasing doc_id ranges, push them through one
+    IngestFunnelSink, and return the union of decision records. The
+    epoch cut uses two scalar percentile boundaries — a
+    partial-aggregatable scan, no global sort (NTILE would funnel every
+    row through one task)."""
+    from ..streaming.ingest_funnel import IngestFunnelSink
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+    app = spark.sparkContext.applicationId
+    tag = "sa" if with_ann else "s"
+
+    dname = index_table_name(f"ddidx{tag}", app, sf_dir)
+    index = build_dedup_index(
+        spark,
+        docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"{dname}_"),
+        dname,
+    )
+    gname = index_table_name(f"contidx{tag}", app, sf_dir)
+    gtable = build_contamination_index(
+        spark,
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=f"{gname}_"),
+        gname,
+    )
+    ann_kwargs = {}
+    emb_cols = []
+    if with_ann:
+        from .ann_index import build_ann_index
+        from .similarity import _spark_quantized_materialized, NPROBE
+
+        qv = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        aname = index_table_name(f"annidx{tag}", app, sf_dir)
+        ann_kwargs = {
+            "ann_index": build_ann_index(
+                spark,
+                qv.filter(F.col("vec_id") % BATCH_MOD != 0),
+                tempfile.mkdtemp(prefix=f"{aname}_"),
+                aname,
+            ),
+            "embeddings": qv,
+            "nprobe": NPROBE,
+        }
+        emb_cols = ["is_emb_novel", "nn_cosine"]
+    sink = IngestFunnelSink(
+        spark,
+        index,
+        gtable,
+        tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
+        **ann_kwargs,
+    )
+    b1, b2 = batch.select(
+        F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
+    ).first()
+    for epoch, ep_df in enumerate(
+        (
+            batch.filter(F.col("doc_id") <= b1),
+            batch.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+            batch.filter(F.col("doc_id") > b2),
+        )
+    ):
+        sink(ep_df, epoch)
+    base_cols = (
+        ["doc_id", "is_novel"]
+        + (emb_cols if with_ann else ["n_grams", "n_shared"])
+        + ["is_contaminated", "n_tokens", "admitted"]
+    )
+    return sink.decisions().select(*base_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -419,12 +451,10 @@ def embedding_nn_probe(
         "vec_id",
         "left_semi",
     )
-    return (
-        ann_query_index(spark, batch_v, ann_index, nprobe=nprobe, topk=1)
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("query_id").alias("doc_id"), F.col("cosine").alias("nn_raw")
-        )
+    return ann_query_index(
+        spark, batch_v, ann_index, nprobe=nprobe, topk=1
+    ).select(
+        F.col("query_id").alias("doc_id"), F.col("cosine").alias("nn_raw")
     )
 
 
@@ -476,71 +506,9 @@ def streaming_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     all four stages ≡ the one-shot batch computation. With the batch
     twin this makes four funnel driver rows proven against two shared
     SQL texts."""
-    from ..streaming.ingest_funnel import IngestFunnelSink
-    from .ann_index import build_ann_index
-    from .similarity import _spark_quantized_materialized, NPROBE
-
     key = (spark.sparkContext.applicationId, sf_dir, "streaming-ann")
     cached = _INGEST_MEMO.get(key)
     if cached is None:
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism, "doc_id"
-        )
-        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
-        app = spark.sparkContext.applicationId
-
-        dname = index_table_name("ddidxsa", app, sf_dir)
-        index = build_dedup_index(
-            spark,
-            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
-            tempfile.mkdtemp(prefix=f"{dname}_"),
-            dname,
-        )
-        gname = index_table_name("contidxsa", app, sf_dir)
-        gtable = build_contamination_index(
-            spark,
-            docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
-            tempfile.mkdtemp(prefix=f"{gname}_"),
-            gname,
-        )
-        qv = _spark_quantized_materialized(spark, sf_dir).select(
-            "vec_id", "qe", "nq"
-        )
-        aname = index_table_name("annidxsa", app, sf_dir)
-        ann_index = build_ann_index(
-            spark,
-            qv.filter(F.col("vec_id") % BATCH_MOD != 0),
-            tempfile.mkdtemp(prefix=f"{aname}_"),
-            aname,
-        )
-        sink = IngestFunnelSink(
-            spark,
-            index,
-            gtable,
-            tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
-            ann_index=ann_index,
-            embeddings=qv,
-            nprobe=NPROBE,
-        )
-        b1, b2 = batch.select(
-            F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
-        ).first()
-        for epoch, ep_df in enumerate(
-            (
-                batch.filter(F.col("doc_id") <= b1),
-                batch.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
-                batch.filter(F.col("doc_id") > b2),
-            )
-        ):
-            sink(ep_df, epoch)
-        out = sink.decisions().select(
-            "doc_id",
-            "is_novel",
-            "is_emb_novel",
-            "nn_cosine",
-            "is_contaminated",
-            "n_tokens",
-            "admitted",
-        )
+        out = _run_streaming_funnel(spark, sf_dir, with_ann=True)
         cached = _INGEST_MEMO.put(key, out)
     return cached

@@ -236,21 +236,38 @@ def verify_committed_replay(
     if record is None:
         return
     try:
-        rec_ids = record.select(id_col)
-        batch_ids = batch_df.select(id_col)
-        missing = rec_ids.join(batch_ids, id_col, "left_anti").limit(1).count()
-        extra = 0
-        if not subset_ok:
-            extra = batch_ids.join(rec_ids, id_col, "left_anti").limit(1).count()
+        mismatch = replay_contents_mismatch(batch_df, record, id_col, subset_ok)
     finally:
         unpersist_checkpoints(record)
-    if missing or extra:
-        raise RuntimeError(
-            f"epoch {epoch_id} is committed but was redelivered with "
-            "different contents — this is not a replay but an epoch-id "
-            "collision (typically a wiped/renamed streaming checkpoint "
-            "over a surviving sink ledger). The checkpoint and the sink "
-            "state (ledger + epoch records + index) form one recovery "
-            "unit: restore them to the same point, or reset all of them, "
-            "before restarting the stream."
-        )
+    if mismatch:
+        raise epoch_collision_error(epoch_id, committed=True)
+
+
+def replay_contents_mismatch(
+    batch_df: DataFrame, record: DataFrame, id_col: str, subset_ok: bool = False
+) -> bool:
+    """True when a redelivered batch's ``id_col`` set is NOT consistent
+    with an epoch record — the collision-detection core shared by the
+    committed-skip path (:func:`verify_committed_replay`) and the
+    sinks' record-exists-but-uncommitted partial-replay paths (which
+    already hold the record and must verify it BEFORE trusting it as
+    this batch's prior progress)."""
+    rec_ids = record.select(id_col)
+    batch_ids = batch_df.select(id_col)
+    missing = rec_ids.join(batch_ids, id_col, "left_anti").limit(1).count()
+    extra = 0
+    if not subset_ok:
+        extra = batch_ids.join(rec_ids, id_col, "left_anti").limit(1).count()
+    return bool(missing or extra)
+
+
+def epoch_collision_error(epoch_id: int, committed: bool) -> RuntimeError:
+    state = "committed" if committed else "partially processed (record written)"
+    return RuntimeError(
+        f"epoch {epoch_id} is {state} but was redelivered with different "
+        "contents — this is not a replay but an epoch-id collision "
+        "(typically a wiped/renamed streaming checkpoint over a surviving "
+        "sink ledger). The checkpoint and the sink state (ledger + epoch "
+        "records + index) form one recovery unit: restore them to the "
+        "same point, or reset all of them, before restarting the stream."
+    )

@@ -47,7 +47,9 @@ from ..functions.memo import unpersist_checkpoints
 from ..operators.ann_index import AnnIndex, extend_ann_index
 from .exactly_once import (
     EpochLedger,
+    epoch_collision_error,
     read_epoch_record,
+    replay_contents_mismatch,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -75,6 +77,13 @@ class AnnIndexSink:
             return
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
+            # the record must be THIS batch's ids — a wiped checkpoint
+            # renumbering a fresh batch onto this uncommitted epoch would
+            # otherwise have its vectors silently dropped (the repair
+            # extends only record ∩ batch) while the stale record stands
+            if replay_contents_mismatch(batch_df, prior, "vec_id"):
+                unpersist_checkpoints(prior)
+                raise epoch_collision_error(int(epoch_id), committed=False)
             # partial replay: extend with exactly the recorded ids whose
             # rows never reached the cells table. The anti-join's left
             # side is one epoch's ids; the cells side is pruned to the

@@ -56,7 +56,9 @@ from ..operators.dedup_index import (
 )
 from .exactly_once import (
     EpochLedger,
+    epoch_collision_error,
     read_epoch_record,
+    replay_contents_mismatch,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -120,6 +122,13 @@ class DedupIndexSink:
         # the replay repair would admit duplicate rows.
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
+            # the record must be THIS batch's prior progress (admitted ⊆
+            # redelivered ids) — a wiped checkpoint renumbering a fresh
+            # batch onto this uncommitted epoch would otherwise have its
+            # docs filtered/mis-repaired against a stale record
+            if replay_contents_mismatch(batch_df, prior, "doc_id", subset_ok=True):
+                unpersist_checkpoints(prior)
+                raise epoch_collision_error(int(epoch_id), committed=False)
             # drop already-admitted docs, then snapshot: the admit
             # rewrite must not erase rows the extend step still reads
             batch_df = batch_df.join(

@@ -92,7 +92,9 @@ from ..operators.ingest import (
 )
 from .exactly_once import (
     EpochLedger,
+    epoch_collision_error,
     read_epoch_record,
+    replay_contents_mismatch,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -163,7 +165,15 @@ class IngestFunnelSink:
             # completeness), so only the index extension can be missing.
             # Repair it from the redelivered rows and commit — never
             # re-probe (the probe must see an index free of this batch).
+            # But FIRST verify the record IS this batch's (same doc_id
+            # set): a wiped checkpoint can renumber a fresh batch onto
+            # an uncommitted epoch that left a record, and trusting the
+            # stale record here would silently drop the new batch's
+            # documents (round-10 review — the committed path one branch
+            # above already guarded this exact operator error).
             try:
+                if replay_contents_mismatch(batch_df, prior, "doc_id"):
+                    raise epoch_collision_error(int(epoch_id), committed=False)
                 indexed = self.spark.table(self.index.shingles_table).select(
                     "doc_id"
                 )

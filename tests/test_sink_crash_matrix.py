@@ -92,7 +92,9 @@ def _dedup_sink(spark, tmp_path, tag):
     index = build_dedup_index(
         spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
     )
-    return index, DedupIndexSink(spark, index, str(tmp_path / f"out_{tag}"))
+    return index, DedupIndexSink(
+        spark, index, str(tmp_path / f"out_{tag}_{uuid.uuid4().hex[:6]}")
+    )
 
 
 def _dedup_state(spark, index, sink):
@@ -166,7 +168,7 @@ def _cont_sink(spark, tmp_path, tag):
         spark, _docs(spark, _BENCH0), tempfile.mkdtemp(prefix=name), name
     )
     return gtable, ContaminationIndexSink(
-        spark, gtable, str(tmp_path / f"out_{tag}")
+        spark, gtable, str(tmp_path / f"out_{tag}_{uuid.uuid4().hex[:6]}")
     )
 
 
@@ -238,7 +240,9 @@ def _ann_sink(spark, tmp_path, tag):
         name,
         n_rows=len(_ANN_BASE),
     )
-    return index, AnnIndexSink(spark, index, str(tmp_path / f"out_{tag}"))
+    return index, AnnIndexSink(
+        spark, index, str(tmp_path / f"out_{tag}_{uuid.uuid4().hex[:6]}")
+    )
 
 
 def _ann_state(spark, index, sink):
@@ -310,5 +314,44 @@ def test_committed_epoch_collision_raises_for_every_sink(spark, tmp_path):
     other = [_vec(300 + i, i % _DIM, 700 + i) for i in range(4)]
     with pytest.raises(RuntimeError, match="collision"):
         asink(spark.createDataFrame(other, _ANN_SCHEMA), 0)
+    _drop_index_tables(spark, aindex.cells_table)
+    spark.sql(f"DROP TABLE IF EXISTS {aindex.centroids_table}")
+
+
+def test_uncommitted_record_collision_raises(spark, tmp_path, monkeypatch):
+    """Round-10 review: the record-exists-but-UNCOMMITTED replay path
+    must also verify the redelivered batch is the recorded one. A wiped
+    checkpoint can renumber a fresh batch onto an epoch that crashed
+    after its record write; trusting the stale record would silently
+    drop the new batch (repair touches only record ∩ batch)."""
+    from tests.test_dedup_index import WAVE2
+
+    # dedup sink: crash before commit leaves record + index rows
+    index, sink = _dedup_sink(spark, tmp_path, "ducol")
+    _commit_bomb(monkeypatch, sink)
+    with pytest.raises(_Boom):
+        sink(_docs(spark, WAVE1), 0)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, WAVE2), 0)  # different contents, same epoch id
+    sink(_docs(spark, WAVE1), 0)  # the TRUE replay still converges
+    assert sink.ledger.committed() == {0}
+    _drop_index_tables(spark, index.bands_table, index.shingles_table)
+
+    # ann sink: crash between record write and extend
+    from postgresql_transfer_tool_spark.streaming import index_ann as mod
+
+    aindex, asink = _ann_sink(spark, tmp_path, "aucol")
+    _instead(monkeypatch, mod, "extend_ann_index")
+    with pytest.raises(_Boom):
+        asink(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)
+    monkeypatch.undo()
+    other = [_vec(400 + i, i % _DIM, 800 + i) for i in range(4)]
+    with pytest.raises(RuntimeError, match="collision"):
+        asink(spark.createDataFrame(other, _ANN_SCHEMA), 0)
+    asink(spark.createDataFrame(_ANN_WAVE, _ANN_SCHEMA), 0)  # true replay
+    assert asink.ledger.committed() == {0}
+    got = sorted(r.vec_id for r in spark.table(aindex.cells_table).collect())
+    assert got == sorted(set(got))  # still no duplicate vectors
     _drop_index_tables(spark, aindex.cells_table)
     spark.sql(f"DROP TABLE IF EXISTS {aindex.centroids_table}")
