@@ -76,8 +76,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.memo import unpersist_checkpoints
+from ..operators.ann_index import extend_ann_index
 from ..operators.contamination_index import check_batch_contamination
 from ..operators.dedup_index import (
     append_all_signatures,
@@ -88,6 +90,7 @@ from ..operators.dedup_index import (
 from ..operators.ingest import (
     apply_embedding_stage,
     embedding_nn_probe,
+    embedding_nn_probe_growing,
     funnel_decisions,
 )
 from .exactly_once import (
@@ -119,26 +122,44 @@ class IngestFunnelSink:
         ann_index=None,
         embeddings: DataFrame | None = None,
         nprobe: int | None = None,
+        grow_ann: bool = False,
     ) -> None:
         """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
         relation, vec_id = doc_id) switch on the embedding-novelty
         stage: each epoch's docs additionally probe the persisted IVF
-        index for their nearest ACCUMULATED-CORPUS neighbor, and the
-        decision gains is_emb_novel / nn_cosine columns
+        index for their nearest ACCUMULATED neighbor, and the decision
+        gains is_emb_novel / nn_cosine columns
         (operators/ingest.apply_embedding_stage — shared with the batch
-        query, same oracle). The IVF index is probe-only here, like the
-        gram index: the batch rule is embedding-novel vs the corpus,
-        not vs other batch docs, so extending it per epoch would CHANGE
-        the semantics away from the oracle's (unlike the dedup index,
-        whose seen=probed extension is exactly what makes the text rule
-        epoch-invariant)."""
+        query, same oracle).
+
+        ``grow_ann`` selects between the two oracle-stated embedding
+        rules:
+
+        - False (probe-only): embedding-novel vs THE CORPUS — the IVF
+          index never grows, matching `incremental_ingest_funnel_ann`'s
+          rule (extending it would change the semantics away from that
+          oracle).
+        - True (growing — round 11): embedding-novel vs corpus ∪
+          lower-id streamed vectors. The sink extends the IVF index with
+          EVERY probed epoch's vectors (seen=probed, the dedup index's
+          discipline) after the decisions are durable, and the probe
+          additionally considers same-epoch lower-id vectors in the
+          probed cells (operators/ingest.embedding_nn_probe_growing), so
+          with id-ordered epochs the rule is epoch-cut-invariant and
+          matches `incremental_ingest_funnel_ann_growing`'s oracle.
+          Replay repair mirrors the dedup path: recorded doc ids missing
+          from the cells table are re-extended (anti-join bounded by one
+          epoch; embedding-less docs re-derive to zero rows)."""
         self.spark = spark
         self.index = index
         self.grams_table = grams_table
         self.ann_index = ann_index
         self.embeddings = embeddings
+        self.grow_ann = grow_ann
         if (ann_index is None) != (embeddings is None):
             raise ValueError("pass ann_index and embeddings together")
+        if grow_ann and ann_index is None:
+            raise ValueError("grow_ann requires ann_index + embeddings")
         if nprobe is None:
             from ..operators.similarity import NPROBE as nprobe
         self.nprobe = nprobe
@@ -196,6 +217,14 @@ class IngestFunnelSink:
                     for d in (m_hashed, m_bands, m_pre, rows):
                         unpersist_checkpoints(d)
                 unpersist_checkpoints(missing)
+                if self.grow_ann:
+                    # same repair for the growing IVF index: recorded
+                    # docs whose vectors never reached the cells table
+                    # (the ann-extend → commit crash window) are
+                    # re-extended; embedding-less docs produce no row
+                    # and a post-extend crash re-appends nothing —
+                    # idempotent, no vector ever duplicated.
+                    self._repair_ann(prior, int(epoch_id))
             finally:
                 unpersist_checkpoints(prior)
             self.ledger.commit(int(epoch_id))
@@ -206,9 +235,14 @@ class IngestFunnelSink:
         try:
             decisions = funnel_decisions(batch_df, res.novel_ids, cont)
             if self.ann_index is not None:
+                probe_fn = (
+                    embedding_nn_probe_growing
+                    if self.grow_ann
+                    else embedding_nn_probe
+                )
                 decisions = apply_embedding_stage(
                     decisions,
-                    embedding_nn_probe(
+                    probe_fn(
                         self.spark,
                         batch_df.select("doc_id"),
                         self.embeddings,
@@ -224,10 +258,41 @@ class IngestFunnelSink:
                 res.batch_shingles,
                 stamp=int(epoch_id),
             )
+            if self.grow_ann:
+                # seen = probed for the vector side too: EVERY probed
+                # doc's embedding enters the IVF index (frozen corpus
+                # centroids address it), so the next epoch's embedding
+                # stage sees all earlier streamed vectors — the exact
+                # analog of append_all_signatures one line up.
+                vecs = self.embeddings.join(
+                    batch_df.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id",
+                    "left_semi",
+                )
+                extend_ann_index(
+                    self.spark, self.ann_index, vecs, stamp=int(epoch_id)
+                )
             self.ledger.commit(int(epoch_id))
         finally:
             for d in (*res.checkpoints, cont, batch_df):
                 unpersist_checkpoints(d)
+
+    def _repair_ann(self, prior: DataFrame, epoch_id: int) -> None:
+        """Re-extend the growing IVF index with recorded docs whose
+        vectors never reached the cells table (anti-join bounded by one
+        epoch's record; vectors come from the stable embeddings lookup
+        relation, not the redelivered batch — equivalent by the
+        vec_id = doc_id alignment and immune to batch re-ordering)."""
+        cells = self.spark.table(self.ann_index.cells_table).select("vec_id")
+        vec_missing = prior.select(F.col("doc_id").alias("vec_id")).join(
+            cells, "vec_id", "left_anti"
+        )
+        rows = self.embeddings.join(
+            vec_missing, "vec_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        if rows.limit(1).count():
+            extend_ann_index(self.spark, self.ann_index, rows, stamp=epoch_id)
+        unpersist_checkpoints(rows)
 
     def _verify_replay(
         self, batch_df: DataFrame, epoch_dir: str, epoch_id: int

@@ -288,6 +288,109 @@ def test_ann_sink_converges_from_every_kill_point(
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+# ---------------------------------------------------------------------------
+# growing-ANN funnel sink (round 11): record(decisions) → dedup extend →
+# ann extend → commit. TWO index mutations per epoch — every boundary
+# between them is a kill point, and cells-table convergence must be
+# exact row-for-row (duplicate vectors are not inert).
+# ---------------------------------------------------------------------------
+
+def _funnel_g_sink(spark, tmp_path, tag):
+    from tests.test_dedup_index import _text
+
+    u = uuid.uuid4().hex[:6]
+    corpus = [(100, _text(1)), (101, _text(2)), (102, _text(3))]
+    name = f"ddidx_cmg{tag}_{u}"
+    index = build_dedup_index(
+        spark, _docs(spark, corpus), tempfile.mkdtemp(prefix=name), name
+    )
+    gname = f"contidx_cmg{tag}_{u}"
+    gtable = build_contamination_index(
+        spark, _docs(spark, [(900, _text(50))]),
+        tempfile.mkdtemp(prefix=gname), gname,
+    )
+    corpus_vecs = [_vec(d, i % _DIM, i) for i, (d, _) in enumerate(corpus)]
+    wave_vecs = [_vec(d, (d + 3) % _DIM, 300 + d) for d in (200, 201, 202)]
+    embeddings = spark.createDataFrame(corpus_vecs + wave_vecs, _ANN_SCHEMA)
+    aname = f"annidx_cmg{tag}_{u}"
+    ann_index = build_ann_index(
+        spark,
+        spark.createDataFrame(corpus_vecs, _ANN_SCHEMA),
+        tempfile.mkdtemp(prefix=aname),
+        aname,
+        n_rows=len(corpus_vecs),
+    )
+    from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+        IngestFunnelSink,
+    )
+
+    sink = IngestFunnelSink(
+        spark, index, gtable, str(tmp_path / f"out_g{tag}_{u}"),
+        ann_index=ann_index, embeddings=embeddings, nprobe=2, grow_ann=True,
+    )
+    wave = [(200, _text(1)), (201, _text(11)), (202, _text(12))]
+    return index, gtable, ann_index, sink, wave
+
+
+def _funnel_g_state(spark, index, ann_index, sink):
+    return (
+        {tuple(r) for r in sink.decisions().collect()},
+        {
+            r.doc_id
+            for r in spark.table(index.shingles_table)
+            .select("doc_id").distinct().collect()
+        },
+        sorted(
+            r.vec_id for r in spark.table(ann_index.cells_table).collect()
+        ),
+        sink.ledger.committed(),
+    )
+
+
+@pytest.mark.parametrize(
+    "kill",
+    ["in_record_rename", "before_dedup_extend", "before_ann_extend",
+     "before_commit"],
+)
+def test_growing_funnel_sink_converges_from_every_kill_point(
+    spark, tmp_path, monkeypatch, kill
+):
+    from postgresql_transfer_tool_spark.streaming import ingest_funnel as mod
+
+    index_c, gtable_c, ann_c, sink_c, wave = _funnel_g_sink(
+        spark, tmp_path, "clean" + kill[:4]
+    )
+    sink_c(_docs(spark, wave), 0)
+    want = _funnel_g_state(spark, index_c, ann_c, sink_c)
+
+    index, gtable, ann, sink, wave = _funnel_g_sink(spark, tmp_path, kill[:8])
+    if kill == "in_record_rename":
+        _rename_bomb(
+            monkeypatch, os.path.join(sink.decisions_dir, "epoch=0")
+        )
+    elif kill == "before_dedup_extend":
+        _instead(monkeypatch, mod, "append_all_signatures")
+    elif kill == "before_ann_extend":
+        _instead(monkeypatch, mod, "extend_ann_index")
+    else:
+        _commit_bomb(monkeypatch, sink)
+    with pytest.raises(_Boom):
+        sink(_docs(spark, wave), 0)
+    monkeypatch.undo()
+
+    sink(_docs(spark, wave), 0)  # the replay Structured Streaming sends
+    got = _funnel_g_state(spark, index, ann, sink)
+    assert got == want, f"kill={kill}: replay did not converge"
+    assert got[2] == sorted(set(got[2]))  # no vector appended twice
+    _drop_index_tables(
+        spark, index_c.bands_table, index_c.shingles_table, gtable_c,
+        ann_c.cells_table, index.bands_table, index.shingles_table,
+        gtable, ann.cells_table,
+    )
+    for t in (ann_c.centroids_table, ann.centroids_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_committed_epoch_collision_raises_for_every_sink(spark, tmp_path):
     """Epoch ids are only meaningful within one checkpoint lineage: a
     committed epoch redelivered with DIFFERENT contents (the wiped-

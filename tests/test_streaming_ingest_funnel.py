@@ -339,3 +339,114 @@ def test_embedding_stage_in_streaming_sink(spark, tmp_path):
     _drop(spark, index, gtable)
     for t in (ann_index.centroids_table, ann_index.cells_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_growing_embedding_stage_in_streaming_sink(spark, tmp_path, monkeypatch):
+    """The GROWING vector index (round 11): the sink extends the IVF
+    index with every probed epoch's vectors (seen=probed), so a later
+    epoch's doc whose embedding duplicates an EARLIER STREAMED doc's —
+    not any corpus vector's — is embedding-rejected; within one epoch a
+    higher-id doc duplicating a lower-id doc is rejected while the
+    lower-id one stays novel (the lower-id rule, exactly the text
+    side's). Replay after a crash between the dedup extend and the ANN
+    extend repairs the vector index without duplicating any vector."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.ann_index import build_ann_index
+
+    index, gtable = _build(spark, "fnlg")
+
+    dim = 8
+    def vec(vid, axis, bump):
+        qe = [0] * dim
+        qe[axis] = 1_000_000 + bump
+        return (vid, qe, sum(x * x for x in qe))
+
+    vecs = [vec(d, i % dim, i) for i, (d, _) in enumerate(CORPUS)]
+    # epoch-0 docs: 210 unique, 211 duplicates 210's embedding EXACTLY
+    # (within-epoch, higher id → rejected; 210 keeps its novelty);
+    # epoch-1 doc 310 duplicates 210's (cross-epoch: only the GROWN
+    # index can see it — under probe-only it would be novel)
+    v210 = vec(210, 6, 500)
+    emb_rows = vecs + [
+        v210,
+        (211, v210[1], v210[2]),
+        (310, v210[1], v210[2]),
+        (311, *vec(311, 7, 900)[1:]),
+    ]
+    embeddings = spark.createDataFrame(
+        emb_rows, "vec_id bigint, qe array<bigint>, nq bigint"
+    )
+    aname = f"annidx_fnlg{uuid.uuid4().hex[:6]}"
+    ann_index = build_ann_index(
+        spark,
+        embeddings.filter(F.col("vec_id").isin([d for d, _ in CORPUS])),
+        tempfile.mkdtemp(prefix=aname),
+        aname,
+        n_rows=len(CORPUS),
+    )
+
+    out = str(tmp_path / "out")
+    sink = IngestFunnelSink(
+        spark, index, gtable, out,
+        ann_index=ann_index, embeddings=embeddings, nprobe=2, grow_ann=True,
+    )
+    wave0 = [(210, _text(21)), (211, _text(22))]
+    wave1 = [(310, _text(23)), (311, _text(24))]
+    sink(_docs(spark, wave0), 0)
+
+    # crash window: decisions + dedup extend done, ANN extend lost —
+    # the replay must repair the vector index (append ONLY the missing
+    # vectors) without re-probing or touching the decisions
+    from postgresql_transfer_tool_spark.streaming import ingest_funnel as mod
+
+    real_extend = mod.extend_ann_index
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before ann extend")
+    monkeypatch.setattr(mod, "extend_ann_index", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(_docs(spark, wave1), 1)
+    monkeypatch.setattr(mod, "extend_ann_index", real_extend)
+    assert sink.ledger.committed() == {0}
+    cells = {r.vec_id for r in spark.table(ann_index.cells_table).collect()}
+    assert 310 not in cells and 311 not in cells  # extend really lost
+    sink(_docs(spark, wave1), 1)  # replay: repair + commit
+    assert sink.ledger.committed() == {0, 1}
+    cols = ["doc_id", "is_novel", "is_emb_novel", "nn_cosine",
+            "is_contaminated", "n_tokens", "admitted"]
+    by_id = {r[0]: tuple(r) for r in sink.decisions().select(*cols).collect()}
+    # within-epoch lower-id rule: 210 novel+admitted, 211 emb-rejected
+    assert by_id[210][2] is True and by_id[210][6] is True
+    assert by_id[211][2] is False and by_id[211][3] >= 1.0 - 1e-15
+    assert by_id[211][6] is False
+    # cross-epoch growth: 310's only embedding-dup is streamed doc 210
+    assert by_id[310][2] is False and by_id[310][3] >= 1.0 - 1e-15
+    assert by_id[310][6] is False
+    assert by_id[311][2] is True and by_id[311][6] is True
+    # seen=probed on the vector side: EVERY probed doc's vector is in
+    # the cells table, rejected ones included
+    cells = {
+        r.vec_id for r in spark.table(ann_index.cells_table).collect()
+    }
+    assert cells == {d for d, _ in CORPUS} | {210, 211, 310, 311}
+
+    # replay idempotence: a lost-commit replay with everything already
+    # present appends nothing (no vector ever duplicated) and leaves
+    # the decisions byte-identical
+    os.remove(os.path.join(out, "_epochs", "epoch=1.committed"))
+    n_cells = spark.table(ann_index.cells_table).count()
+    sink(_docs(spark, wave1), 1)
+    assert spark.table(ann_index.cells_table).count() == n_cells
+    assert {r[0]: tuple(r) for r in
+            sink.decisions().select(*cols).collect()} == by_id
+    assert sink.ledger.committed() == {0, 1}
+
+    # grow_ann without an index fails loudly
+    with pytest.raises(ValueError, match="grow_ann"):
+        IngestFunnelSink(spark, index, gtable, str(tmp_path / "o3"),
+                         grow_ann=True)
+    _drop(spark, index, gtable)
+    for t in (ann_index.centroids_table, ann_index.cells_table,
+              f"{ann_index.cells_table.rsplit('_', 1)[0]}_tombstones",
+              f"{ann_index.cells_table.rsplit('_', 1)[0]}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
