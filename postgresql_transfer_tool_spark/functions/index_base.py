@@ -57,6 +57,91 @@ class ConcurrentIndexWriteError(RuntimeError):
     holder's pid is in the message and the lock file)."""
 
 
+class IndexFormatError(RuntimeError):
+    """A persistent index's on-disk format metadata does not match what
+    this engine version reads/writes. At 100 TB the index OUTLIVES the
+    engine version — a round-9-built index probed by round-12 code with
+    silently drifted table schemas would return wrong results, not
+    errors; this check turns that into a loud refusal at first touch."""
+
+
+#: bump when a table's meaning/layout changes incompatibly (column
+#: semantics, bucketing key, hash function) — readers of version N
+#: refuse versions ≠ N rather than guessing
+INDEX_FORMAT_VERSION = 1
+
+_META_FILE = "_index_meta.json"
+
+
+def write_index_meta(root: str, kind: str, tables: dict[str, list[str]]) -> None:
+    """Stamp an index root with its format metadata at build time:
+    engine format version, index kind, and each table role's expected
+    column schema (the engine-side schema hash the checker compares).
+    Atomic write-then-rename, same discipline as every other marker."""
+    import json
+
+    os.makedirs(root, exist_ok=True)
+    meta = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "kind": kind,
+        "tables": tables,
+    }
+    path = os.path.join(root, _META_FILE)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
+
+
+def check_index_format(
+    spark: SparkSession,
+    any_index_table: str,
+    kind: str,
+    tables: dict[str, list[str]],
+) -> None:
+    """Refuse loudly to touch an index whose on-disk format metadata
+    does not match this engine version — called at the entry of every
+    probe and mutator. A MISSING meta file (an index built by
+    pre-versioning code) is backfilled best-effort at the current
+    version: those indexes are by definition the current format, and
+    the backfill makes the guarantee forward-looking without demanding
+    a rebuild."""
+    import json
+
+    root = index_root(spark, any_index_table)
+    path = os.path.join(root, _META_FILE)
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        write_index_meta(root, kind, tables)  # legacy backfill
+        return
+    except (OSError, ValueError) as exc:
+        raise IndexFormatError(
+            f"index at {root}: unreadable format metadata ({exc}) — refuse "
+            "to touch; restore or rebuild the index"
+        ) from exc
+    if meta.get("format_version") != INDEX_FORMAT_VERSION:
+        raise IndexFormatError(
+            f"index at {root} has format_version="
+            f"{meta.get('format_version')!r} but this engine reads/writes "
+            f"version {INDEX_FORMAT_VERSION} — rebuild the index with this "
+            "engine version (or run the matching engine); probing across "
+            "format versions would silently misread the layout"
+        )
+    if meta.get("kind") != kind:
+        raise IndexFormatError(
+            f"index at {root} is a {meta.get('kind')!r} index but was "
+            f"addressed as {kind!r} — wrong index root"
+        )
+    if meta.get("tables") != tables:
+        raise IndexFormatError(
+            f"index at {root}: table schemas drifted — on disk "
+            f"{meta.get('tables')}, engine expects {tables}; rebuild or "
+            "migrate before probing"
+        )
+
+
 def table_location(spark: SparkSession, table: str) -> str:
     """Filesystem path of a catalog table's storage location (the
     ``file:`` URI from DESC EXTENDED, scheme stripped)."""
@@ -80,27 +165,48 @@ def index_root(spark: SparkSession, table: str) -> str:
 # ---------------------------------------------------------------------------
 
 @contextmanager
-def writer_lock(root: str, op: str = "write"):
+def writer_lock(root: str, op: str = "write", wait: float | None = None):
     """Exclusive write lock over the index rooted at ``root`` — the
     path-keyed core of :func:`single_writer`, usable without a Spark
     session (and therefore from OTHER PROCESSES: the whole point of an
     O_EXCL file lock is that it arbitrates between writers that share
     nothing but the filesystem — tests/test_index_base.py races real
-    subprocesses through this exact function)."""
+    subprocesses through this exact function).
+
+    ``wait``: fail-loud-immediately stays the default (None). A bounded
+    timeout in seconds turns contention into jittered retry — for two
+    LEGITIMATE streams sharing one index (round-10 review: previously
+    the second stream needed operator babysitting). Waiting is safe
+    under the torn-extend analysis because every caller builds its read
+    plans AFTER acquisition (the snapshot-inside-lock discipline of the
+    extend/compact functions); the timeout bounds the wait so a crashed
+    holder still surfaces as a loud error rather than a hang."""
+    import random
+    import time
+
     lock = os.path.join(root, "_writer.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    deadline = None if wait is None else time.monotonic() + wait
+    while True:
         try:
-            with open(lock) as f:
-                holder = f.read().strip() or "unknown"
-        except OSError:
-            holder = "unknown"
-        raise ConcurrentIndexWriteError(
-            f"index at {root} is being written by [{holder}] — concurrent "
-            f"{op} refused (single-writer contract; remove {lock} only if "
-            "the holder crashed)"
-        ) from None
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            remaining = None if deadline is None else deadline - time.monotonic()
+            if remaining is None or remaining <= 0:
+                try:
+                    with open(lock) as f:
+                        holder = f.read().strip() or "unknown"
+                except OSError:
+                    holder = "unknown"
+                waited = "" if wait is None else f" after waiting {wait}s"
+                raise ConcurrentIndexWriteError(
+                    f"index at {root} is being written by [{holder}] — "
+                    f"concurrent {op} refused{waited} (single-writer "
+                    f"contract; remove {lock} only if the holder crashed)"
+                ) from None
+            # jittered backoff: desynchronizes N waiters so release is
+            # not a thundering herd; capped by the remaining budget
+            time.sleep(min(remaining, 0.02 + random.uniform(0, 0.08)))
     try:
         os.write(fd, f"pid={os.getpid()} op={op}".encode())
         os.close(fd)
@@ -113,19 +219,23 @@ def writer_lock(root: str, op: str = "write"):
 
 
 @contextmanager
-def single_writer(spark: SparkSession, table: str, op: str = "write"):
+def single_writer(
+    spark: SparkSession, table: str, op: str = "write", wait: float | None = None
+):
     """Exclusive write lock over the index that owns ``table``.
 
     O_CREAT|O_EXCL creation of ``_writer.lock`` in the index root is
     atomic on every POSIX filesystem — including between unrelated OS
     processes; a held lock raises :class:`ConcurrentIndexWriteError`
-    immediately (fail-loud, never block — a queued writer would operate
-    on a snapshot taken before the holder's appends, exactly the
-    torn-extend interleaving the lock exists to prevent). At 100 TB the
-    same contract holds via the object store's conditional-put / a
-    catalog lock service; the acquire/release sites in the index
-    modules are the integration points."""
-    with writer_lock(index_root(spark, table), op=op):
+    immediately by default (fail-loud — a writer that read its inputs
+    BEFORE acquiring would operate on a pre-append snapshot, exactly
+    the torn-extend interleaving the lock exists to prevent; every
+    caller here snapshots inside the lock, which is also why the
+    optional bounded ``wait`` retry is sound). At 100 TB the same
+    contract holds via the object store's conditional-put / a catalog
+    lock service; the acquire/release sites in the index modules are
+    the integration points."""
+    with writer_lock(index_root(spark, table), op=op, wait=wait):
         yield
 
 

@@ -43,12 +43,14 @@ from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.index_base import (
     add_tombstones,
     apply_tombstones,
+    check_index_format,
     fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
     swap_table,
     tombstones,
+    write_index_meta,
 )
 from ..functions.memo import CheckpointMemo
 from .registry import ORACLES, query
@@ -71,6 +73,19 @@ N_CELL_BUCKETS = 16
 class AnnIndex(NamedTuple):
     centroids_table: str
     cells_table: str
+
+
+#: on-disk format contract (functions/index_base.check_index_format):
+#: verified at every probe/mutation entry, stamped at build/compact/retrain
+_FORMAT_KIND = "ann_ivf"
+_FORMAT_TABLES = {
+    "centroids": ["cid", "ce", "ncent"],
+    "cells": ["vec_id", "cell", "qe", "nq"],
+}
+
+
+def _check_format(spark: SparkSession, index: "AnnIndex") -> None:
+    check_index_format(spark, index.cells_table, _FORMAT_KIND, _FORMAT_TABLES)
 
 
 def build_ann_index(
@@ -109,6 +124,7 @@ def build_ann_index(
         "nq",
     )
     write_bucketed(assigned, idx.cells_table, f"{path}/cells", "cell", n_buckets)
+    write_index_meta(path, _FORMAT_KIND, _FORMAT_TABLES)
     return idx
 
 
@@ -130,6 +146,7 @@ def extend_ann_index(
     from ..functions.index_base import append_bucketed, snapshot_before_write
     from ..functions.memo import unpersist_checkpoints
 
+    _check_format(spark, index)
     with single_writer(spark, index.cells_table, op="extend"):
         cent_rows = [
             (r.cid, r.ce, r.ncent)
@@ -167,6 +184,7 @@ def delete_from_ann_index(
     re-train folds the tombstones physically. Frozen centroids are
     untouched — a centroid is a cell ADDRESS, not a served row, so a
     retracted vector that seeded a cell keeps addressing it."""
+    _check_format(spark, index)
     with single_writer(spark, index.cells_table, op="delete"):
         add_tombstones(spark, index.cells_table, vec_ids)
 
@@ -176,6 +194,7 @@ def expire_ann_index(
 ) -> None:
     """TTL expiry over the ingest-stamp ledger (stamps recorded when
     build/extend were called with one)."""
+    _check_format(spark, index)
     with single_writer(spark, index.cells_table, op="expire"):
         add_tombstones(
             spark, index.cells_table, expired_ids(spark, index.cells_table, before_stamp)
@@ -193,6 +212,7 @@ def compact_ann_index(
     frozen (compaction is storage hygiene, not a model change — that is
     :func:`retrain_ann_index`). Same pmod(hash(cell), n) repartition
     trick as compact_dedup_index. Returns (files_before, files_after)."""
+    _check_format(spark, index)
     with single_writer(spark, index.cells_table, op="compact"):
         before = len(spark.table(index.cells_table).inputFiles())
         live = apply_tombstones(
@@ -209,6 +229,7 @@ def compact_ann_index(
         )
         swap_table(spark, index.cells_table, tmp)
         fold_side_tables(spark, index.cells_table, new_path)
+        write_index_meta(new_path, _FORMAT_KIND, _FORMAT_TABLES)
         return before, len(spark.table(index.cells_table).inputFiles())
 
 
@@ -266,6 +287,7 @@ def retrain_ann_index(
 
     Returns {"n_vectors": ..., "n_centroids": ...}.
     """
+    _check_format(spark, index)
     with single_writer(spark, index.cells_table, op="retrain"):
         corpus = apply_tombstones(
             spark.table(index.cells_table), tombstones(spark, index.cells_table), "vec_id"
@@ -306,6 +328,7 @@ def retrain_ann_index(
         )
         _retrain_swap(spark, index, tmp_cells, tmp_cent)
         fold_side_tables(spark, index.cells_table, new_path)
+        write_index_meta(new_path, _FORMAT_KIND, _FORMAT_TABLES)
         return {"n_vectors": n, "n_centroids": len(cent_rows)}
 
 
@@ -320,6 +343,7 @@ def ann_query_index(
     against the persisted index: (query_id, neighbor_id, cell, cosine,
     rk). Self-matches (same vec_id) are excluded, matching
     `ann_ivf_topk`'s contract when queries are drawn from the corpus."""
+    _check_format(spark, index)
     cent_rows = [
         (r.cid, r.ce, r.ncent) for r in spark.table(index.centroids_table).collect()
     ]

@@ -52,12 +52,14 @@ from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
     apply_tombstones,
+    check_index_format,
     fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
     swap_table,
     tombstones,
+    write_index_meta,
 )
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .corpus import _BENCH_MOD, _NGRAM, _SQL_TOKS
@@ -65,6 +67,15 @@ from .registry import query
 
 #: bucket count at fixture scale; size like any bucketed layout at 100 TB
 N_GRAM_BUCKETS = 16
+
+#: on-disk format contract (functions/index_base.check_index_format):
+#: verified at every probe/mutation entry, stamped at build/compact
+_FORMAT_KIND = "contamination_grams"
+_FORMAT_TABLES = {"grams": ["doc_id", "gram"]}
+
+
+def _check_format(spark: SparkSession, grams_table: str) -> None:
+    check_index_format(spark, grams_table, _FORMAT_KIND, _FORMAT_TABLES)
 
 def _grams_expr():
     # built lazily: F.expr needs an active SparkContext, and operator
@@ -114,6 +125,7 @@ def build_contamination_index(
     write_bucketed(rows, table, os.path.join(path, "grams"), "gram", n_buckets)
     if stamp is not None:
         record_stamps(spark, table, rows.select("doc_id").distinct(), stamp)
+    write_index_meta(path, _FORMAT_KIND, _FORMAT_TABLES)
     unpersist_checkpoints(rows)
     return table
 
@@ -129,6 +141,7 @@ def extend_contamination_index(
     version and grow — the index must too, without re-tokenizing what
     is already there). Duplicate rows from replayed appends are
     harmless (distinct-at-probe); compaction removes them."""
+    _check_format(spark, grams_table)
     with single_writer(spark, grams_table, op="extend"):
         # keep a handle on the INNER pre-explode checkpoint: wrapping
         # the gram rows in an eager checkpoint truncates lineage, so
@@ -174,6 +187,7 @@ def check_batch_contamination(
     park the result in a ``CheckpointMemo`` (the registry query below
     does the latter) — or block-manager storage grows one checkpoint
     per batch for the life of the session."""
+    _check_format(spark, grams_table)
     train = gram_rows_from_docs(batch_docs)
     bench = surviving_grams(spark, grams_table).select(F.col("gram").alias("bgram"))
     return (
@@ -196,6 +210,7 @@ def delete_from_contamination_index(
     grams shared with surviving docs keep flagging (attribution makes
     that distinction computable; oracle-proved by
     `contamination_index_post_delete`)."""
+    _check_format(spark, grams_table)
     with single_writer(spark, grams_table, op="delete"):
         add_tombstones(spark, grams_table, bench_doc_ids)
 
@@ -205,6 +220,7 @@ def expire_contamination_index(
 ) -> None:
     """TTL expiry over the ingest-stamp ledger — composition of
     expired_ids → tombstones, like the dedup index's."""
+    _check_format(spark, grams_table)
     with single_writer(spark, grams_table, op="expire"):
         add_tombstones(spark, grams_table, expired_ids(spark, grams_table, before_stamp))
 
@@ -220,6 +236,7 @@ def compact_contamination_index(
     clear the side relations. Same pmod(hash(gram), n)-repartition
     trick as compact_dedup_index (see there for why repartitioning on
     the raw key is not enough). Returns (files_before, files_after)."""
+    _check_format(spark, grams_table)
     with single_writer(spark, grams_table, op="compact"):
         before = len(spark.table(grams_table).inputFiles())
         live = apply_tombstones(
@@ -236,6 +253,7 @@ def compact_contamination_index(
         )
         swap_table(spark, grams_table, tmp)
         fold_side_tables(spark, grams_table, new_path)
+        write_index_meta(new_path, _FORMAT_KIND, _FORMAT_TABLES)
         return before, len(spark.table(grams_table).inputFiles())
 
 

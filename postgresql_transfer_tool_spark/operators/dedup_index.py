@@ -51,6 +51,7 @@ from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
     apply_tombstones,
+    check_index_format,
     fold_side_tables,
     expired_ids,
     record_stamps,
@@ -58,6 +59,7 @@ from ..functions.index_base import (
     snapshot_before_write,
     swap_table,
     tombstones,
+    write_index_meta,
 )
 from ..functions.memo import CheckpointMemo, unpersist_checkpoints
 from .dedup import (
@@ -91,6 +93,16 @@ class DedupIndex(NamedTuple):
 
     bands_table: str
     shingles_table: str
+
+
+#: on-disk format contract (functions/index_base.check_index_format):
+#: verified at every probe/mutation entry, stamped at build/compact
+_FORMAT_KIND = "near_dup_lsh"
+_FORMAT_TABLES = {"bands": ["doc_id", "band_key"], "shingles": ["doc_id", "h"]}
+
+
+def _check_format(spark: SparkSession, index: "DedupIndex") -> None:
+    check_index_format(spark, index.bands_table, _FORMAT_KIND, _FORMAT_TABLES)
 
 
 class BatchDedupResult(NamedTuple):
@@ -163,6 +175,7 @@ def build_dedup_index(
         record_stamps(
             spark, idx.bands_table, hashed.select("doc_id").distinct(), stamp
         )
+    write_index_meta(path, _FORMAT_KIND, _FORMAT_TABLES)
     # index state now lives on disk/catalog — free the builder's blocks
     for d in (bands, hashed, pre):
         unpersist_checkpoints(d)
@@ -216,6 +229,7 @@ def dedup_batch_against_index(
     a lower-id batch doc. Sub-3-token docs have no shingles, never match
     anything (same as the monolithic pipeline), and are reported novel.
     """
+    _check_format(spark, index)
     b_hashed, b_bands, pre = batch_signatures(batch_docs)
     # retracted docs (takedowns/TTL) are anti-joined out via broadcast —
     # the index side keeps its bucketed partitioning, so the candidate
@@ -315,6 +329,7 @@ def extend_dedup_index(
     Single-writer: the whole read-snapshot → append sequence holds the
     index write lock; a concurrent extend would interleave its appends
     between this one's snapshot and writes (torn extend)."""
+    _check_format(spark, index)
     with single_writer(spark, index.bands_table, op="extend"):
         nb = snapshot_before_write(
             result.batch_bands.join(result.novel_ids, "doc_id", "left_semi")
@@ -360,6 +375,7 @@ def append_all_signatures(
 
     The inputs must not read the index tables through a lazy plan
     (batch_signatures output never does)."""
+    _check_format(spark, index)
     with single_writer(spark, index.bands_table, op=op):
         if stamp is not None:
             record_stamps(
@@ -626,6 +642,7 @@ def delete_from_dedup_index(
     tombstones into a physical rewrite and clears them. Retracted ids
     stay retracted until that compaction — the globally-unique-id
     contract means an id is never legitimately re-ingested before then."""
+    _check_format(spark, index)
     with single_writer(spark, index.bands_table, op="delete"):
         add_tombstones(spark, index.bands_table, doc_ids)
 
@@ -637,6 +654,7 @@ def expire_dedup_index(
     ``before_stamp`` (stamps are recorded by build/extend when the
     caller passes one). Pure composition: expired ids → tombstones —
     the probe/compaction machinery is the deletion path's."""
+    _check_format(spark, index)
     with single_writer(spark, index.bands_table, op="expire"):
         ids = expired_ids(spark, index.bands_table, before_stamp)
         add_tombstones(spark, index.bands_table, ids)
@@ -671,6 +689,7 @@ def compact_dedup_index(
 
     Returns {table: (files_before, files_after)}.
     """
+    _check_format(spark, index)
     out: dict[str, tuple[int, int]] = {}
     with single_writer(spark, index.bands_table, op="compact"):
         tombs = tombstones(spark, index.bands_table)
@@ -695,4 +714,5 @@ def compact_dedup_index(
         # deletions are physical now: tombstones spent, stamps kept
         # for survivors (TTL must work across generations)
         fold_side_tables(spark, index.bands_table, new_path)
+        write_index_meta(new_path, _FORMAT_KIND, _FORMAT_TABLES)
     return out

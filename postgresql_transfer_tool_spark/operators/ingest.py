@@ -221,8 +221,46 @@ def streaming_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+@query("streaming_ingest_funnel_maintained", oracle=_funnel_oracle())
+def streaming_ingest_funnel_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streamed funnel with SINK-INTEGRATED MAINTENANCE armed
+    (round 11 — streaming/maintenance.py): a forced index compaction
+    fires BETWEEN epochs (every_epochs=2 with a zero files/bucket
+    threshold ⇒ the dedup index is physically rewritten, generation-
+    swapped, and re-bucketed mid-stream), and the decision union must
+    STILL hash-match the same monolithic DuckDB oracle as
+    `incremental_ingest_funnel` — compaction is storage hygiene, not a
+    semantic operation, proved cross-engine rather than asserted. The
+    long-run (20-epoch) form with file-count/bit-equality/plan
+    assertions is tests/test_streaming_maintenance.py; this row pins
+    the invariant at the driver gate."""
+    from ..streaming.maintenance import MaintenancePolicy
+
+    key = (spark.sparkContext.applicationId, sf_dir, "maintained")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark,
+            sf_dir,
+            with_ann=False,
+            maintenance=MaintenancePolicy(
+                every_epochs=2, max_files_per_bucket=0
+            ),
+            tag="sm",
+        )
+        cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
 def _run_streaming_funnel(
-    spark: SparkSession, sf_dir: str, with_ann: bool, grow_ann: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_ann: bool,
+    grow_ann: bool = False,
+    maintenance=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Shared driver body for the two streaming funnel rows: build the
     probe-only side indexes (+ the IVF index when ``with_ann``), cut the
@@ -238,7 +276,8 @@ def _run_streaming_funnel(
     )
     batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
     app = spark.sparkContext.applicationId
-    tag = ("sg" if grow_ann else "sa") if with_ann else "s"
+    if tag is None:
+        tag = ("sg" if grow_ann else "sa") if with_ann else "s"
 
     dname = index_table_name(f"ddidx{tag}", app, sf_dir)
     index = build_dedup_index(
@@ -281,6 +320,7 @@ def _run_streaming_funnel(
         index,
         gtable,
         tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
+        maintenance=maintenance,
         **ann_kwargs,
     )
     b1, b2 = batch.select(

@@ -499,6 +499,7 @@ def _hwm_batch(
     prev: str | None,
     tiebreak_col: str | None = None,
     scratch_dir: str | None = None,
+    upper: str | None = None,
 ):
     """Delta rows above ``prev`` + the batch-derived new HWM (shared by
     the checkpoint-store and lake-replication drivers)."""
@@ -507,19 +508,32 @@ def _hwm_batch(
     st = reflect_table_schema(server, schema, table)
     sql = f"SELECT * FROM {quote_qualified(schema, table)}"
     h = quote_ident(hwm_col)
+    where = []
     if prev is not None:
         if tiebreak_col is not None:
             hv, _, tv = prev.partition(_CKPT_SEP)
             hl = hv.replace("'", "''")
             tl = tv.replace("'", "''")
             t = quote_ident(tiebreak_col)
-            sql += (
-                f" WHERE {h} > '{hl}'"
-                f" OR ({h} = '{hl}' AND {t} > '{tl}')"
+            where.append(
+                f"({h} > '{hl}'"
+                f" OR ({h} = '{hl}' AND {t} > '{tl}'))"
             )
         else:
             lit = prev.replace("'", "''")
-            sql += f" WHERE {h} > '{lit}'"
+            where.append(f"{h} > '{lit}'")
+    if upper is not None:
+        # bounded re-read: recover an in-flight epoch's EXACT batch
+        # (PgFunnelIngest pins the upper HWM before processing, so a
+        # crashed epoch is redelivered identically even after newer
+        # rows landed — tiebreak composites not supported here because
+        # the funnel's HWM is the unique doc serial by contract)
+        if tiebreak_col is not None:
+            raise ValueError("upper-bounded re-read requires a plain hwm_col")
+        lit = upper.replace("'", "''")
+        where.append(f"{h} <= '{lit}'")
+    if where:
+        sql += " WHERE " + " AND ".join(where)
     df = read_query(
         spark, server, sql, st, label=f"{table}_hwm", scratch_dir=scratch_dir
     )
@@ -712,6 +726,119 @@ class PgLakeReplicator:
     def read_lake(self):
         """Union of all committed epochs (uncommitted dirs invisible)."""
         return self.sink.read_all(self.spark)
+
+
+class PgFunnelIngest:
+    """Documents arrive from a PostgreSQL table via HWM batches and
+    flow through the streaming admission funnel into the lake
+    (VERDICT r10 #7) — the reference's CDC surface
+    (event-table.sql:17-18; the incremental loop of
+    transfer_data_script.py:96-133) composed end-to-end with the LLM
+    training-data pipeline.
+
+    Per cycle: read the delta above the last COMMITTED epoch's HWM
+    (server-side filter — the COPY streams only new rows), pin the
+    batch's upper HWM durably, and hand the batch to an
+    :class:`~postgresql_transfer_tool_spark.streaming.ingest_funnel.
+    IngestFunnelSink` under the next epoch id. The sink's ledger commit
+    is the single commit point for decisions + index extension +
+    checkpoint together.
+
+    Exactly-once across a mid-cycle kill, WITHOUT Structured
+    Streaming's offset checkpoint: the trick is pinning the epoch's
+    upper bound BEFORE processing. A crashed epoch is re-read as the
+    bounded range (prev_hwm, pinned_upper] — byte-identical to the
+    original batch even when newer rows landed in between — so the
+    sink's replay bracket (fingerprint verify → partial-replay repair →
+    commit) applies unchanged; rows above the pinned bound surface as
+    the NEXT epoch. Requires the funnel's standing ingest contract:
+    ``hwm_col`` is the unique monotone doc serial and rows are
+    append-only/immutable (exactly the reference's serial-insert
+    model).
+
+    Crash windows:
+    - after the HWM pin, before the sink ran: recovery re-reads the
+      bounded batch and processes it fresh (nothing was durable);
+    - anywhere inside the sink: the sink's own crash matrix
+      (tests/test_sink_crash_matrix.py) converges the replay;
+    - after the sink's commit: the epoch is ledger-committed, recovery
+      starts the next epoch above its HWM. The pinned-HWM file is
+      written atomically, so no window shows a torn bound.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        server: PgServer,
+        schema: str,
+        table: str,
+        hwm_col: str,
+        sink,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.server = server
+        self.schema = schema
+        self.table = table
+        self.hwm_col = hwm_col
+        self.sink = sink
+        self.text_col = text_col
+        self.id_col = id_col
+        self.hwm_dir = os.path.join(
+            os.path.dirname(self.sink.decisions_dir), "_hwm"
+        )
+        os.makedirs(self.hwm_dir, exist_ok=True)
+
+    def _hwm_path(self, epoch: int) -> str:
+        import os
+
+        return os.path.join(self.hwm_dir, f"epoch={epoch}.hwm")
+
+    def _read_hwm(self, epoch: int) -> str | None:
+        try:
+            with open(self._hwm_path(epoch)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _pin_hwm(self, epoch: int, hwm: str) -> None:
+        import os
+
+        tmp = f"{self._hwm_path(epoch)}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(hwm)
+        os.replace(tmp, self._hwm_path(epoch))
+
+    def run_cycle(self, scratch_dir: str | None = None) -> dict:
+        """One ingest cycle. Returns {"epoch", "n_rows", "hwm"};
+        epoch None means no delta. Safe to call after any crash — the
+        first cycle after a mid-epoch kill replays that epoch
+        identically (pinned bound), then normal cycles resume."""
+        committed = sorted(self.sink.ledger.committed())
+        epoch = committed[-1] + 1 if committed else 0
+        prev = self._read_hwm(committed[-1]) if committed else None
+        pinned = self._read_hwm(epoch)  # non-None ⇒ crashed mid-epoch
+        batch = _hwm_batch(
+            self.spark, self.server, self.schema, self.table,
+            self.hwm_col, prev, scratch_dir=scratch_dir, upper=pinned,
+        )
+        if batch.n_rows == 0:
+            return {"epoch": None, "n_rows": 0, "hwm": prev}
+        if pinned is None:
+            self._pin_hwm(epoch, batch.new_checkpoint)
+        docs = batch.data.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        )
+        self.sink(docs, epoch)  # ledger commit inside = the commit point
+        return {
+            "epoch": epoch,
+            "n_rows": batch.n_rows,
+            "hwm": pinned if pinned is not None else batch.new_checkpoint,
+        }
 
 
 def verify_table_equivalence(

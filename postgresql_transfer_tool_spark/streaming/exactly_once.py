@@ -23,14 +23,29 @@ For a real RDBMS target the same pattern holds with a staging table +
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 
 from pyspark.sql import DataFrame
 
+logger = logging.getLogger(__name__)
+
 
 class EpochLedger:
     """Committed-epoch record: a directory of per-epoch marker files,
-    each created atomically via write-then-rename."""
+    each created atomically via write-then-rename. Alongside each
+    marker the sinks store a tiny batch FINGERPRINT (count + xor of
+    per-id hashes) — the exact-and-cheap substrate for epoch-id
+    collision detection (:func:`verify_committed_replay`): unlike the
+    epoch record, the fingerprint covers the WHOLE batch even for sinks
+    whose record is a filtered view (a committed all-duplicates epoch
+    leaves an EMPTY admitted record, against which a subset check is
+    vacuous — round-10 review), costs one small agg job instead of a
+    record read plus anti-joins on every routine restart redelivery,
+    and survives :func:`prune_epoch_records` (it lives with the ledger
+    markers, not the record dirs), so retention no longer degrades
+    collision detection."""
 
     def __init__(self, path: str) -> None:
         self.path = path  # directory of epoch=N.committed markers
@@ -51,6 +66,67 @@ class EpochLedger:
         with open(tmp, "w") as f:
             f.write(str(epoch_id))
         os.replace(tmp, marker)  # atomic; last writer wins, same content
+
+    # -- batch fingerprints ------------------------------------------------
+    def _fingerprint_path(self, epoch_id: int) -> str:
+        return os.path.join(self.path, f"epoch={epoch_id}.fingerprint")
+
+    def write_fingerprint(self, epoch_id: int, fp: dict) -> None:
+        """Durably record the epoch's batch fingerprint (atomic
+        write-then-rename, same discipline as commit markers). Sinks
+        write it BEFORE the epoch record, so record-exists ⇒
+        fingerprint-exists and every replay path can verify exactly."""
+        os.makedirs(self.path, exist_ok=True)
+        marker = self._fingerprint_path(epoch_id)
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, marker)
+
+    def read_fingerprint(self, epoch_id: int) -> dict | None:
+        """The stored fingerprint, or None (pre-round-11 ledger, or the
+        epoch never reached the fingerprint write)."""
+        try:
+            with open(self._fingerprint_path(epoch_id)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+
+def batch_fingerprint(batch_df: DataFrame, id_col: str) -> dict:
+    """Order-independent fingerprint of a batch's ``id_col`` multiset:
+    row count + XOR of per-id 64-bit hashes (ids are unique per batch —
+    the sinks' globally-unique-id contract — so XOR cancellation cannot
+    occur). One agg job with map-side partial aggregation; the cast to
+    string pins the hash input representation across id types."""
+    from pyspark.sql import functions as F
+
+    row = batch_df.select(
+        F.count(F.col(id_col)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("x"),
+    ).first()
+    return {"id_col": id_col, "n": int(row["n"]), "xor": int(row["x"] or 0)}
+
+
+def verify_batch_fingerprint(
+    ledger: EpochLedger, batch_df: DataFrame, epoch_id: int, id_col: str
+) -> bool:
+    """Exact epoch-id collision check for an IN-PROGRESS epoch: compare
+    the delivered batch against the ledger's stored fingerprint,
+    raising on mismatch; store the fingerprint when absent. Returns
+    True when the batch was verified against a stored fingerprint
+    (callers may then trust this epoch's record as the batch's own
+    prior progress and skip the weaker record-based subset check),
+    False when the fingerprint was just written (first delivery, or a
+    pre-round-11 epoch's first replay under new code)."""
+    fp = batch_fingerprint(batch_df, id_col)
+    stored = ledger.read_fingerprint(epoch_id)
+    if stored is not None:
+        if (stored["n"], stored["xor"]) != (fp["n"], fp["xor"]):
+            raise epoch_collision_error(epoch_id, committed=False)
+        return True
+    ledger.write_fingerprint(epoch_id, fp)
+    return False
 
 
 class IdempotentParquetSink:
@@ -104,6 +180,20 @@ class IdempotentParquetSink:
 # ---------------------------------------------------------------------------
 
 
+def _pid_alive(pid: int) -> bool:
+    """Is a process with this pid currently running? (EPERM means it
+    exists but is not ours — still alive.)"""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
+
 def _aside_dirs(epoch_dir: str) -> tuple[str, str]:
     """(tmp, old) scratch siblings for a rename-aside record write. Both
     live NEXT TO the epoch dir but start with '_' and contain no '=', so
@@ -144,12 +234,19 @@ def write_epoch_record(df: DataFrame, epoch_dir: str) -> None:
 
     tmp, old = _aside_dirs(epoch_dir)
     parent, base = os.path.split(epoch_dir.rstrip("/"))
-    # sweep scratch left by crashed writers: any pid's _tmp for this
-    # epoch, plus pre-round-10 'epoch=N.tmp-<pid>' leftovers that sit
-    # inside the partition root and corrupt discovery
+    # sweep scratch left by CRASHED writers: _tmp dirs for this epoch
+    # (plus pre-round-10 'epoch=N.tmp-<pid>' leftovers that sit inside
+    # the partition root and corrupt discovery) whose writing pid is no
+    # longer alive. The liveness check is what makes the sweep safe if
+    # two processes ever share a records dir: a LIVE concurrent
+    # writer's in-flight scratch is left alone (round-10 review — the
+    # unconditional sweep silently assumed one writer per out_dir).
     for stale in glob.glob(
         os.path.join(parent, f"_tmp-{base.replace('=', '-')}-*")
     ) + glob.glob(f"{epoch_dir}.tmp-*"):
+        pid_part = stale.rsplit("-", 1)[-1].rstrip("/")
+        if pid_part.isdigit() and _pid_alive(int(pid_part)):
+            continue
         shutil.rmtree(stale, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(epoch_dir):
@@ -183,13 +280,19 @@ def prune_epoch_records(
     """Retention for per-epoch record dirs: reclaim every COMMITTED
     epoch's record older than ``before_epoch`` (an uncommitted epoch's
     record is live replay state and is never touched; the ledger marker
-    itself is kept — it is the exactly-once substrate and is one tiny
-    file per epoch). After pruning, a redelivery of that epoch degrades
-    to the bare ledger skip and an epoch-id collision on it is no
-    longer detectable (verify_committed_replay documents the
-    degradation) — retention trades collision detection and read-back
-    history for storage, a policy call that belongs to the pipeline
-    owner. Returns the number of records reclaimed."""
+    AND the batch fingerprint are kept — they are the exactly-once /
+    collision-detection substrate and are two tiny files per epoch).
+
+    What pruning actually trades away: the record dirs double as the
+    sinks' queryable OUTPUT for DedupIndexSink (``admitted()``) and
+    IngestFunnelSink (``decisions()``) — pruning TRUNCATES those
+    read-backs to the retained window, so it is only appropriate once
+    downstream has consumed (or re-materialized) the pruned epochs.
+    Collision detection is NOT degraded for epochs committed under
+    round-11+ code: the redelivery check verifies against the surviving
+    fingerprint. Only pre-fingerprint epochs degrade to the bare ledger
+    skip, which verify_committed_replay logs loudly. Returns the number
+    of records reclaimed."""
     import shutil
 
     n = 0
@@ -211,6 +314,7 @@ def verify_committed_replay(
     epoch_id: int,
     id_col: str,
     subset_ok: bool = False,
+    ledger: EpochLedger | None = None,
 ) -> None:
     """Guard a committed-epoch skip against EPOCH-ID COLLISIONS.
 
@@ -219,21 +323,41 @@ def verify_committed_replay(
     checkpoint lineage. If the checkpoint is wiped (or the query is
     pointed at a fresh checkpoint) while the sink's ledger survives,
     the restarted query numbers fresh batches from 0 and a bare
-    "committed → skip" silently drops their data. This check compares
-    the redelivered batch's ``id_col`` set against the committed
-    epoch's record and raises on mismatch — loud failure naming the
-    recovery unit instead of silent loss.
+    "committed → skip" silently drops their data. The check is exact
+    and cheap when the ledger holds the epoch's batch FINGERPRINT
+    (round 11 — one small agg job, no record read; routine restarts
+    redeliver the last committed batch on essentially every start, so
+    this is the hot path); it works even when the record was pruned or
+    is an EMPTY filtered view (the two blind spots of the record-based
+    check). Raises on mismatch — loud failure naming the recovery unit
+    instead of silent loss.
 
-    ``subset_ok``: for sinks whose record is a FILTERED view of the
-    batch (DedupIndexSink records admitted ⊂ batch), only
-    record-but-not-in-batch ids can prove a collision.
-    A missing record (e.g. reclaimed by retention) degrades to the
-    bare skip. Cost: at most two epoch-sized jobs, paid only on
-    replays of committed epochs (rare)."""
+    Fallback for pre-fingerprint epochs: compare against the epoch's
+    record. ``subset_ok``: for sinks whose record is a FILTERED view of
+    the batch (DedupIndexSink records admitted ⊂ batch), only
+    record-but-not-in-batch ids can prove a collision — a vacuous pass
+    (empty or subset-consistent record) is logged as unverified rather
+    than trusted silently. A missing record (e.g. reclaimed by
+    retention) degrades to the bare skip, also logged."""
     from ..functions.memo import unpersist_checkpoints
 
+    if ledger is not None:
+        stored = ledger.read_fingerprint(epoch_id)
+        if stored is not None:
+            fp = batch_fingerprint(batch_df, id_col)
+            if (stored["n"], stored["xor"]) != (fp["n"], fp["xor"]):
+                raise epoch_collision_error(epoch_id, committed=True)
+            return
     record = read_epoch_record(spark, epoch_dir)
     if record is None:
+        logger.warning(
+            "committed epoch %d redelivered at %s: skipping UNVERIFIED — "
+            "no fingerprint (pre-round-11 commit) and no record (pruned "
+            "or never written); an epoch-id collision here would be "
+            "silent data loss",
+            epoch_id,
+            epoch_dir,
+        )
         return
     try:
         mismatch = replay_contents_mismatch(batch_df, record, id_col, subset_ok)
@@ -241,6 +365,15 @@ def verify_committed_replay(
         unpersist_checkpoints(record)
     if mismatch:
         raise epoch_collision_error(epoch_id, committed=True)
+    if subset_ok:
+        logger.warning(
+            "committed epoch %d redelivered at %s: verified only as a "
+            "SUBSET (the record is a filtered view and carries no "
+            "fingerprint) — a renumbered batch that happens to be a "
+            "superset of the recorded ids would pass this check",
+            epoch_id,
+            epoch_dir,
+        )
 
 
 def replay_contents_mismatch(

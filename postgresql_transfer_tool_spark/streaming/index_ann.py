@@ -44,12 +44,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.memo import unpersist_checkpoints
-from ..operators.ann_index import AnnIndex, extend_ann_index
+from ..operators.ann_index import (
+    AnnIndex,
+    compact_ann_index,
+    extend_ann_index,
+    N_CELL_BUCKETS,
+)
+from .maintenance import MaintenancePolicy, run_maintenance
 from .exactly_once import (
     EpochLedger,
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
+    verify_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -59,11 +66,18 @@ class AnnIndexSink:
     """foreachBatch target: exactly-once vector ingest under frozen
     centroids. Batches carry (vec_id, qe, nq) quantized rows."""
 
-    def __init__(self, spark: SparkSession, index: AnnIndex, out_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: AnnIndex,
+        out_dir: str,
+        maintenance: MaintenancePolicy | None = None,
+    ) -> None:
         self.spark = spark
         self.index = index
         self.ingested_dir = os.path.join(out_dir, "ingested")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+        self.maintenance = maintenance
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}")
@@ -72,16 +86,24 @@ class AnnIndexSink:
             # surviving ledger) instead of silently dropping a renumbered
             # batch — the record holds the epoch's exact vec-id set
             verify_committed_replay(
-                self.spark, batch_df, epoch_dir, int(epoch_id), "vec_id"
+                self.spark, batch_df, epoch_dir, int(epoch_id), "vec_id",
+                ledger=self.ledger,
             )
             return
+        # store/verify the batch fingerprint before any durable write
+        # (exact collision check that survives record retention)
+        fp_verified = verify_batch_fingerprint(
+            self.ledger, batch_df, int(epoch_id), "vec_id"
+        )
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # the record must be THIS batch's ids — a wiped checkpoint
             # renumbering a fresh batch onto this uncommitted epoch would
             # otherwise have its vectors silently dropped (the repair
             # extends only record ∩ batch) while the stale record stands
-            if replay_contents_mismatch(batch_df, prior, "vec_id"):
+            if not fp_verified and replay_contents_mismatch(
+                batch_df, prior, "vec_id"
+            ):
                 unpersist_checkpoints(prior)
                 raise epoch_collision_error(int(epoch_id), committed=False)
             # partial replay: extend with exactly the recorded ids whose
@@ -117,6 +139,17 @@ class AnnIndexSink:
             finally:
                 unpersist_checkpoints(batch_df)
         self.ledger.commit(int(epoch_id))
+        if self.maintenance is not None:
+            # post-commit maintenance (streaming/maintenance.py)
+            run_maintenance(
+                self.spark, self.maintenance, int(epoch_id),
+                indexes=[(
+                    self.index.cells_table, N_CELL_BUCKETS,
+                    lambda p: compact_ann_index(self.spark, self.index, p),
+                )],
+                ledger=self.ledger,
+                record_dirs=[self.ingested_dir],
+            )
 
     # -- read-back helper -------------------------------------------------
     def ingested(self) -> DataFrame:

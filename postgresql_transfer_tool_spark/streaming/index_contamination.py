@@ -35,8 +35,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.contamination_index import extend_contamination_index
-from .exactly_once import EpochLedger, verify_committed_replay, write_epoch_record
+from ..operators.contamination_index import (
+    compact_contamination_index,
+    extend_contamination_index,
+    N_GRAM_BUCKETS,
+)
+from .maintenance import MaintenancePolicy, run_maintenance
+from .exactly_once import (
+    EpochLedger,
+    verify_batch_fingerprint,
+    verify_committed_replay,
+    write_epoch_record,
+)
 
 
 class ContaminationIndexSink:
@@ -52,11 +62,18 @@ class ContaminationIndexSink:
     4. commit the epoch.
     """
 
-    def __init__(self, spark: SparkSession, grams_table: str, out_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        grams_table: str,
+        out_dir: str,
+        maintenance: MaintenancePolicy | None = None,
+    ) -> None:
         self.spark = spark
         self.grams_table = grams_table
         self.ingested_dir = os.path.join(out_dir, "ingested")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+        self.maintenance = maintenance
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) in self.ledger.committed():
@@ -69,8 +86,15 @@ class ContaminationIndexSink:
                 os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}"),
                 int(epoch_id),
                 "doc_id",
+                ledger=self.ledger,
             )
             return
+        # store/verify the batch fingerprint before the extend (exact
+        # collision check that survives record retention; a replayed
+        # epoch's re-extend stays harmless — duplicate gram rows are
+        # probe-inert — but a RENUMBERED batch now fails loudly here
+        # instead of silently merging into a foreign epoch's record)
+        verify_batch_fingerprint(self.ledger, batch_df, int(epoch_id), "doc_id")
         extend_contamination_index(
             self.spark, self.grams_table, batch_df, stamp=int(epoch_id)
         )
@@ -79,6 +103,21 @@ class ContaminationIndexSink:
             os.path.join(self.ingested_dir, f"epoch={int(epoch_id)}"),
         )
         self.ledger.commit(int(epoch_id))
+        if self.maintenance is not None:
+            # post-commit maintenance: replayed-append duplicate rows
+            # and tombstoned docs fold out physically on the measured
+            # cadence (streaming/maintenance.py)
+            run_maintenance(
+                self.spark, self.maintenance, int(epoch_id),
+                indexes=[(
+                    self.grams_table, N_GRAM_BUCKETS,
+                    lambda p: compact_contamination_index(
+                        self.spark, self.grams_table, p
+                    ),
+                )],
+                ledger=self.ledger,
+                record_dirs=[self.ingested_dir],
+            )
 
     # -- read-back helper (test / downstream convenience) ----------------
     def ingested(self) -> DataFrame:

@@ -50,15 +50,19 @@ from ..functions.memo import unpersist_checkpoints
 from ..operators.dedup_index import (
     append_signature_rows,
     batch_signatures,
+    compact_dedup_index,
     DedupIndex,
     dedup_batch_against_index,
     extend_dedup_index,
+    N_INDEX_BUCKETS,
 )
+from .maintenance import MaintenancePolicy, run_maintenance
 from .exactly_once import (
     EpochLedger,
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
+    verify_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -69,8 +73,10 @@ class DedupIndexSink:
 
     Per micro-batch of (doc_id, text) rows:
 
-    1. skip if the epoch is already in the ledger (full replay);
-    2. drop rows this epoch already admitted (partial replay after the
+    1. skip if the epoch is already in the ledger (full replay),
+       verifying the redelivered batch against the stored fingerprint;
+    2. store/verify the batch fingerprint, then drop rows this epoch
+       already admitted (partial replay after the
        extend/commit crash window — normally a no-op; reads only the
        epoch's own output dir);
     3. probe the batch against the index;
@@ -86,26 +92,39 @@ class DedupIndexSink:
         spark: SparkSession,
         index: DedupIndex,
         out_dir: str,
+        maintenance: MaintenancePolicy | None = None,
     ) -> None:
         self.spark = spark
         self.index = index
         self.admitted_dir = os.path.join(out_dir, "admitted")
         self.pairs_dir = os.path.join(out_dir, "pairs")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+        self.maintenance = maintenance
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(self.admitted_dir, f"epoch={int(epoch_id)}")
         if int(epoch_id) in self.ledger.committed():
             # guard the skip against epoch-id collisions (a wiped
             # checkpoint over a surviving ledger renumbers fresh batches
-            # from 0 — fail loudly instead of dropping them). The
-            # admitted record is a FILTERED view of the batch, so only
-            # recorded-but-not-redelivered ids can prove a collision.
+            # from 0 — fail loudly instead of dropping them). The check
+            # is EXACT via the ledger fingerprint (round 11): the
+            # admitted record is a FILTERED view of the batch — an
+            # all-duplicates epoch leaves an EMPTY record against which
+            # the subset fallback is vacuous — so only the fingerprint
+            # closes the renumbered-batch blind spot here.
             verify_committed_replay(
                 self.spark, batch_df, epoch_dir, int(epoch_id),
-                "doc_id", subset_ok=True,
+                "doc_id", subset_ok=True, ledger=self.ledger,
             )
             return
+        # Record the batch fingerprint BEFORE any record/index write
+        # (or verify against it exactly if an earlier attempt already
+        # stored it — raises on a renumbered batch). fp_verified=True
+        # proves the redelivered batch IS this epoch's own, making the
+        # weaker record-subset check below redundant.
+        fp_verified = verify_batch_fingerprint(
+            self.ledger, batch_df, int(epoch_id), "doc_id"
+        )
         # Partial-replay state is confined to THIS epoch's output dir:
         # foreachBatch re-delivers the same rows under the same epoch
         # id, and doc_ids are globally unique (the index contract), so
@@ -125,8 +144,12 @@ class DedupIndexSink:
             # the record must be THIS batch's prior progress (admitted ⊆
             # redelivered ids) — a wiped checkpoint renumbering a fresh
             # batch onto this uncommitted epoch would otherwise have its
-            # docs filtered/mis-repaired against a stale record
-            if replay_contents_mismatch(batch_df, prior, "doc_id", subset_ok=True):
+            # docs filtered/mis-repaired against a stale record. A
+            # fingerprint match already proved the batch exactly; the
+            # subset fallback covers only pre-fingerprint records.
+            if not fp_verified and replay_contents_mismatch(
+                batch_df, prior, "doc_id", subset_ok=True
+            ):
                 unpersist_checkpoints(prior)
                 raise epoch_collision_error(int(epoch_id), committed=False)
             # drop already-admitted docs, then snapshot: the admit
@@ -201,9 +224,31 @@ class DedupIndexSink:
                 (prior,) if prior is not None else ()
             ):
                 unpersist_checkpoints(d)
+        self._maybe_maintain(int(epoch_id))
+
+    def _maybe_maintain(self, epoch_id: int) -> None:
+        """Post-commit maintenance (streaming/maintenance.py): compact
+        the index when the measured policy says so; optionally prune
+        old epoch records. Runs AFTER the commit, so no failure here
+        can lose epoch data."""
+        if self.maintenance is None:
+            return
+        run_maintenance(
+            self.spark, self.maintenance, epoch_id,
+            indexes=[(
+                self.index.bands_table, N_INDEX_BUCKETS,
+                lambda p: compact_dedup_index(self.spark, self.index, p),
+            )],
+            ledger=self.ledger,
+            record_dirs=[self.admitted_dir, self.pairs_dir],
+        )
 
     # -- read-back helpers (test / downstream convenience) --------------
     def admitted(self) -> DataFrame:
+        """All admitted rows across epochs. NOTE: the per-epoch dirs
+        this reads are also replay records — ``prune_epoch_records``
+        over ``admitted_dir`` TRUNCATES this relation to the retained
+        window (exactly_once.prune_epoch_records documents the trade)."""
         return self.spark.read.option("basePath", self.admitted_dir).parquet(
             self.admitted_dir
         )

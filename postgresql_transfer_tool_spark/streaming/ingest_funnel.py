@@ -79,13 +79,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.memo import unpersist_checkpoints
-from ..operators.ann_index import extend_ann_index
+from ..operators.ann_index import (
+    compact_ann_index,
+    extend_ann_index,
+    N_CELL_BUCKETS,
+)
 from ..operators.contamination_index import check_batch_contamination
 from ..operators.dedup_index import (
     append_all_signatures,
     batch_signatures,
+    compact_dedup_index,
     DedupIndex,
     dedup_batch_against_index,
+    N_INDEX_BUCKETS,
 )
 from ..operators.ingest import (
     apply_embedding_stage,
@@ -93,11 +99,13 @@ from ..operators.ingest import (
     embedding_nn_probe_growing,
     funnel_decisions,
 )
+from .maintenance import MaintenancePolicy, run_maintenance
 from .exactly_once import (
     EpochLedger,
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
+    verify_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -123,6 +131,7 @@ class IngestFunnelSink:
         embeddings: DataFrame | None = None,
         nprobe: int | None = None,
         grow_ann: bool = False,
+        maintenance: MaintenancePolicy | None = None,
     ) -> None:
         """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
         relation, vec_id = doc_id) switch on the embedding-novelty
@@ -165,6 +174,7 @@ class IngestFunnelSink:
         self.nprobe = nprobe
         self.decisions_dir = os.path.join(out_dir, "decisions")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
+        self.maintenance = maintenance
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(self.decisions_dir, f"epoch={int(epoch_id)}")
@@ -180,6 +190,14 @@ class IngestFunnelSink:
             # ONE recovery unit — restore or reset them together.
             self._verify_replay(batch_df, epoch_dir, int(epoch_id))
             return
+        # store/verify the batch fingerprint before any durable write:
+        # a fingerprint match proves the redelivered batch IS this
+        # epoch's own (exact even for renumbered supersets), and the
+        # stored fingerprint keeps the committed-skip check exact after
+        # record retention prunes the decision record
+        fp_verified = verify_batch_fingerprint(
+            self.ledger, batch_df, int(epoch_id), "doc_id"
+        )
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # Partial replay: decisions are complete (existence ⇒
@@ -193,7 +211,9 @@ class IngestFunnelSink:
             # documents (round-10 review — the committed path one branch
             # above already guarded this exact operator error).
             try:
-                if replay_contents_mismatch(batch_df, prior, "doc_id"):
+                if not fp_verified and replay_contents_mismatch(
+                    batch_df, prior, "doc_id"
+                ):
                     raise epoch_collision_error(int(epoch_id), committed=False)
                 indexed = self.spark.table(self.index.shingles_table).select(
                     "doc_id"
@@ -228,6 +248,7 @@ class IngestFunnelSink:
             finally:
                 unpersist_checkpoints(prior)
             self.ledger.commit(int(epoch_id))
+            self._maybe_maintain(int(epoch_id))
             return
         batch_df = batch_df.localCheckpoint(eager=True)
         res = dedup_batch_against_index(self.spark, batch_df, self.index)
@@ -276,6 +297,33 @@ class IngestFunnelSink:
         finally:
             for d in (*res.checkpoints, cont, batch_df):
                 unpersist_checkpoints(d)
+        self._maybe_maintain(int(epoch_id))
+
+    def _maybe_maintain(self, epoch_id: int) -> None:
+        """Post-commit maintenance (streaming/maintenance.py): compact
+        the dedup index — and, when grow_ann, the growing IVF index —
+        when the measured policy says so; optionally prune old decision
+        records. Runs AFTER the commit, so no failure here can lose
+        epoch data, and admissions are bit-identical to a
+        never-compacted run (compaction is semantically a no-op;
+        pinned by tests/test_streaming_maintenance.py)."""
+        if self.maintenance is None:
+            return
+        indexes = [(
+            self.index.bands_table, N_INDEX_BUCKETS,
+            lambda p: compact_dedup_index(self.spark, self.index, p),
+        )]
+        if self.grow_ann:
+            indexes.append((
+                self.ann_index.cells_table, N_CELL_BUCKETS,
+                lambda p: compact_ann_index(self.spark, self.ann_index, p),
+            ))
+        run_maintenance(
+            self.spark, self.maintenance, epoch_id,
+            indexes=indexes,
+            ledger=self.ledger,
+            record_dirs=[self.decisions_dir],
+        )
 
     def _repair_ann(self, prior: DataFrame, epoch_id: int) -> None:
         """Re-extend the growing IVF index with recorded docs whose
@@ -297,16 +345,22 @@ class IngestFunnelSink:
     def _verify_replay(
         self, batch_df: DataFrame, epoch_dir: str, epoch_id: int
     ) -> None:
-        """Raise unless the redelivered batch's doc_id set equals the
-        committed epoch's decision record (exactly_once.
-        verify_committed_replay — the decision record covers EVERY
-        probed doc, so the check is exact, not subset)."""
+        """Raise unless the redelivered batch matches the committed
+        epoch's stored fingerprint (exactly_once.verify_committed_replay
+        — exact, one agg job, survives record retention), falling back
+        to the decision record for pre-fingerprint epochs (still exact
+        here: the record covers EVERY probed doc)."""
         verify_committed_replay(
-            self.spark, batch_df, epoch_dir, epoch_id, "doc_id"
+            self.spark, batch_df, epoch_dir, epoch_id, "doc_id",
+            ledger=self.ledger,
         )
 
     # -- read-back helper (test / downstream convenience) ----------------
     def decisions(self) -> DataFrame:
+        """All decision rows across epochs. NOTE: the per-epoch dirs
+        this reads are also replay records — ``prune_epoch_records``
+        over ``decisions_dir`` TRUNCATES this relation to the retained
+        window (exactly_once.prune_epoch_records documents the trade)."""
         return self.spark.read.option("basePath", self.decisions_dir).parquet(
             self.decisions_dir
         )

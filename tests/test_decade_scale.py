@@ -301,3 +301,131 @@ def test_dedup_index_probe_growth_three_points(spark, x10_dir):
     for i in range(len(ratios) - 1):
         assert ratios[i + 1] <= max(ratios[i] * 3, 1.0), ratios
     assert all(r <= 5 for r in ratios), ratios
+
+
+def test_ingest_funnel_growth_three_points(spark, x10_dir):
+    """Composed admission funnel (VERDICT r10 #5) across 500 → 5 000 →
+    50 000 documents: the full trilogy decision — near-dup probe ∧
+    contamination probe ∧ embedding-novelty probe ∧ quality floor — at
+    three corpus decades, measuring what the component sweeps can't:
+    the END-TO-END decided-docs/sec and the per-batch-doc candidate
+    volume of both probe joins in composition. The funnel's 100 TB
+    posture now rests on its own curve, not only the components'."""
+    import time
+    import uuid as _uuid
+
+    from postgresql_transfer_tool_spark.functions.memo import (
+        unpersist_checkpoints,
+    )
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        build_ann_index,
+    )
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        build_contamination_index,
+        check_batch_contamination,
+    )
+    from postgresql_transfer_tool_spark.operators.corpus import _BENCH_MOD
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        BATCH_MOD,
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+    from postgresql_transfer_tool_spark.operators.ingest import (
+        apply_embedding_stage,
+        embedding_nn_probe,
+        funnel_decisions,
+    )
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        NPROBE,
+        _spark_quantized,
+        top_cells_by_cosine,
+    )
+
+    dirs = [SF_SMALL, SF_MID, x10_dir]
+    text_ratio, ann_ratio, rate = [], [], []
+    for d in dirs:
+        docs = load_table(spark, d, "documents")
+        batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+        n_batch = batch.count()
+        tag = _uuid.uuid4().hex[:8]
+
+        index = build_dedup_index(
+            spark, docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"fnl{tag}"), f"ddidx_fnl{tag}",
+        )
+        gtable = build_contamination_index(
+            spark, docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            tempfile.mkdtemp(prefix=f"fnlg{tag}"), f"contidx_fnl{tag}",
+        )
+        q = _spark_quantized(spark, d).localCheckpoint(eager=True)
+        corpus_v = q.filter(F.col("vec_id") % BATCH_MOD != 0)
+        ann = build_ann_index(
+            spark, corpus_v, tempfile.mkdtemp(prefix=f"fnla{tag}"),
+            f"annidx_fnl{tag}",
+        )
+
+        # end-to-end decision throughput: probe → probe → probe → decide
+        t0 = time.perf_counter()
+        res = dedup_batch_against_index(spark, batch, index)
+        cont = check_batch_contamination(spark, batch, gtable)
+        decisions = apply_embedding_stage(
+            funnel_decisions(batch, res.novel_ids, cont),
+            embedding_nn_probe(
+                spark, batch.select("doc_id"), q, ann, nprobe=NPROBE
+            ),
+        )
+        n_dec = decisions.count()
+        dt = time.perf_counter() - t0
+        assert n_dec == n_batch  # every batch doc decided exactly once
+
+        # candidate volumes per batch doc, both probe joins
+        t_cand = (
+            res.batch_bands.select("band_key", F.col("doc_id").alias("bid"))
+            .join(
+                spark.table(index.bands_table).select(
+                    "band_key", F.col("doc_id").alias("iid")
+                ),
+                "band_key",
+            )
+            .select("bid", "iid").distinct().count()
+        )
+        cent_rows = [
+            (r.cid, r.ce, r.ncent)
+            for r in spark.table(ann.centroids_table).collect()
+        ]
+        batch_v = q.join(
+            batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        n_bv = batch_v.count()
+        a_cand = (
+            batch_v.select(
+                F.col("vec_id").alias("qid"),
+                F.explode(top_cells_by_cosine(cent_rows, NPROBE)("qe", "nq")).alias("cell"),
+            )
+            .join(spark.table(ann.cells_table).select("vec_id", "cell"), "cell")
+            .count()
+        )
+        text_ratio.append(t_cand / max(n_batch, 1))
+        ann_ratio.append(a_cand / max(n_bv, 1))
+        rate.append(n_batch / dt)
+        print(
+            f"{d}: batch={n_batch} decided/s={n_batch / dt:.0f} "
+            f"text_cand/doc={t_cand / max(n_batch, 1):.2f} "
+            f"ann_cand/vec={a_cand / max(n_bv, 1):.1f}"
+        )
+        for h in (*res.checkpoints, cont, q):
+            unpersist_checkpoints(h)
+        for t in (index.bands_table, index.shingles_table, gtable,
+                  ann.cells_table, ann.centroids_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # per-doc candidate volume stays flat as the corpus grows a decade
+    # per step (the bucketed-probe posture), with absolute ceilings so
+    # a degeneration is loud even if the trend test is lucky
+    for seq, cap in ((text_ratio, 5.0), (ann_ratio, 600.0)):
+        for i in range(len(seq) - 1):
+            assert seq[i + 1] <= max(seq[i] * 3, 1.0), seq
+        assert all(r <= cap for r in seq), (seq, cap)
+    # throughput must GROW with scale (fixed scheduler overhead
+    # amortizes; a shrinking rate would mean corpus-bound probes)
+    assert rate[-1] > rate[0], rate

@@ -241,3 +241,235 @@ def test_compaction_due_policy(spark, tmp_path):
     for t in (index.bands_table, index.shingles_table,
               f"{stem}_tombstones", f"{stem}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# batch fingerprints (round 11): exact, record-free collision detection
+# ---------------------------------------------------------------------------
+
+
+def test_batch_fingerprint_order_independent(spark):
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        batch_fingerprint,
+    )
+
+    a = batch_fingerprint(_ids(spark, [1, 2, 3]), "doc_id")
+    b = batch_fingerprint(_ids(spark, [3, 1, 2]).repartition(4), "doc_id")
+    assert a == b and a["n"] == 3
+    # sensitive to membership, not just count
+    c = batch_fingerprint(_ids(spark, [1, 2, 4]), "doc_id")
+    assert c["n"] == 3 and c["xor"] != a["xor"]
+    empty = batch_fingerprint(_ids(spark, []), "doc_id")
+    assert empty["n"] == 0 and empty["xor"] == 0
+
+
+def test_ledger_fingerprint_roundtrip(tmp_path):
+    from postgresql_transfer_tool_spark.streaming.exactly_once import EpochLedger
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    assert ledger.read_fingerprint(0) is None
+    ledger.write_fingerprint(0, {"id_col": "doc_id", "n": 2, "xor": 7})
+    assert ledger.read_fingerprint(0) == {"id_col": "doc_id", "n": 2, "xor": 7}
+    # fingerprints never parse as commit markers
+    assert ledger.committed() == set()
+    ledger.commit(0)
+    assert ledger.committed() == {0}
+
+
+def test_verify_committed_replay_fingerprint_first(spark, tmp_path):
+    """With a stored fingerprint the committed-skip check is exact and
+    needs NO record: a matching redelivery passes even when the record
+    was pruned; a renumbered batch raises even when the record would be
+    vacuous (empty/subset)."""
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        batch_fingerprint,
+        EpochLedger,
+        verify_committed_replay,
+    )
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    batch = _ids(spark, [10, 11, 12])
+    ledger.write_fingerprint(5, batch_fingerprint(batch, "doc_id"))
+    ledger.commit(5)
+    missing_record = str(tmp_path / "rec" / "epoch=5")  # never written
+
+    # same batch → clean exact pass without any record
+    verify_committed_replay(
+        spark, batch, missing_record, 5, "doc_id", ledger=ledger
+    )
+    # renumbered superset → raises (the subset fallback would pass this)
+    with pytest.raises(RuntimeError, match="collision"):
+        verify_committed_replay(
+            spark, _ids(spark, [10, 11, 12, 13]), missing_record, 5,
+            "doc_id", subset_ok=True, ledger=ledger,
+        )
+    # entirely different batch → raises
+    with pytest.raises(RuntimeError, match="collision"):
+        verify_committed_replay(
+            spark, _ids(spark, [99]), missing_record, 5, "doc_id",
+            ledger=ledger,
+        )
+
+
+def test_verify_committed_replay_degradations_are_logged(spark, tmp_path, caplog):
+    """Pre-fingerprint epochs: a missing record degrades to the bare
+    skip and a subset-only record pass is vacuous — both must be LOUD
+    (round-10 review), never a silent clean pass."""
+    import logging
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        EpochLedger,
+        verify_committed_replay,
+        write_epoch_record,
+    )
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))  # no fingerprint stored
+    ledger.commit(0)
+    batch = _ids(spark, [1, 2])
+
+    with caplog.at_level(logging.WARNING):
+        verify_committed_replay(
+            spark, batch, str(tmp_path / "rec" / "epoch=0"), 0, "doc_id",
+            ledger=ledger,
+        )
+    assert any("UNVERIFIED" in r.message for r in caplog.records)
+
+    caplog.clear()
+    rec_dir = str(tmp_path / "rec" / "epoch=1")
+    write_epoch_record(_ids(spark, [1]), rec_dir)  # filtered view (subset)
+    ledger.commit(1)
+    with caplog.at_level(logging.WARNING):
+        verify_committed_replay(
+            spark, batch, rec_dir, 1, "doc_id", subset_ok=True, ledger=ledger
+        )
+    assert any("SUBSET" in r.message for r in caplog.records)
+
+
+def test_verify_batch_fingerprint_in_progress_epochs(spark, tmp_path):
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        EpochLedger,
+        verify_batch_fingerprint,
+    )
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    batch = _ids(spark, [1, 2, 3])
+    # first delivery stores the fingerprint
+    assert verify_batch_fingerprint(ledger, batch, 0, "doc_id") is False
+    # replay of the same rows verifies exactly
+    assert verify_batch_fingerprint(ledger, batch, 0, "doc_id") is True
+    # a renumbered fresh batch onto the in-progress epoch fails loudly
+    with pytest.raises(RuntimeError, match="collision"):
+        verify_batch_fingerprint(ledger, _ids(spark, [7]), 0, "doc_id")
+
+
+def test_prune_keeps_fingerprints_so_collisions_stay_detectable(spark, tmp_path):
+    """Round-11 upgrade of the retention trade: pruning reclaims the
+    record dirs but keeps the ledger-side fingerprints, so a post-prune
+    redelivery is STILL exactly verified — identical ids skip cleanly,
+    renumbered ids raise (previously undetectable after pruning)."""
+    import os as _os
+
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        batch_fingerprint,
+        EpochLedger,
+        prune_epoch_records,
+        read_epoch_record,
+        verify_committed_replay,
+        write_epoch_record,
+    )
+
+    root = str(tmp_path / "rec")
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    batch = _ids(spark, [100, 101])
+    ledger.write_fingerprint(0, batch_fingerprint(batch, "doc_id"))
+    write_epoch_record(batch, _os.path.join(root, "epoch=0"))
+    ledger.commit(0)
+
+    assert prune_epoch_records(root, ledger, before_epoch=1) == 1
+    assert read_epoch_record(spark, _os.path.join(root, "epoch=0")) is None
+
+    # (a) identical redelivery stays a clean exact no-op
+    verify_committed_replay(
+        spark, batch, _os.path.join(root, "epoch=0"), 0, "doc_id",
+        ledger=ledger,
+    )
+    # (b) renumbered redelivery is detected DESPITE the pruned record
+    with pytest.raises(RuntimeError, match="collision"):
+        verify_committed_replay(
+            spark, _ids(spark, [500, 501]), _os.path.join(root, "epoch=0"),
+            0, "doc_id", ledger=ledger,
+        )
+
+
+def test_scratch_sweep_spares_live_writers(spark, tmp_path):
+    """The stale-scratch sweep only reclaims dirs whose writing pid is
+    dead: a LIVE concurrent writer's in-flight tmp survives another
+    writer's sweep (round-10 review — the unconditional sweep assumed
+    one writer per records dir)."""
+    import os as _os
+    import subprocess
+    import sys
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        read_epoch_record,
+        write_epoch_record,
+    )
+
+    root = tmp_path / "rec"
+    root.mkdir()
+    live = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        live_tmp = root / f"_tmp-epoch-0-{live.pid}"
+        dead_tmp = root / "_tmp-epoch-0-999999999"
+        live_tmp.mkdir()
+        dead_tmp.mkdir()
+        (live_tmp / "part-0.parquet").write_bytes(b"inflight")
+        write_epoch_record(_ids(spark, [1]), str(root / "epoch=0"))
+        assert live_tmp.is_dir(), "live writer's scratch was swept"
+        assert not dead_tmp.exists(), "dead writer's scratch survived"
+        assert {r.doc_id for r in read_epoch_record(spark, str(root / "epoch=0")).collect()} == {1}
+    finally:
+        live.kill()
+        live.wait()
+
+
+def test_pre_fingerprint_prune_degradation_pinned(spark, tmp_path, caplog):
+    """VERDICT r10 #8, legacy half: for an epoch committed by
+    PRE-fingerprint code whose record was pruned, a redelivery (a)
+    stays a no-op on identical ids and (b) is NOT detectable on
+    renumbered ids — the documented degradation, pinned here (with its
+    loud warning) so nobody later mistakes the silent pass for a bug.
+    Epochs committed by round-11+ code never degrade this way (the
+    fingerprint survives pruning — see
+    test_prune_keeps_fingerprints_so_collisions_stay_detectable)."""
+    import logging
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        EpochLedger,
+        verify_committed_replay,
+    )
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    ledger.commit(0)  # legacy: marker only, no fingerprint, record pruned
+    gone = str(tmp_path / "rec" / "epoch=0")
+
+    # (a) identical redelivery: bare skip, loud about being unverified
+    with caplog.at_level(logging.WARNING):
+        verify_committed_replay(
+            spark, _ids(spark, [1, 2]), gone, 0, "doc_id", ledger=ledger
+        )
+    assert any("UNVERIFIED" in r.message for r in caplog.records)
+
+    # (b) renumbered redelivery: NOT detectable — no raise, same warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        verify_committed_replay(
+            spark, _ids(spark, [999]), gone, 0, "doc_id", ledger=ledger
+        )
+    assert any("UNVERIFIED" in r.message for r in caplog.records)

@@ -272,3 +272,63 @@ def test_index_mutations_refused_while_other_process_holds_lock(spark, tmp_path)
         for t in (index.bands_table, index.shingles_table,
                   f"{stem}_tombstones", f"{stem}_stamps"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+_WAITER = """
+import os, sys, time
+sys.path.insert(0, sys.argv[3])
+from postgresql_transfer_tool_spark.functions.index_base import writer_lock
+root, rdv = sys.argv[1], sys.argv[2]
+with writer_lock(root, op="waiter-" + sys.argv[4], wait=60.0):
+    open(os.path.join(rdv, sys.argv[4] + ".acquired"), "w").close()
+"""
+
+
+def test_writer_lock_bounded_wait(tmp_path):
+    """Round-10 review #4: two legitimate streams sharing one index.
+    With wait=, a blocked writer acquires after the holder releases
+    (no operator babysitting); every small-N waiter eventually wins
+    (no starvation); and a crashed holder still surfaces loudly at the
+    timeout instead of hanging forever."""
+    import subprocess
+    import sys
+    import time
+
+    from postgresql_transfer_tool_spark.functions.index_base import writer_lock
+
+    root = str(tmp_path / "idx")
+    rdv = str(tmp_path / "rdv")
+    os.makedirs(root)
+    os.makedirs(rdv)
+
+    # three waiters contend while the parent holds; all acquire in turn
+    # after release — each waiter's context serializes via the lock
+    with writer_lock(root, op="parent-holder"):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _WAITER, root, rdv, _REPO, f"w{i}"]
+            )
+            for i in range(3)
+        ]
+        time.sleep(0.5)  # all three are inside their retry loops now
+        assert not any(f.endswith(".acquired") for f in os.listdir(rdv))
+    for p in procs:
+        assert p.wait(timeout=90) == 0
+    got = sorted(f for f in os.listdir(rdv) if f.endswith(".acquired"))
+    assert got == ["w0.acquired", "w1.acquired", "w2.acquired"]
+    assert not os.path.exists(os.path.join(root, "_writer.lock"))
+
+    # bounded: a dead holder's leftover lock fails at the timeout, loudly
+    open(os.path.join(root, "_writer.lock"), "w").write("pid=0 op=crashed")
+    t0 = time.monotonic()
+    with pytest.raises(ConcurrentIndexWriteError, match="after waiting"):
+        with writer_lock(root, op="bounded", wait=0.4):
+            pass
+    assert 0.3 <= time.monotonic() - t0 < 5.0
+    os.remove(os.path.join(root, "_writer.lock"))
+
+    # default stays fail-loud-immediately
+    with writer_lock(root, op="a"):
+        with pytest.raises(ConcurrentIndexWriteError):
+            with writer_lock(root, op="b"):
+                pass

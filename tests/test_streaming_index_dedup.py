@@ -142,3 +142,57 @@ def test_partial_replay_before_extend_reindexes_admitted(spark, tmp_path, monkey
     for t in (index.bands_table, index.shingles_table,
               f"{stem}_tombstones", f"{stem}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_committed_empty_epoch_detects_renumbered_batch(spark, tmp_path):
+    """Round-10 ADVICE (medium): an all-duplicates micro-batch leaves an
+    EMPTY admitted record, so the record-based subset check was vacuous
+    — a wiped-checkpoint fresh batch renumbered onto that epoch id
+    passed it and was silently dropped. The ledger fingerprint makes
+    the committed-skip check exact: identical redelivery still skips
+    cleanly; a renumbered batch (including a strict SUPERSET of the
+    recorded admitted ids) raises."""
+    import pytest
+
+    from tests.test_dedup_index import _text
+
+    name = f"ddidx_e{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
+    )
+    out = str(tmp_path / "out")
+    sink = DedupIndexSink(spark, index, out)
+
+    all_dups = [(901, _text(1)), (905, _text(5))]  # dup 101 and 105
+    sink(_docs(spark, all_dups), 0)
+    assert sink.ledger.committed() == {0}
+    assert sink.admitted().count() == 0  # empty record — the blind spot
+
+    # identical redelivery: clean exact skip
+    sink(_docs(spark, all_dups), 0)
+    assert sink.admitted().count() == 0
+
+    # renumbered fresh batch (superset of the empty admitted set):
+    # previously silently dropped, now a loud collision error
+    fresh = [(950, _text(50)), (951, _text(51))]
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, fresh), 0)
+    # nothing of the fresh batch leaked into index or output
+    assert sink.admitted().count() == 0
+    indexed = {
+        r.doc_id
+        for r in spark.table(index.shingles_table).select("doc_id").distinct().collect()
+    }
+    assert not ({950, 951} & indexed)
+
+    # an UNCOMMITTED epoch with a stored fingerprint is guarded too
+    sink(_docs(spark, [(960, _text(60))]), 1)
+    marker = os.path.join(out, "_epochs", "epoch=1.committed")
+    os.remove(marker)  # simulate crash-before-commit replay window
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, [(970, _text(70))]), 1)
+
+    stem = index.bands_table.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table,
+              f"{stem}_tombstones", f"{stem}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

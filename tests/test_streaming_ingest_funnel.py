@@ -450,3 +450,125 @@ def test_growing_embedding_stage_in_streaming_sink(spark, tmp_path, monkeypatch)
               f"{ann_index.cells_table.rsplit('_', 1)[0]}_tombstones",
               f"{ann_index.cells_table.rsplit('_', 1)[0]}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_retrain_mid_stream_equals_fresh_build(spark, tmp_path):
+    """Retrain-under-streaming (round 11): run the GROWING funnel for
+    two epochs, retrain the IVF index mid-stream, continue — the
+    post-retrain epoch's decisions must equal a run whose vector index
+    was FRESH-BUILT over corpus ∪ streamed vectors at the same cut.
+    This holds by construction (the deterministic md5 id-hash centroid
+    sample makes retrain ≡ rebuild on identical vector sets) and pins
+    the SINK's behavior across a generation swap: the next epoch's
+    probe plan is built after the swap and sees exactly the new
+    generation."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        build_ann_index,
+        retrain_ann_index,
+    )
+
+    dim = 8
+    def vec(vid, axis, bump):
+        qe = [0] * dim
+        qe[axis] = 1_000_000 + bump
+        return (vid, qe, sum(x * x for x in qe))
+
+    vecs = [vec(d, i % dim, i) for i, (d, _) in enumerate(CORPUS)]
+    v210 = vec(210, 6, 500)
+    # epoch 2 (post-retrain): 410 dups streamed 210's vector, 411 is
+    # unique, 412 dups corpus 101's vector
+    emb_rows = vecs + [
+        v210, (211, *vec(211, 7, 900)[1:]),
+        (310, *vec(310, 3, 321)[1:]), (311, *vec(311, 2, 654)[1:]),
+        (410, v210[1], v210[2]), (411, *vec(411, 5, 987)[1:]),
+        (412, vecs[1][1], vecs[1][2]),
+    ]
+    embeddings = spark.createDataFrame(
+        emb_rows, "vec_id bigint, qe array<bigint>, nq bigint"
+    )
+    wave0 = [(210, _text(21)), (211, _text(22))]
+    wave1 = [(310, _text(23)), (311, _text(24))]
+    wave2 = [(410, _text(25)), (411, _text(26)), (412, _text(27))]
+    streamed_pre = [d for d, _ in wave0 + wave1]
+    cols = ["doc_id", "is_novel", "is_emb_novel", "nn_cosine",
+            "is_contaminated", "n_tokens", "admitted"]
+
+    def run(tag, mid_stream_action):
+        """Two epochs, an index action at the cut, one more epoch.
+        Returns (post-cut decision rows, ann index)."""
+        index, gtable = _build(spark, f"fnlt{tag}")
+        aname = f"annidx_rt{tag}{uuid.uuid4().hex[:6]}"
+        ann = build_ann_index(
+            spark,
+            embeddings.filter(F.col("vec_id").isin([d for d, _ in CORPUS])),
+            tempfile.mkdtemp(prefix=aname),
+            aname,
+            n_rows=len(CORPUS),
+        )
+        out = str(tmp_path / f"out_{tag}")
+        sink = IngestFunnelSink(
+            spark, index, gtable, out,
+            ann_index=ann, embeddings=embeddings, nprobe=2, grow_ann=True,
+        )
+        sink(_docs(spark, wave0), 0)
+        sink(_docs(spark, wave1), 1)
+        ann = mid_stream_action(sink, ann)
+        sink.ann_index = ann
+        sink(_docs(spark, wave2), 2)
+        rows = {
+            r[0]: tuple(r)
+            for r in sink.decisions().select(*cols).collect()
+            if r[0] in {d for d, _ in wave2}
+        }
+        # exactly-once still holds across the swap: a committed replay
+        # of the post-retrain epoch is a verified no-op
+        files = set(sink.decisions().inputFiles())
+        sink(_docs(spark, wave2), 2)
+        assert set(sink.decisions().inputFiles()) == files
+        _drop(spark, index, gtable)
+        return rows, ann
+
+    def retrain(sink, ann):
+        stats = retrain_ann_index(
+            spark, ann, tempfile.mkdtemp(prefix="rtgen")
+        )
+        assert stats["n_vectors"] == len(CORPUS) + len(streamed_pre)
+        return ann
+
+    def fresh_build(sink, ann):
+        aname = f"annidx_fb{uuid.uuid4().hex[:6]}"
+        ids = [d for d, _ in CORPUS] + streamed_pre
+        return build_ann_index(
+            spark,
+            embeddings.filter(F.col("vec_id").isin(ids)),
+            tempfile.mkdtemp(prefix=aname),
+            aname,
+            n_rows=len(ids),
+        )
+
+    got_retrain, ann_a = run("a", retrain)
+    got_fresh, ann_b = run("b", fresh_build)
+    assert got_retrain == got_fresh
+
+    # and the engineered cases decide correctly under BOTH generations
+    assert got_retrain[410][2] is False  # dups a STREAMED vector
+    assert got_retrain[411][2] is True and got_retrain[411][6] is True
+    assert got_retrain[412][2] is False  # dups a CORPUS vector
+
+    # the physical index states agree: retrained cells == fresh cells
+    cells_a = {
+        (r.vec_id, r.cell)
+        for r in spark.table(ann_a.cells_table).collect()
+    }
+    cells_b = {
+        (r.vec_id, r.cell)
+        for r in spark.table(ann_b.cells_table).collect()
+    }
+    assert cells_a == cells_b
+    for ann in (ann_a, ann_b):
+        stem = ann.cells_table.rsplit("_", 1)[0]
+        for t in (ann.cells_table, ann.centroids_table,
+                  f"{stem}_tombstones", f"{stem}_stamps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
