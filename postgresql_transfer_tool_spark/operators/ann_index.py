@@ -461,3 +461,61 @@ def ann_ivf_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ann_ivf_index_topk above
         cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True))
     return cached
+
+
+#: post-delete split: vectors with vec_id % 50 == 37 are retracted —
+#: disjoint from the query set (vec_id < N_QUERIES = 10 < 37), so every
+#: query still probes and only the CANDIDATE side shrinks
+_ANN_DELETE_PRED = "vec_id % 50 = 37"
+
+#: the monolithic IVF oracle with retracted vectors excluded from the
+#: candidate side ONLY: the centroid sample stays the full-corpus one
+#: (a centroid is a cell ADDRESS, not a served row — the engine keeps
+#: centroids frozen across deletes, and the oracle must mirror that),
+#: while deleted vectors never surface as neighbors and surviving
+#: ranks close up exactly as a rebuild's would
+_ANN_POST_DELETE_ORACLE = ORACLES["ann_ivf_topk"].replace(
+    "WHERE s.vec_id <> p.query_id",
+    f"WHERE s.vec_id <> p.query_id AND NOT (s.{_ANN_DELETE_PRED})",
+)
+assert _ANN_POST_DELETE_ORACLE != ORACLES["ann_ivf_topk"]
+
+
+@query("ann_ivf_index_post_delete", oracle=_ANN_POST_DELETE_ORACLE)
+def ann_ivf_index_post_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 deletion parity (round 11 — the vector-index analog of
+    `dedup_index_post_delete`): retract a slice of the corpus
+    (vec_id % 50 == 37) from the persisted IVF index, then run the
+    standard top-k probe. Previously the tombstone path here was
+    pytest-pinned only; this row proves it cross-engine: retracted
+    vectors must never surface as neighbors, surviving ranks close up
+    exactly as a from-scratch rebuild's would, and the frozen centroid
+    addressing is untouched (the oracle keeps the full-corpus centroid
+    sample while dropping retracted vectors from the candidate side —
+    exactly the engine's tombstone semantics)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "post_delete")
+    cached = _ANNIDX_MEMO.get(key)
+    if cached is None:
+        vectors = _spark_quantized_materialized(spark, sf_dir).select(
+            "vec_id", "qe", "nq"
+        )
+        name = index_table_name(
+            "annidxd", spark.sparkContext.applicationId, sf_dir
+        )
+        index = build_ann_index(
+            spark,
+            vectors,
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+            n_rows=table_row_count(sf_dir, "embeddings"),
+        )
+        delete_from_ann_index(
+            spark, index, vectors.filter(F.expr(_ANN_DELETE_PRED)).select("vec_id")
+        )
+        out = ann_query_index(
+            spark, vectors.filter(F.col("vec_id") < N_QUERIES), index
+        )
+        # no eviction extra — same shared-checkpoint ownership note as
+        # ann_ivf_index_topk above
+        cached = _ANNIDX_MEMO.put(key, out.localCheckpoint(eager=True))
+    return cached

@@ -371,3 +371,64 @@ def contamination_index_post_delete(spark: SparkSession, sf_dir: str) -> DataFra
         )
         cached = _CONTIDX_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
     return cached
+
+
+@query(
+    "contamination_index_post_ttl",
+    oracle=_monolithic_oracle(
+        f"doc_id % {_BENCH_MOD} = 0 AND"
+        f" (doc_id % {2 * _BENCH_MOD} <> 0 OR doc_id % {4 * _BENCH_MOD} = 0)"
+    ),
+)
+def contamination_index_post_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 TTL parity (round 11 — the gram-index analog of
+    `dedup_index_post_ttl`): the held-out set is ingested in two
+    stamped phases (doc_id % 100 == 0 at stamp 0, the % 100 == 50 rest
+    at stamp 1), one old slice (% 200 == 0, a subset of the stamp-0
+    docs) is RE-STAMPED at 1 — latest-stamp-wins refresh — and
+    everything whose latest stamp predates 1 is expired. The oracle is
+    the monolithic decontamination recompute over exactly the unexpired
+    bench docs (% 100 == 50 ∪ % 200 == 0): grams carried only by
+    expired benchmarks must stop flagging training docs, refreshed and
+    newer benchmarks must keep flagging."""
+    key = (spark.sparkContext.applicationId, sf_dir, "post_ttl")
+    cached = _CONTIDX_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        name = index_table_name(
+            "contidxt", spark.sparkContext.applicationId, sf_dir
+        )
+        bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        table = build_contamination_index(
+            spark,
+            bench.filter(F.col("doc_id") % (2 * _BENCH_MOD) == 0),
+            tempfile.mkdtemp(prefix=f"{name}_"),
+            name,
+            stamp=0,
+        )
+        extend_contamination_index(
+            spark,
+            table,
+            bench.filter(F.col("doc_id") % (2 * _BENCH_MOD) != 0),
+            stamp=1,
+        )
+        # the refreshed slice arrives again at stamp 1: only its stamp
+        # ledger row is new (its gram rows are already indexed) — an
+        # index mutation all the same, so it holds the writer lock
+        with single_writer(spark, table, op="refresh"):
+            record_stamps(
+                spark,
+                table,
+                bench.filter(F.col("doc_id") % (4 * _BENCH_MOD) == 0).select(
+                    "doc_id"
+                ),
+                stamp=1,
+            )
+        expire_contamination_index(spark, table, before_stamp=1)
+        probe = check_batch_contamination(
+            spark, docs.filter(F.col("doc_id") % _BENCH_MOD != 0), table
+        )
+        cached = _CONTIDX_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
+    return cached

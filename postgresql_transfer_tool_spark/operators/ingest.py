@@ -714,3 +714,56 @@ def streaming_ingest_funnel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _run_streaming_funnel(spark, sf_dir, with_ann=True)
         cached = _INGEST_MEMO.put(key, out)
     return cached
+
+
+# ---------------------------------------------------------------------------
+# Funnel observability (round 11): the per-reason admission rollup every
+# production curation pipeline reports per ingest cycle — how many docs
+# each funnel stage rejected, with volume (token) totals, so an operator
+# sees WHERE the stream is being lost without scanning decision rows.
+# Reasons are assigned by FIRST failing stage in funnel order
+# (duplicate → contaminated → low_quality → admitted), mirroring how the
+# stages would short-circuit in a sequential pipeline; the oracle states
+# the identical CASE over the monolithic funnel recompute.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_report_oracle() -> str:
+    return f"""
+    SELECT reason,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT CASE
+               WHEN NOT is_novel THEN 'duplicate'
+               WHEN is_contaminated THEN 'contaminated'
+               WHEN n_tokens < {MIN_TOKENS} THEN 'low_quality'
+               ELSE 'admitted'
+             END AS reason,
+             n_tokens
+      FROM ({_funnel_oracle()}) f
+    ) r
+    GROUP BY reason
+    """
+
+
+@query("ingest_funnel_report", oracle=_funnel_report_oracle())
+def ingest_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-funnel rejection breakdown for one ingest batch:
+    (reason, n_docs, total_tokens) with reason = the first funnel stage
+    that rejected the document (duplicate → contaminated → low_quality
+    → admitted). Composes the memoized funnel decisions — zero extra
+    probes — into the cycle report a pipeline operator actually reads;
+    the oracle recomputes the whole funnel monolithically and applies
+    the identical precedence CASE."""
+    d = incremental_ingest_funnel(spark, sf_dir)
+    reason = (
+        F.when(~F.col("is_novel"), F.lit("duplicate"))
+        .when(F.col("is_contaminated"), F.lit("contaminated"))
+        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("low_quality"))
+        .otherwise(F.lit("admitted"))
+    )
+    return d.groupBy(reason.alias("reason")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

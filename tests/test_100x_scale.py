@@ -142,3 +142,116 @@ def test_minhash_lsh_100x(spark, x100_dir):
         base_pairs,
         pairs_100x,
     )
+
+
+def test_ingest_funnel_100x(spark, x100_dir):
+    """The composed admission funnel's fourth scale point (VERDICT r10
+    #5): 500k documents / 200k vectors — trilogy decision end-to-end,
+    same invariants as the decade sweep (text candidates per batch doc
+    flat, ANN candidates per vector bounded by the corpus-adaptive cell
+    sizing, every batch doc decided exactly once), one decade further."""
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from postgresql_transfer_tool_spark.catalog import load_table
+    from postgresql_transfer_tool_spark.functions.memo import (
+        unpersist_checkpoints,
+    )
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        build_ann_index,
+    )
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        build_contamination_index,
+        check_batch_contamination,
+    )
+    from postgresql_transfer_tool_spark.operators.corpus import _BENCH_MOD
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        BATCH_MOD,
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+    from postgresql_transfer_tool_spark.operators.ingest import (
+        apply_embedding_stage,
+        embedding_nn_probe,
+        funnel_decisions,
+    )
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        NPROBE,
+        _spark_quantized,
+        top_cells_by_cosine,
+    )
+
+    docs = load_table(spark, x100_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+    n_batch = batch.count()
+    tag = _uuid.uuid4().hex[:8]
+
+    index = build_dedup_index(
+        spark, docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"fnlx{tag}"), f"ddidx_fnlx{tag}",
+    )
+    gtable = build_contamination_index(
+        spark, docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=f"fnlxg{tag}"), f"contidx_fnlx{tag}",
+    )
+    q = _spark_quantized(spark, x100_dir).localCheckpoint(eager=True)
+    ann = build_ann_index(
+        spark, q.filter(F.col("vec_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"fnlxa{tag}"), f"annidx_fnlx{tag}",
+    )
+
+    t0 = time.perf_counter()
+    res = dedup_batch_against_index(spark, batch, index)
+    cont = check_batch_contamination(spark, batch, gtable)
+    decisions = apply_embedding_stage(
+        funnel_decisions(batch, res.novel_ids, cont),
+        embedding_nn_probe(
+            spark, batch.select("doc_id"), q, ann, nprobe=NPROBE
+        ),
+    )
+    n_dec = decisions.count()
+    dt = time.perf_counter() - t0
+    assert n_dec == n_batch
+
+    t_cand = (
+        res.batch_bands.select("band_key", F.col("doc_id").alias("bid"))
+        .join(
+            spark.table(index.bands_table).select(
+                "band_key", F.col("doc_id").alias("iid")
+            ),
+            "band_key",
+        )
+        .select("bid", "iid").distinct().count()
+    )
+    cent_rows = [
+        (r.cid, r.ce, r.ncent)
+        for r in spark.table(ann.centroids_table).collect()
+    ]
+    batch_v = q.join(
+        batch.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    n_bv = batch_v.count()
+    a_cand = (
+        batch_v.select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                top_cells_by_cosine(cent_rows, NPROBE)("qe", "nq")
+            ).alias("cell"),
+        )
+        .join(spark.table(ann.cells_table).select("vec_id", "cell"), "cell")
+        .count()
+    )
+    print(
+        f"funnel 100x: batch={n_batch} decided/s={n_batch / dt:.0f} "
+        f"text_cand/doc={t_cand / max(n_batch, 1):.2f} "
+        f"ann_cand/vec={a_cand / max(n_bv, 1):.1f}"
+    )
+    # same ceilings as the decade sweep, one decade further
+    assert t_cand / max(n_batch, 1) <= 5.0
+    assert a_cand / max(n_bv, 1) <= 600.0
+    for h in (*res.checkpoints, cont, q):
+        unpersist_checkpoints(h)
+    for t in (index.bands_table, index.shingles_table, gtable,
+              ann.cells_table, ann.centroids_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
