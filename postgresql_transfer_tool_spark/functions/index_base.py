@@ -43,11 +43,47 @@ helpers are the lakehouse-native equivalents of those guarantees.
 
 from __future__ import annotations
 
+import logging
 import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def pid_alive(pid: int) -> bool:
+    """Is a process with this pid currently running on THIS host?
+    (EPERM means it exists but is not ours — still alive.) Meaningless
+    across hosts sharing a filesystem — callers gate recovery actions
+    on it only where single-host deployment is the documented scope.
+    Non-positive pids (kill(2) would signal a process GROUP) are
+    reported alive — 'cannot verify dead' must never justify
+    recovery."""
+    if pid <= 0:
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    """Write a small marker file atomically: tmp sibling + rename.
+    The shared primitive behind every marker in the engine (ledger
+    commits, batch fingerprints, index format meta, pinned HWMs) — one
+    implementation so the tmp-naming and replace semantics cannot
+    drift apart (round-11 review)."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
 
 
 class ConcurrentIndexWriteError(RuntimeError):
@@ -86,11 +122,7 @@ def write_index_meta(root: str, kind: str, tables: dict[str, list[str]]) -> None
         "kind": kind,
         "tables": tables,
     }
-    path = os.path.join(root, _META_FILE)
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, path)
+    atomic_write_text(os.path.join(root, _META_FILE), json.dumps(meta, indent=1))
 
 
 def check_index_format(
@@ -98,14 +130,26 @@ def check_index_format(
     any_index_table: str,
     kind: str,
     tables: dict[str, list[str]],
+    backfill: bool = False,
 ) -> None:
     """Refuse loudly to touch an index whose on-disk format metadata
     does not match this engine version — called at the entry of every
-    probe and mutator. A MISSING meta file (an index built by
-    pre-versioning code) is backfilled best-effort at the current
-    version: those indexes are by definition the current format, and
-    the backfill makes the guarantee forward-looking without demanding
-    a rebuild."""
+    probe and mutator.
+
+    A MISSING meta file (an index built by pre-versioning code) is
+    unverifiable; how that resolves depends on the caller (round-11
+    review — the old unconditional backfill let the FIRST toucher,
+    probe or mutator, right or wrong, stamp its own expectations as
+    durable truth):
+
+    - mutators pass ``backfill=True``: they are about to write under
+      this module's own spec anyway, so stamping that spec (at the
+      current version) is exactly as trustworthy as the mutation
+      itself, and it makes the guarantee forward-looking without a
+      rebuild;
+    - probes (default) never write — a missing meta is logged as an
+      unverifiable legacy probe and allowed, so read paths stay
+      read-only and a mis-addressed reader cannot poison the root."""
     import json
 
     root = index_root(spark, any_index_table)
@@ -114,7 +158,14 @@ def check_index_format(
         with open(path) as f:
             meta = json.load(f)
     except FileNotFoundError:
-        write_index_meta(root, kind, tables)  # legacy backfill
+        if backfill:
+            write_index_meta(root, kind, tables)  # legacy backfill
+        else:
+            logger.warning(
+                "index at %s has no format metadata (pre-versioning "
+                "build) — probing UNVERIFIED as %s; the next mutation "
+                "will stamp it", root, kind,
+            )
         return
     except (OSError, ValueError) as exc:
         raise IndexFormatError(
@@ -164,6 +215,55 @@ def index_root(spark: SparkSession, table: str) -> str:
 # single-writer contract
 # ---------------------------------------------------------------------------
 
+def _maybe_break_stale_lock(lock: str) -> bool:
+    """Reclaim a lock whose recorded holder pid is provably dead on
+    THIS host (a SIGKILL'd auto-compaction would otherwise wedge every
+    restart in a loud-error loop until a human removed the file —
+    round-11 review). Safety: lock content is written once at creation
+    and never rewritten, so re-reading it under the breaker marker and
+    comparing proves the same dead holder still owns it; the breaker
+    marker (O_EXCL) serializes concurrent breakers. A lock whose
+    content is missing/unparseable (the creation write may not have
+    landed yet) is never broken. Single-host scope only — on a shared
+    filesystem a remote holder's pid is not checkable, which is the
+    standing documented limit of the file lock (use a lock service at
+    cluster scale). Returns True when the lock was removed."""
+    try:
+        with open(lock) as f:
+            txt = f.read()
+    except OSError:
+        return False  # gone already — the holder released
+    if not txt.startswith("pid="):
+        return False
+    pid_part = txt[len("pid="):].split()[0] if txt[len("pid="):].split() else ""
+    if not pid_part.isdigit() or pid_alive(int(pid_part)):
+        return False
+    breaker = f"{lock}.breaker"
+    try:
+        fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False  # another breaker is on it
+    try:
+        os.close(fd)
+        try:
+            with open(lock) as f:
+                if f.read() != txt:
+                    return False  # lock changed hands — leave it
+        except OSError:
+            return False
+        os.remove(lock)
+        logger.warning(
+            "broke stale index write lock %s held by dead process [%s]",
+            lock, txt.strip(),
+        )
+        return True
+    finally:
+        try:
+            os.remove(breaker)
+        except OSError:
+            pass
+
+
 @contextmanager
 def writer_lock(root: str, op: str = "write", wait: float | None = None):
     """Exclusive write lock over the index rooted at ``root`` — the
@@ -179,8 +279,11 @@ def writer_lock(root: str, op: str = "write", wait: float | None = None):
     the second stream needed operator babysitting). Waiting is safe
     under the torn-extend analysis because every caller builds its read
     plans AFTER acquisition (the snapshot-inside-lock discipline of the
-    extend/compact functions); the timeout bounds the wait so a crashed
-    holder still surfaces as a loud error rather than a hang."""
+    extend/compact functions); the timeout bounds the wait so a LIVE
+    contending holder still surfaces as a loud error rather than a
+    hang. A lock left by a provably-DEAD local holder is broken and
+    retried in both modes (:func:`_maybe_break_stale_lock`) — crashed
+    auto-maintenance must not require a human to delete a file."""
     import random
     import time
 
@@ -191,6 +294,8 @@ def writer_lock(root: str, op: str = "write", wait: float | None = None):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            if _maybe_break_stale_lock(lock):
+                continue  # dead holder reclaimed — retry immediately
             remaining = None if deadline is None else deadline - time.monotonic()
             if remaining is None or remaining <= 0:
                 try:
@@ -234,9 +339,28 @@ def single_writer(
     optional bounded ``wait`` retry is sound). At 100 TB the same
     contract holds via the object store's conditional-put / a catalog
     lock service; the acquire/release sites in the index modules are
-    the integration points."""
-    with writer_lock(index_root(spark, table), op=op, wait=wait):
+    the integration points.
+
+    Root re-resolution after acquire (round-11 review): compaction and
+    retrain REWRITE the index into a fresh root and repoint the table
+    there, so a writer that waited on the OLD root's lock could
+    otherwise acquire it just as it stops guarding anything (the
+    compactor released it after swapping away) and mutate concurrently
+    with a third writer locking the NEW root. Re-resolving the table's
+    root after acquisition and retrying on mismatch closes the window:
+    whoever holds the lock of the root the table CURRENTLY points at
+    is the writer."""
+    while True:
+        root = index_root(spark, table)
+        cm = writer_lock(root, op=op, wait=wait)
+        cm.__enter__()
+        if index_root(spark, table) == root:
+            break
+        cm.__exit__(None, None, None)  # root migrated mid-wait — retry
+    try:
         yield
+    finally:
+        cm.__exit__(None, None, None)
 
 
 # ---------------------------------------------------------------------------

@@ -84,8 +84,13 @@ _FORMAT_TABLES = {
 }
 
 
-def _check_format(spark: SparkSession, index: "AnnIndex") -> None:
-    check_index_format(spark, index.cells_table, _FORMAT_KIND, _FORMAT_TABLES)
+def _check_format(
+    spark: SparkSession, index: "AnnIndex", backfill: bool = False
+) -> None:
+    check_index_format(
+        spark, index.cells_table, _FORMAT_KIND, _FORMAT_TABLES,
+        backfill=backfill,
+    )
 
 
 def build_ann_index(
@@ -146,7 +151,7 @@ def extend_ann_index(
     from ..functions.index_base import append_bucketed, snapshot_before_write
     from ..functions.memo import unpersist_checkpoints
 
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="extend"):
         cent_rows = [
             (r.cid, r.ce, r.ncent)
@@ -184,7 +189,7 @@ def delete_from_ann_index(
     re-train folds the tombstones physically. Frozen centroids are
     untouched — a centroid is a cell ADDRESS, not a served row, so a
     retracted vector that seeded a cell keeps addressing it."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="delete"):
         add_tombstones(spark, index.cells_table, vec_ids)
 
@@ -194,7 +199,7 @@ def expire_ann_index(
 ) -> None:
     """TTL expiry over the ingest-stamp ledger (stamps recorded when
     build/extend were called with one)."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="expire"):
         add_tombstones(
             spark, index.cells_table, expired_ids(spark, index.cells_table, before_stamp)
@@ -212,7 +217,7 @@ def compact_ann_index(
     frozen (compaction is storage hygiene, not a model change — that is
     :func:`retrain_ann_index`). Same pmod(hash(cell), n) repartition
     trick as compact_dedup_index. Returns (files_before, files_after)."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="compact"):
         before = len(spark.table(index.cells_table).inputFiles())
         live = apply_tombstones(
@@ -287,7 +292,7 @@ def retrain_ann_index(
 
     Returns {"n_vectors": ..., "n_centroids": ...}.
     """
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="retrain"):
         corpus = apply_tombstones(
             spark.table(index.cells_table), tombstones(spark, index.cells_table), "vec_id"
@@ -338,15 +343,22 @@ def ann_query_index(
     index: AnnIndex,
     nprobe: int = NPROBE,
     topk: int = TOP_K,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for a (vec_id, qe, nq) query batch probed
     against the persisted index: (query_id, neighbor_id, cell, cosine,
     rk). Self-matches (same vec_id) are excluded, matching
-    `ann_ivf_topk`'s contract when queries are drawn from the corpus."""
+    `ann_ivf_topk`'s contract when queries are drawn from the corpus.
+    ``cent_rows``: pass the already-collected (cid, ce, ncent) centroid
+    list to skip the bounded driver collect — for callers that need the
+    centroids themselves anyway (the growing funnel probe collects once
+    per epoch and shares it here)."""
     _check_format(spark, index)
-    cent_rows = [
-        (r.cid, r.ce, r.ncent) for r in spark.table(index.centroids_table).collect()
-    ]
+    if cent_rows is None:
+        cent_rows = [
+            (r.cid, r.ce, r.ncent)
+            for r in spark.table(index.centroids_table).collect()
+        ]
     probes = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(top_cells_by_cosine(cent_rows, nprobe)("qe", "nq")).alias("cell"),

@@ -74,8 +74,12 @@ _FORMAT_KIND = "contamination_grams"
 _FORMAT_TABLES = {"grams": ["doc_id", "gram"]}
 
 
-def _check_format(spark: SparkSession, grams_table: str) -> None:
-    check_index_format(spark, grams_table, _FORMAT_KIND, _FORMAT_TABLES)
+def _check_format(
+    spark: SparkSession, grams_table: str, backfill: bool = False
+) -> None:
+    check_index_format(
+        spark, grams_table, _FORMAT_KIND, _FORMAT_TABLES, backfill=backfill
+    )
 
 def _grams_expr():
     # built lazily: F.expr needs an active SparkContext, and operator
@@ -141,7 +145,7 @@ def extend_contamination_index(
     version and grow — the index must too, without re-tokenizing what
     is already there). Duplicate rows from replayed appends are
     harmless (distinct-at-probe); compaction removes them."""
-    _check_format(spark, grams_table)
+    _check_format(spark, grams_table, backfill=True)
     with single_writer(spark, grams_table, op="extend"):
         # keep a handle on the INNER pre-explode checkpoint: wrapping
         # the gram rows in an eager checkpoint truncates lineage, so
@@ -210,7 +214,7 @@ def delete_from_contamination_index(
     grams shared with surviving docs keep flagging (attribution makes
     that distinction computable; oracle-proved by
     `contamination_index_post_delete`)."""
-    _check_format(spark, grams_table)
+    _check_format(spark, grams_table, backfill=True)
     with single_writer(spark, grams_table, op="delete"):
         add_tombstones(spark, grams_table, bench_doc_ids)
 
@@ -220,7 +224,7 @@ def expire_contamination_index(
 ) -> None:
     """TTL expiry over the ingest-stamp ledger — composition of
     expired_ids → tombstones, like the dedup index's."""
-    _check_format(spark, grams_table)
+    _check_format(spark, grams_table, backfill=True)
     with single_writer(spark, grams_table, op="expire"):
         add_tombstones(spark, grams_table, expired_ids(spark, grams_table, before_stamp))
 
@@ -236,7 +240,7 @@ def compact_contamination_index(
     clear the side relations. Same pmod(hash(gram), n)-repartition
     trick as compact_dedup_index (see there for why repartitioning on
     the raw key is not enough). Returns (files_before, files_after)."""
-    _check_format(spark, grams_table)
+    _check_format(spark, grams_table, backfill=True)
     with single_writer(spark, grams_table, op="compact"):
         before = len(spark.table(grams_table).inputFiles())
         live = apply_tombstones(

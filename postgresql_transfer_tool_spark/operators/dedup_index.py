@@ -101,8 +101,13 @@ _FORMAT_KIND = "near_dup_lsh"
 _FORMAT_TABLES = {"bands": ["doc_id", "band_key"], "shingles": ["doc_id", "h"]}
 
 
-def _check_format(spark: SparkSession, index: "DedupIndex") -> None:
-    check_index_format(spark, index.bands_table, _FORMAT_KIND, _FORMAT_TABLES)
+def _check_format(
+    spark: SparkSession, index: "DedupIndex", backfill: bool = False
+) -> None:
+    check_index_format(
+        spark, index.bands_table, _FORMAT_KIND, _FORMAT_TABLES,
+        backfill=backfill,
+    )
 
 
 class BatchDedupResult(NamedTuple):
@@ -329,7 +334,7 @@ def extend_dedup_index(
     Single-writer: the whole read-snapshot → append sequence holds the
     index write lock; a concurrent extend would interleave its appends
     between this one's snapshot and writes (torn extend)."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.bands_table, op="extend"):
         nb = snapshot_before_write(
             result.batch_bands.join(result.novel_ids, "doc_id", "left_semi")
@@ -375,7 +380,7 @@ def append_all_signatures(
 
     The inputs must not read the index tables through a lazy plan
     (batch_signatures output never does)."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.bands_table, op=op):
         if stamp is not None:
             record_stamps(
@@ -642,7 +647,7 @@ def delete_from_dedup_index(
     tombstones into a physical rewrite and clears them. Retracted ids
     stay retracted until that compaction — the globally-unique-id
     contract means an id is never legitimately re-ingested before then."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.bands_table, op="delete"):
         add_tombstones(spark, index.bands_table, doc_ids)
 
@@ -654,7 +659,7 @@ def expire_dedup_index(
     ``before_stamp`` (stamps are recorded by build/extend when the
     caller passes one). Pure composition: expired ids → tombstones —
     the probe/compaction machinery is the deletion path's."""
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     with single_writer(spark, index.bands_table, op="expire"):
         ids = expired_ids(spark, index.bands_table, before_stamp)
         add_tombstones(spark, index.bands_table, ids)
@@ -689,7 +694,7 @@ def compact_dedup_index(
 
     Returns {table: (files_before, files_after)}.
     """
-    _check_format(spark, index)
+    _check_format(spark, index, backfill=True)
     out: dict[str, tuple[int, int]] = {}
     with single_writer(spark, index.bands_table, op="compact"):
         tombs = tombstones(spark, index.bands_table)

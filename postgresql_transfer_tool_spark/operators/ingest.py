@@ -548,13 +548,16 @@ def embedding_nn_probe_growing(
         "vec_id",
         "left_semi",
     )
-    idx_nn = ann_query_index(
-        spark, batch_v, ann_index, nprobe=nprobe, topk=1
-    ).select("query_id", "cosine")
+    # one bounded centroid collect per epoch, shared between the index
+    # probe and the batch-local side (round-11 review: the hot path
+    # previously collected the centroids table twice per epoch)
     cent_rows = [
         (r.cid, r.ce, r.ncent)
         for r in spark.table(ann_index.centroids_table).collect()
     ]
+    idx_nn = ann_query_index(
+        spark, batch_v, ann_index, nprobe=nprobe, topk=1, cent_rows=cent_rows
+    ).select("query_id", "cosine")
     probes = batch_v.select(
         F.col("vec_id").alias("query_id"),
         F.explode(top_cells_by_cosine(cent_rows, nprobe)("qe", "nq")).alias(

@@ -805,12 +805,9 @@ class PgFunnelIngest:
             return None
 
     def _pin_hwm(self, epoch: int, hwm: str) -> None:
-        import os
+        from .functions.index_base import atomic_write_text
 
-        tmp = f"{self._hwm_path(epoch)}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(hwm)
-        os.replace(tmp, self._hwm_path(epoch))
+        atomic_write_text(self._hwm_path(epoch), hwm)
 
     def run_cycle(self, scratch_dir: str | None = None) -> dict:
         """One ingest cycle. Returns {"epoch", "n_rows", "hwm"};
@@ -820,6 +817,21 @@ class PgFunnelIngest:
         committed = sorted(self.sink.ledger.committed())
         epoch = committed[-1] + 1 if committed else 0
         prev = self._read_hwm(committed[-1]) if committed else None
+        if committed and prev is None:
+            # the ledger proves epochs were ingested, so a missing HWM
+            # for the last committed epoch means the _hwm dir was lost
+            # or partially restored — falling back to prev=None would
+            # silently RE-INGEST the whole table under fresh epoch ids
+            # (no fingerprint fires: the ids are new). Fail loudly
+            # naming the recovery unit instead (round-11 review).
+            raise RuntimeError(
+                f"funnel ingest state at {self.hwm_dir} is missing the "
+                f"HWM of committed epoch {committed[-1]} — the ledger "
+                "and the _hwm directory form one recovery unit; restore "
+                "them together (or reset ledger + decisions + index) "
+                "before resuming, otherwise every already-ingested row "
+                "would be re-read and re-decided under new epoch ids"
+            )
         pinned = self._read_hwm(epoch)  # non-None ⇒ crashed mid-epoch
         batch = _hwm_batch(
             self.spark, self.server, self.schema, self.table,

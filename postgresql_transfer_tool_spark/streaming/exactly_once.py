@@ -29,6 +29,8 @@ import os
 
 from pyspark.sql import DataFrame
 
+from ..functions.index_base import atomic_write_text, pid_alive as _pid_alive
+
 logger = logging.getLogger(__name__)
 
 
@@ -62,10 +64,7 @@ class EpochLedger:
     def commit(self, epoch_id: int) -> None:
         os.makedirs(self.path, exist_ok=True)
         marker = os.path.join(self.path, f"epoch={epoch_id}.committed")
-        tmp = f"{marker}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(str(epoch_id))
-        os.replace(tmp, marker)  # atomic; last writer wins, same content
+        atomic_write_text(marker, str(epoch_id))  # last writer wins, same content
 
     # -- batch fingerprints ------------------------------------------------
     def _fingerprint_path(self, epoch_id: int) -> str:
@@ -77,20 +76,30 @@ class EpochLedger:
         write it BEFORE the epoch record, so record-exists ⇒
         fingerprint-exists and every replay path can verify exactly."""
         os.makedirs(self.path, exist_ok=True)
-        marker = self._fingerprint_path(epoch_id)
-        tmp = f"{marker}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(fp, f)
-        os.replace(tmp, marker)
+        atomic_write_text(self._fingerprint_path(epoch_id), json.dumps(fp))
 
     def read_fingerprint(self, epoch_id: int) -> dict | None:
-        """The stored fingerprint, or None (pre-round-11 ledger, or the
-        epoch never reached the fingerprint write)."""
+        """The stored fingerprint, or None when none was ever written
+        (pre-round-11 ledger, or the epoch never reached the
+        fingerprint write). A PRESENT-but-unreadable/corrupt file
+        RAISES instead of degrading to None: the write is atomic
+        (write-then-rename), so corruption means storage damage, and
+        silently treating it as first-delivery would let a renumbered
+        batch overwrite the truth and bless an epoch-id collision
+        (round-11 review)."""
         try:
             with open(self._fingerprint_path(epoch_id)) as f:
                 return json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return None
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"epoch {epoch_id} fingerprint at "
+                f"{self._fingerprint_path(epoch_id)} exists but is "
+                f"unreadable ({exc}) — refusing to treat the epoch as "
+                "first-delivery; restore the ledger directory or remove "
+                "the damaged file after verifying the epoch by hand"
+            ) from exc
 
 
 def batch_fingerprint(batch_df: DataFrame, id_col: str) -> dict:
@@ -180,20 +189,6 @@ class IdempotentParquetSink:
 # ---------------------------------------------------------------------------
 
 
-def _pid_alive(pid: int) -> bool:
-    """Is a process with this pid currently running? (EPERM means it
-    exists but is not ours — still alive.)"""
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    except OSError:
-        return False
-    return True
-
-
 def _aside_dirs(epoch_dir: str) -> tuple[str, str]:
     """(tmp, old) scratch siblings for a rename-aside record write. Both
     live NEXT TO the epoch dir but start with '_' and contain no '=', so
@@ -234,20 +229,27 @@ def write_epoch_record(df: DataFrame, epoch_dir: str) -> None:
 
     tmp, old = _aside_dirs(epoch_dir)
     parent, base = os.path.split(epoch_dir.rstrip("/"))
-    # sweep scratch left by CRASHED writers: _tmp dirs for this epoch
-    # (plus pre-round-10 'epoch=N.tmp-<pid>' leftovers that sit inside
-    # the partition root and corrupt discovery) whose writing pid is no
-    # longer alive. The liveness check is what makes the sweep safe if
-    # two processes ever share a records dir: a LIVE concurrent
-    # writer's in-flight scratch is left alone (round-10 review — the
-    # unconditional sweep silently assumed one writer per out_dir).
+    # sweep scratch left by CRASHED writers. Two classes, different
+    # rules (round-11 review refined round-10's):
+    # - new-scheme '_tmp-*' siblings live OUTSIDE partition discovery
+    #   and are harmless to keep, so they are reclaimed only when their
+    #   writing pid is dead — a LIVE concurrent writer's in-flight
+    #   scratch is left alone (the sweep no longer assumes one writer
+    #   per out_dir);
+    # - legacy pre-round-10 'epoch=N.tmp-<pid>' leftovers sit INSIDE
+    #   the partition root and corrupt discovery (phantom string-typed
+    #   epochs), and no current writer ever creates that name — they
+    #   are swept unconditionally (a pid-liveness gate would let a
+    #   recycled pid pin the corruption forever).
     for stale in glob.glob(
         os.path.join(parent, f"_tmp-{base.replace('=', '-')}-*")
-    ) + glob.glob(f"{epoch_dir}.tmp-*"):
+    ):
         pid_part = stale.rsplit("-", 1)[-1].rstrip("/")
         if pid_part.isdigit() and _pid_alive(int(pid_part)):
             continue
         shutil.rmtree(stale, ignore_errors=True)
+    for legacy in glob.glob(f"{epoch_dir}.tmp-*"):
+        shutil.rmtree(legacy, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(epoch_dir):
         shutil.rmtree(old, ignore_errors=True)  # stale aside of an old crash

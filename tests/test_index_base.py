@@ -332,3 +332,44 @@ def test_writer_lock_bounded_wait(tmp_path):
         with pytest.raises(ConcurrentIndexWriteError):
             with writer_lock(root, op="b"):
                 pass
+
+
+def test_stale_lock_of_dead_holder_is_broken(tmp_path):
+    """A lock left by a SIGKILL'd holder (auto-maintenance's crash
+    window) is reclaimed automatically when the recorded pid is
+    provably dead on this host — in both fail-loud and wait modes — so
+    unattended streams recover without a human deleting the file. An
+    unverifiable holder (pid=0: kill(2) semantics make liveness
+    unknowable) is never broken."""
+    import subprocess
+    import sys
+    import time
+
+    from postgresql_transfer_tool_spark.functions.index_base import writer_lock
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = os.path.join(root, "_writer.lock")
+
+    # provably dead local pid: spawn-and-reap a real process
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    open(lock, "w").write(f"pid={p.pid} op=compact")
+    with writer_lock(root, op="recover"):  # no wait needed — broken at once
+        assert not os.path.exists(f"{lock}.breaker")
+    assert not os.path.exists(lock)
+
+    # unverifiable holder: never broken, bounded wait still errors
+    open(lock, "w").write("pid=0 op=crashed")
+    t0 = time.monotonic()
+    with pytest.raises(ConcurrentIndexWriteError, match="after waiting"):
+        with writer_lock(root, op="bounded", wait=0.4):
+            pass
+    assert time.monotonic() - t0 >= 0.3
+    # and a live holder's lock is untouched by a second writer's attempt
+    os.remove(lock)
+    with writer_lock(root, op="live"):
+        with pytest.raises(ConcurrentIndexWriteError):
+            with writer_lock(root, op="second"):
+                pass
+        assert os.path.exists(lock)

@@ -114,10 +114,15 @@ def test_forged_version_and_drift_refused_loudly(spark):
     _drop(spark, index)
 
 
-def test_legacy_index_backfilled_at_current_version(spark):
+def test_legacy_index_backfilled_at_first_mutation_not_probe(spark, caplog):
     """An index built before versioning existed has no meta file — it
-    IS the current format by definition; first touch backfills the
-    marker so the guarantee is forward-looking without a rebuild."""
+    IS the current format by definition. A PROBE stays read-only: it
+    proceeds with a loud unverified warning and writes nothing (a
+    mis-addressed reader must not poison the root — round-11 review);
+    the first MUTATION stamps the marker under its own spec, making
+    the guarantee forward-looking without a rebuild."""
+    import logging
+
     name = f"ddidx_l{uuid.uuid4().hex[:8]}"
     index = build_dedup_index(
         spark, _docs(spark, WAVE0), tempfile.mkdtemp(prefix=name), name
@@ -125,11 +130,16 @@ def test_legacy_index_backfilled_at_current_version(spark):
     path = _meta_path(spark, index)
     os.remove(path)  # simulate a pre-round-11 index
 
-    res = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
-    assert res.matched.count() >= 1
+    with caplog.at_level(logging.WARNING):
+        res = dedup_batch_against_index(spark, _docs(spark, WAVE1), index)
+        assert res.matched.count() >= 1
+    assert not os.path.exists(path)  # probes never write
+    assert any("UNVERIFIED" in r.message for r in caplog.records)
+
+    extend_dedup_index(spark, index, res)  # first mutation stamps it
+    assert json.load(open(path))["format_version"] == INDEX_FORMAT_VERSION
     for d in res.checkpoints:
         unpersist_checkpoints(d)
-    assert json.load(open(path))["format_version"] == INDEX_FORMAT_VERSION
     _drop(spark, index)
 
 
