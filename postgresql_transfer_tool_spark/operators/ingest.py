@@ -770,3 +770,93 @@ def ingest_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel → packing composition (round 11): the end of the curation
+# pipeline meets the start of the training pipeline. A real pretraining
+# run does exactly this chain: admit documents through the funnel, then
+# concatenate the ADMITTED stream into fixed-token training sequences
+# (operators/curation.sequence_packing's concat-then-split rule, per
+# source shard). Composing them in one oracle row proves the interface
+# between the two halves — the admitted set — cross-engine, not just
+# each half in isolation.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_packing_oracle() -> str:
+    from .curation import PACK_TOKENS
+    from .dedup_index import verified_pairs_cte
+
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    fadmitted AS (
+      SELECT d.doc_id
+      FROM documents d
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % {BATCH_MOD} = 0
+        AND dp.doc_id IS NULL
+        AND NOT COALESCE(c.isc, FALSE)
+        AND len({_SQL_TOKS}) >= {MIN_TOKENS}
+    ),
+    ptoks AS (
+      SELECT d.source, d.doc_id,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_tok
+      FROM documents d JOIN fadmitted a ON a.doc_id = d.doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+               // {PACK_TOKENS} AS pack_id
+      FROM ptoks
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_id
+    """
+
+
+@query("funnel_admitted_packing", oracle=_funnel_packing_oracle())
+def funnel_admitted_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training sequences over the FUNNEL-ADMITTED batch:
+    the composed curation output (memoized funnel decisions — zero
+    extra probes) flows into the per-shard concat-then-split packing
+    rule of `sequence_packing`. Duplicates, contaminated docs, and
+    sub-floor docs never reach a pack; pack boundaries are those of
+    the admitted token stream, which is exactly what a dataloader
+    would see."""
+    from pyspark.sql.window import Window
+
+    from .curation import PACK_TOKENS
+
+    admitted = (
+        incremental_ingest_funnel(spark, sf_dir)
+        .filter(F.col("admitted"))
+        .select("doc_id")
+    )
+    # broadcast the admitted-id column: one epoch's ids (a bare long
+    # column) stay broadcastable at production scale, and the big
+    # documents side then reaches the window without a join exchange
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(admitted), "doc_id", "left_semi")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

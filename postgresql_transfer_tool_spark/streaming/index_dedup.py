@@ -37,6 +37,17 @@ Crash windows (both handled, symmetrically):
   missing from the shingle index (an anti-join bounded by one epoch's
   rows) and appends them, making the subsequent probe see exactly the
   post-extend state.
+
+One ADMISSION stream per index: the writer lock (and its bounded
+``wait=`` retry) serializes index MUTATIONS — extends, maintenance
+compactions, repairs — but an admission DECISION is probe-then-extend,
+not atomic under the lock. Two concurrent admission streams on one
+index could both probe before either extends and both admit a twin.
+Partition the doc-id space across streams (each stream is then
+authoritative for its partition and twins within a partition are
+caught), or serialize the streams; ``wait=`` exists so maintenance,
+repairs, and a co-located benchmark/vector sink can safely interleave
+with ONE admission stream, not to multiplex admission itself.
 """
 
 from __future__ import annotations
