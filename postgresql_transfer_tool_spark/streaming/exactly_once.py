@@ -309,6 +309,43 @@ def prune_epoch_records(
     return n
 
 
+def archive_epoch_records(
+    spark, records_dir: str, ledger: EpochLedger, archive_dir: str,
+    before_epoch: int,
+) -> int:
+    """Copy committed epoch records older than ``before_epoch`` into a
+    durable partitioned archive BEFORE retention reclaims them —
+    separating the sinks' queryable product history (admitted rows /
+    decision rows) from replay state, so :func:`prune_epoch_records`
+    stops truncating what downstream reads (the round-10 review trade,
+    now closed rather than documented). Idempotent per epoch: an
+    already-archived epoch is skipped, so a crash mid-archive re-runs
+    cleanly; each epoch's archive write is rename-aside atomic
+    (:func:`write_epoch_record`), so existence ⇒ completeness and the
+    archive is never half an epoch. Reading the full history =
+    union(archive, live records) via one basePath read per root.
+    Returns the number of epochs archived."""
+    n = 0
+    for e in sorted(ledger.committed()):
+        if e >= before_epoch:
+            continue
+        src = os.path.join(records_dir, f"epoch={e}")
+        dst = os.path.join(archive_dir, f"epoch={e}")
+        if os.path.isdir(dst) or not os.path.isdir(src):
+            continue
+        rec = read_epoch_record(spark, src)
+        if rec is None:
+            continue
+        try:
+            write_epoch_record(rec, dst)
+        finally:
+            from ..functions.memo import unpersist_checkpoints
+
+            unpersist_checkpoints(rec)
+        n += 1
+    return n
+
+
 def verify_committed_replay(
     spark,
     batch_df: DataFrame,

@@ -72,6 +72,12 @@ class MaintenancePolicy:
     max_files_per_bucket: int = 8
     max_dead_ratio: float = 0.2
     keep_records: int | None = None
+    #: when set together with ``keep_records``, each record dir is
+    #: archived under ``{archive_root}/{basename(record_dir)}`` BEFORE
+    #: pruning — retention then reclaims replay state WITHOUT
+    #: truncating the queryable history (read it back as
+    #: union(archive, live) — exactly_once.archive_epoch_records)
+    archive_root: str | None = None
     scratch_root: str | None = None
     history: list = field(default_factory=list)
 
@@ -126,6 +132,25 @@ def run_maintenance(
         committed = ledger.committed()
         if len(committed) > policy.keep_records:
             cutoff = sorted(committed)[-policy.keep_records]
+            if policy.archive_root is not None:
+                import os
+
+                from .exactly_once import archive_epoch_records
+
+                archived = sum(
+                    archive_epoch_records(
+                        spark, d, ledger,
+                        os.path.join(
+                            policy.archive_root, os.path.basename(d.rstrip("/"))
+                        ),
+                        before_epoch=cutoff,
+                    )
+                    for d in record_dirs
+                )
+                if archived:
+                    policy.history.append(
+                        {"epoch": int(epoch_id), "archived_records": archived}
+                    )
             pruned = sum(
                 prune_epoch_records(d, ledger, before_epoch=cutoff)
                 for d in record_dirs

@@ -266,3 +266,48 @@ def test_growing_funnel_maintenance_compacts_both_indexes(spark, tmp_path):
     # the engineered cross-epoch embedding dup still decides correctly
     by_id = {r[0]: r for r in got_m}
     assert by_id[310][2] is False and by_id[311][2] is True
+
+
+def test_archive_before_prune_preserves_full_history(spark, tmp_path):
+    """archive_root: retention reclaims replay state WITHOUT truncating
+    the product history — union(archive, live) equals a never-pruned
+    run's admitted() bit-for-bit, and archiving is idempotent across
+    maintenance firings."""
+    archive = tmp_path / "archive"
+    policy = MaintenancePolicy(
+        every_epochs=4,
+        max_files_per_bucket=10**6,  # compaction never fires here
+        keep_records=5,
+        archive_root=str(archive),
+        scratch_root=str(tmp_path),
+    )
+    index, sink = _run_stream(spark, tmp_path, "a", policy)
+    idx_b, sink_b = _run_stream(spark, tmp_path, "ab", None)
+
+    assert sum(h.get("archived_records", 0) for h in policy.history) >= 10
+    assert sum(h.get("pruned_records", 0) for h in policy.history) >= 10
+
+    # live read-back is truncated (replay state reclaimed)...
+    live = sink.admitted()
+    assert live.count() < sink_b.admitted().count()
+    # ...but archive ∪ live is the COMPLETE history, bit-identical
+    arch = spark.read.option(
+        "basePath", str(archive / "admitted")
+    ).parquet(str(archive / "admitted"))
+    full = sorted(
+        (r.doc_id, r.text)
+        for r in arch.select("doc_id", "text")
+        .unionByName(live.select("doc_id", "text"))
+        .collect()
+    )
+    never_pruned = sorted(
+        (r.doc_id, r.text)
+        for r in sink_b.admitted().select("doc_id", "text").collect()
+    )
+    assert full == never_pruned
+    # archive and live partitions are disjoint (no epoch double-counted)
+    arch_epochs = {int(r.epoch) for r in arch.select("epoch").distinct().collect()}
+    live_epochs = {int(r.epoch) for r in live.select("epoch").distinct().collect()}
+    assert not (arch_epochs & live_epochs)
+    _drop(spark, index)
+    _drop(spark, idx_b)
