@@ -860,3 +860,76 @@ def funnel_admitted_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+#: per-source token budget for budget-aware admission (a curation run
+#: rarely takes everything a domain offers — data mixes cap each
+#: source's contribution; 4096 tokens keeps several sources partially
+#: filled at fixture scale so the boundary rule is actually exercised)
+SOURCE_TOKEN_BUDGET = 4096
+
+
+def _funnel_budget_oracle() -> str:
+    from .dedup_index import verified_pairs_cte
+
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    fadmitted AS (
+      SELECT d.doc_id, d.source,
+             len({_SQL_TOKS}) AS n_tok
+      FROM documents d
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % {BATCH_MOD} = 0
+        AND dp.doc_id IS NULL
+        AND NOT COALESCE(c.isc, FALSE)
+        AND len({_SQL_TOKS}) >= {MIN_TOKENS}
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok
+    FROM (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok AS cum_before
+      FROM fadmitted
+    ) t
+    WHERE cum_before < {SOURCE_TOKEN_BUDGET}
+    """
+
+
+@query("funnel_source_token_budget", oracle=_funnel_budget_oracle())
+def funnel_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-aware admission: of the funnel-admitted batch, each
+    source contributes documents in doc_id order until its token
+    budget is exhausted — a document is taken iff its FIRST token fits
+    (preceding admitted tokens < budget; the same first-token-lands
+    rule as sequence packing, so the boundary document is taken whole
+    and may overshoot — exactly how a stream cut behaves). This is the
+    per-domain cap every production data mix applies after quality
+    filtering; deterministic (id order), shard-parallel (one window
+    per source), and composed on the memoized funnel decisions — no
+    extra index probes."""
+    from pyspark.sql.window import Window
+
+    admitted = (
+        incremental_ingest_funnel(spark, sf_dir)
+        .filter(F.col("admitted"))
+        .select("doc_id")
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(admitted), "doc_id", "left_semi")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        toks.withColumn(
+            "cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
+        )
+        .filter(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tok")
+    )
