@@ -164,3 +164,121 @@ def test_pg_cdc_through_funnel_exactly_once_across_kill(
               f"{stem}_tombstones", f"{stem}_stamps",
               f"{gstem}_tombstones", f"{gstem}_stamps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pg_cdc_full_trilogy_with_maintenance(spark, tmp_path, pg_server):
+    """The complete production shape, live: documents CDC-stream from
+    PostgreSQL through the TRILOGY funnel (text near-dup ∧ GROWING
+    vector index ∧ contamination ∧ quality) with sink-integrated
+    maintenance armed — compaction of both indexes fires between HWM
+    cycles and changes no decision. Cross-cycle checks: a later PG doc
+    whose embedding duplicates an earlier STREAMED doc's is rejected
+    by the grown vector index; every PG doc gets exactly one decision."""
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        build_ann_index,
+    )
+    from postgresql_transfer_tool_spark.operators.contamination_index import (
+        build_contamination_index,
+    )
+    from postgresql_transfer_tool_spark.operators.dedup_index import (
+        build_dedup_index,
+    )
+    from postgresql_transfer_tool_spark.pg_transfer import PgFunnelIngest
+    from postgresql_transfer_tool_spark.sources.pgcopy import run_sql
+    from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+        IngestFunnelSink,
+    )
+    from postgresql_transfer_tool_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+
+    run_sql(pg_server, "CREATE TABLE src.documents2 ("
+            " doc_id bigserial PRIMARY KEY, text text NOT NULL)")
+
+    def insert2(texts):
+        vals = ", ".join("('" + t.replace("'", "''") + "')" for t in texts)
+        run_sql(pg_server, f"INSERT INTO src.documents2 (text) VALUES {vals}")
+
+    name = f"pgtri{uuid.uuid4().hex[:8]}"
+    index = build_dedup_index(
+        spark, _docs(spark, CORPUS), tempfile.mkdtemp(prefix=name), name
+    )
+    gtable = build_contamination_index(
+        spark, _docs(spark, BENCH), tempfile.mkdtemp(prefix=f"{name}g"), f"{name}g"
+    )
+
+    dim = 8
+    def vec(vid, axis, bump):
+        qe = [0] * dim
+        qe[axis] = 1_000_000 + bump
+        return (vid, qe, sum(x * x for x in qe))
+
+    # embeddings for corpus docs + the PG serials we are about to
+    # insert (vec_id = doc_id): PG doc 2's vector dups PG doc 1's
+    # EXACTLY but arrives in a LATER cycle — only the grown index
+    # catches it; doc 3 has no embedding row (emb-novel by definition)
+    v1 = vec(1, 6, 500)
+    emb_rows = [vec(d, i % dim, i) for i, (d, _) in enumerate(CORPUS)] + [
+        v1, (2, v1[1], v1[2]), (4, *vec(4, 7, 900)[1:]),
+    ]
+    embeddings = spark.createDataFrame(
+        emb_rows, "vec_id bigint, qe array<bigint>, nq bigint"
+    )
+    aname = f"annidx_pg{uuid.uuid4().hex[:6]}"
+    ann = build_ann_index(
+        spark,
+        embeddings.filter(F.col("vec_id").isin([d for d, _ in CORPUS])),
+        tempfile.mkdtemp(prefix=aname), aname, n_rows=len(CORPUS),
+    )
+
+    policy = MaintenancePolicy(
+        every_epochs=2, max_files_per_bucket=0, scratch_root=str(tmp_path)
+    )
+    sink = IngestFunnelSink(
+        spark, index, gtable, str(tmp_path / "out"),
+        ann_index=ann, embeddings=embeddings, nprobe=2, grow_ann=True,
+        maintenance=policy,
+    )
+    ingest = PgFunnelIngest(
+        spark, pg_server, "src", "documents2", "doc_id", sink
+    )
+
+    insert2([_text(81)])                      # id 1: clean, admitted
+    assert ingest.run_cycle()["epoch"] == 0
+    insert2([_text(82), _text(83)])           # id 2: emb-dup of 1; id 3 clean
+    s = ingest.run_cycle()
+    assert s["epoch"] == 1 and s["n_rows"] == 2
+    # maintenance fired after epoch 1 (every_epochs=2), on BOTH indexes
+    tables = {h["table"] for h in policy.history if "stats" in h}
+    assert any("_bands" in t for t in tables)
+    assert any("_cells" in t for t in tables)
+
+    insert2([_text(84)])                      # id 4: clean, admitted
+    assert ingest.run_cycle()["epoch"] == 2   # post-compaction cycle
+
+    cols = ["doc_id", "is_novel", "is_emb_novel", "nn_cosine", "admitted"]
+    d = {r[0]: tuple(r) for r in sink.decisions().select(*cols).collect()}
+    assert sorted(d) == [1, 2, 3, 4]
+    assert d[1][2] is True and d[1][4] is True
+    # the grown index catches the cross-cycle embedding dup
+    assert d[2][1] is True and d[2][2] is False
+    assert d[2][3] >= 1.0 - 1e-15 and d[2][4] is False
+    assert d[3][2] is True and d[3][4] is True  # no embedding row
+    assert d[4][2] is True and d[4][4] is True  # post-compaction probe OK
+
+    # exactly-once across the whole composition: re-running with no new
+    # PG rows is a no-op
+    assert ingest.run_cycle()["epoch"] is None
+    assert sink.decisions().count() == 4
+
+    stem = index.bands_table.rsplit("_", 1)[0]
+    gstem = gtable.rsplit("_", 1)[0]
+    astem = ann.cells_table.rsplit("_", 1)[0]
+    for t in (index.bands_table, index.shingles_table, gtable,
+              ann.cells_table, ann.centroids_table,
+              f"{stem}_tombstones", f"{stem}_stamps",
+              f"{gstem}_tombstones", f"{gstem}_stamps",
+              f"{astem}_tombstones", f"{astem}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
