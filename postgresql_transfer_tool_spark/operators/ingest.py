@@ -261,6 +261,7 @@ def _run_streaming_funnel(
     grow_ann: bool = False,
     maintenance=None,
     tag: str | None = None,
+    source_budget: int | None = None,
 ) -> DataFrame:
     """Shared driver body for the two streaming funnel rows: build the
     probe-only side indexes (+ the IVF index when ``with_ann``), cut the
@@ -321,6 +322,7 @@ def _run_streaming_funnel(
         gtable,
         tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
         maintenance=maintenance,
+        source_budget=source_budget,
         **ann_kwargs,
     )
     b1, b2 = batch.select(
@@ -334,11 +336,15 @@ def _run_streaming_funnel(
         )
     ):
         sink(ep_df, epoch)
-    base_cols = (
-        ["doc_id", "is_novel"]
-        + (emb_cols if with_ann else ["n_grams", "n_shared"])
-        + ["is_contaminated", "n_tokens", "admitted"]
-    )
+    if source_budget is not None:
+        base_cols = ["doc_id", "source", "is_novel", "is_contaminated",
+                     "n_tokens", "admitted"]
+    else:
+        base_cols = (
+            ["doc_id", "is_novel"]
+            + (emb_cols if with_ann else ["n_grams", "n_shared"])
+            + ["is_contaminated", "n_tokens", "admitted"]
+        )
     return sink.decisions().select(*base_cols)
 
 
@@ -933,3 +939,69 @@ def funnel_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
         .select("source", "doc_id", "n_tok")
     )
+
+
+def _funnel_budget_decisions_oracle() -> str:
+    """Monolithic recompute of the budget-gated funnel DECISIONS: every
+    batch doc with its evidence columns, ``admitted`` carrying the
+    extra conjunct "my first token fits my source's budget among
+    lower-id funnel-admitted docs" — the global statement of the
+    streamed per-epoch state machine."""
+    from .dedup_index import verified_pairs_cte
+
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    fdec AS (
+      SELECT d.doc_id, d.source,
+             (dp.doc_id IS NULL) AS is_novel,
+             COALESCE(c.isc, FALSE) AS isc,
+             len({_SQL_TOKS}) AS n_tokens,
+             ((dp.doc_id IS NULL) AND NOT COALESCE(c.isc, FALSE)
+              AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS base_admit
+      FROM documents d
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % {BATCH_MOD} = 0
+    ),
+    badm AS (
+      SELECT doc_id,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tokens AS cum_before
+      FROM fdec WHERE base_admit
+    )
+    SELECT f.doc_id, f.source, f.is_novel, f.isc AS is_contaminated,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           (f.base_admit
+            AND COALESCE(b.cum_before, {SOURCE_TOKEN_BUDGET}) <
+                {SOURCE_TOKEN_BUDGET}) AS admitted
+    FROM fdec f LEFT JOIN badm b ON b.doc_id = f.doc_id
+    """
+
+
+@query(
+    "streaming_funnel_source_budget", oracle=_funnel_budget_decisions_oracle()
+)
+def streaming_funnel_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budget gate as CROSS-EPOCH STREAMING STATE: the funnel sink
+    runs with ``source_budget`` set, carrying each source's admitted
+    token total across epochs as a tiny persisted state record (one
+    row per source, derived from the decision records, crash-rebuildable
+    — streaming/ingest_funnel.IngestFunnelSink._budget_state). With
+    id-ordered epochs the per-epoch rule "state + lower-id batch
+    admitted tokens < budget" equals the monolithic global window, so
+    three streamed epochs must hash-match the one-shot oracle — the
+    same epoch-cut-invariance argument as every funnel pair, now for a
+    STATEFUL gate whose state is not an index but an aggregate."""
+    key = (spark.sparkContext.applicationId, sf_dir, "budget")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark,
+            sf_dir,
+            with_ann=False,
+            tag="sb",
+            source_budget=SOURCE_TOKEN_BUDGET,
+        )
+        cached = _INGEST_MEMO.put(key, out)
+    return cached

@@ -132,6 +132,7 @@ class IngestFunnelSink:
         nprobe: int | None = None,
         grow_ann: bool = False,
         maintenance: MaintenancePolicy | None = None,
+        source_budget: int | None = None,
     ) -> None:
         """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
         relation, vec_id = doc_id) switch on the embedding-novelty
@@ -175,6 +176,16 @@ class IngestFunnelSink:
         self.decisions_dir = os.path.join(out_dir, "decisions")
         self.ledger = EpochLedger(os.path.join(out_dir, "_epochs"))
         self.maintenance = maintenance
+        #: per-source token budget carried ACROSS epochs (round 11):
+        #: when set, batches must carry a ``source`` column, decisions
+        #: gain it, and ``admitted`` additionally requires the doc's
+        #: first token to fit its source's remaining budget — the
+        #: budget state (one tiny (source, cum_tokens) row per source)
+        #: is persisted per epoch under ``_budget`` and rebuilt from
+        #: the decision records if a crash loses it, so the gate is
+        #: epoch-cut-invariant and exactly-once like everything else
+        self.source_budget = source_budget
+        self.budget_dir = os.path.join(out_dir, "_budget")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(self.decisions_dir, f"epoch={int(epoch_id)}")
@@ -245,6 +256,12 @@ class IngestFunnelSink:
                     # and a post-extend crash re-appends nothing —
                     # idempotent, no vector ever duplicated.
                     self._repair_ann(prior, int(epoch_id))
+                if self.source_budget is not None:
+                    # the budget-state record is derived from the
+                    # decision record, so a crash between the two
+                    # writes is repaired by recomputing it (idempotent
+                    # overwrite after a post-state crash)
+                    self._write_budget_state(prior, int(epoch_id))
             finally:
                 unpersist_checkpoints(prior)
             self.ledger.commit(int(epoch_id))
@@ -271,7 +288,15 @@ class IngestFunnelSink:
                         nprobe=self.nprobe,
                     ),
                 )
+            if self.source_budget is not None:
+                decisions = self._apply_budget(decisions, batch_df, int(epoch_id))
             write_epoch_record(decisions, epoch_dir)
+            if self.source_budget is not None:
+                rec = read_epoch_record(self.spark, epoch_dir)
+                try:
+                    self._write_budget_state(rec, int(epoch_id))
+                finally:
+                    unpersist_checkpoints(rec)
             append_all_signatures(
                 self.spark,
                 self.index,
@@ -323,6 +348,112 @@ class IngestFunnelSink:
             indexes=indexes,
             ledger=self.ledger,
             record_dirs=[self.decisions_dir],
+        )
+
+    # -- per-source token budget (round 11) -------------------------------
+    def _budget_state(self, epoch_id: int) -> DataFrame:
+        """(source, cum_tokens) admitted BEFORE this epoch — the state
+        record of the newest committed epoch below ``epoch_id``, or an
+        empty frame when the stream is young. If that record was lost
+        (crash, or retention without archiving), the state is rebuilt
+        from the surviving decision records — O(history), logged, and
+        only ever paid on a rare recovery path."""
+        import logging
+
+        committed = [e for e in self.ledger.committed() if e < epoch_id]
+        empty = self.spark.createDataFrame(
+            [], "source string, cum_tokens bigint"
+        )
+        if not committed:
+            return empty
+        last = max(committed)
+        state = read_epoch_record(
+            self.spark, os.path.join(self.budget_dir, f"epoch={last}")
+        )
+        if state is not None:
+            return state
+        logging.getLogger(__name__).warning(
+            "budget state record for epoch %d is missing — rebuilding "
+            "from the decision records (slow path; if retention pruned "
+            "them, arm MaintenancePolicy.archive_root or keep the "
+            "_budget dir)", last,
+        )
+        try:
+            dec = self.decisions()
+        except Exception:
+            return empty
+        return (
+            dec.filter(F.col("admitted") & (F.col("epoch") <= last))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("cum_tokens"))
+        )
+
+    def _apply_budget(
+        self, decisions: DataFrame, batch_df: DataFrame, epoch_id: int
+    ) -> DataFrame:
+        """Re-derive ``admitted`` with the budget conjunct: a
+        funnel-admitted doc is taken iff its FIRST token fits its
+        source's remaining budget — preceding tokens = the persisted
+        cross-epoch state plus lower-id admitted docs of this batch
+        (the same first-token-lands rule as sequence packing, and
+        epoch-cut-invariant under id-ordered epochs: earlier epochs'
+        admitted tokens are exactly the state). Decisions gain the
+        ``source`` column; all other evidence columns are untouched."""
+        from pyspark.sql.window import Window
+
+        prior = self._budget_state(epoch_id)
+        pre = decisions.join(batch_df.select("doc_id", "source"), "doc_id")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        in_budget = (
+            pre.filter(F.col("admitted"))
+            .select("doc_id", "source", "n_tokens")
+            .withColumn(
+                "cum_local", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .join(F.broadcast(prior), "source", "left")
+            .filter(
+                F.col("cum_local") + F.coalesce("cum_tokens", F.lit(0))
+                < F.lit(self.source_budget)
+            )
+            .select("doc_id")
+        )
+        cols = [c for c in decisions.columns if c != "admitted"]
+        out = pre.join(
+            F.broadcast(in_budget.withColumn("in_budget", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        return out.select(
+            *cols,
+            "source",
+            (F.col("admitted") & F.coalesce("in_budget", F.lit(False))).alias(
+                "admitted"
+            ),
+        )
+
+    def _write_budget_state(self, decisions_record: DataFrame, epoch_id: int) -> None:
+        """state(N) = state(N-1) + this epoch's admitted tokens per
+        source (derived from the FINAL decision record, so replay
+        recomputation is bit-identical); one tiny row per source,
+        written rename-aside like every record."""
+        prior = self._budget_state(epoch_id)
+        this = (
+            decisions_record.filter(F.col("admitted"))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("t"))
+        )
+        new = (
+            prior.join(this, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce("cum_tokens", F.lit(0))
+                    + F.coalesce("t", F.lit(0))
+                ).cast("bigint").alias("cum_tokens"),
+            )
+        )
+        write_epoch_record(
+            new, os.path.join(self.budget_dir, f"epoch={epoch_id}")
         )
 
     def _repair_ann(self, prior: DataFrame, epoch_id: int) -> None:

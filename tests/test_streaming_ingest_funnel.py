@@ -572,3 +572,79 @@ def test_retrain_mid_stream_equals_fresh_build(spark, tmp_path):
         for t in (ann.cells_table, ann.centroids_table,
                   f"{stem}_tombstones", f"{stem}_stamps"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_source_budget_state_across_epochs_and_crashes(spark, tmp_path, monkeypatch):
+    """The stateful budget gate: a source exhausted in epoch 0 admits
+    nothing in later epochs (the persisted per-source state, not the
+    within-batch window, must carry the refusal); a crash between the
+    decisions write and the state write is repaired on replay; losing
+    the state record entirely falls back to rebuilding from decision
+    records — all bit-stable."""
+    import shutil
+
+    from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+        IngestFunnelSink,
+    )
+
+    index, gtable = _build(spark, "fnlbdg")
+    out = str(tmp_path / "out")
+    budget = 120  # tokens; each _text doc is 50 tokens
+    sink = IngestFunnelSink(
+        spark, index, gtable, out, source_budget=budget
+    )
+
+    def docs_with_source(rows):
+        return spark.createDataFrame(
+            [(i, t, s) for i, t, s in rows],
+            "doc_id bigint, text string, source string",
+        )
+
+    # epoch 0: three clean 50-token docs from source A → 50+50 admitted
+    # (cum_before 0, 50 < 120), third doc cum_before 100 < 120 → ALSO
+    # admitted (first-token-lands) → A's state = 150 ≥ 120: exhausted
+    wave0 = [(210, _text(31), "A"), (211, _text(32), "A"), (212, _text(33), "A")]
+    sink(docs_with_source(wave0), 0)
+    d = {r.doc_id: r.admitted for r in sink.decisions().collect()}
+    assert d == {210: True, 211: True, 212: True}
+
+    # epoch 1: A is exhausted → rejected; B is fresh → admitted
+    wave1 = [(310, _text(34), "A"), (311, _text(35), "B")]
+    sink(docs_with_source(wave1), 1)
+    d = {r.doc_id: r.admitted for r in sink.decisions().collect()}
+    assert d[310] is False and d[311] is True
+
+    # crash between decisions write and state write of epoch 2: replay
+    # must repair the state record and the budget must still hold
+    from postgresql_transfer_tool_spark.streaming import ingest_funnel as mod
+
+    real = IngestFunnelSink._write_budget_state
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before budget state")
+    monkeypatch.setattr(IngestFunnelSink, "_write_budget_state", boom)
+    wave2 = [(410, _text(36), "B"), (411, _text(37), "B")]
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(docs_with_source(wave2), 2)
+    assert sink.ledger.committed() == {0, 1}
+    monkeypatch.setattr(IngestFunnelSink, "_write_budget_state", real)
+    sink(docs_with_source(wave2), 2)  # replay: repair + commit
+    assert sink.ledger.committed() == {0, 1, 2}
+    d = {r.doc_id: r.admitted for r in sink.decisions().collect()}
+    # B: 50 (e1) + 50 (410, cum_before 50 < 120) + 411 (cum_before
+    # 100 < 120) — all admitted; B exhausted at 150 after epoch 2
+    assert d[410] is True and d[411] is True
+
+    # epoch 3 with the state record DELETED: the rebuild-from-decisions
+    # fallback must reproduce the same refusals
+    shutil.rmtree(os.path.join(out, "_budget"), ignore_errors=True)
+    wave3 = [(510, _text(38), "A"), (511, _text(39), "B"), (512, _text(40), "C")]
+    sink(docs_with_source(wave3), 3)
+    d = {r.doc_id: r.admitted for r in sink.decisions().collect()}
+    assert d[510] is False and d[511] is False  # both exhausted
+    assert d[512] is True                        # fresh source
+    # full-history invariant: per-source admitted tokens respect the
+    # first-token-lands rule (≤ budget + one doc's overshoot)
+    adm = sink.decisions().filter("admitted").groupBy("source").sum("n_tokens")
+    for r in adm.collect():
+        assert r["sum(n_tokens)"] <= budget + 50
+    _drop(spark, index, gtable)
