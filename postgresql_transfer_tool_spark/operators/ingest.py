@@ -844,12 +844,14 @@ def funnel_admitted_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("admitted"))
         .select("doc_id")
     )
-    # broadcast the admitted-id column: one epoch's ids (a bare long
-    # column) stay broadcastable at production scale, and the big
-    # documents side then reaches the window without a join exchange
+    # no broadcast HINT on the admitted-id side: it is O(batch) and a
+    # forced broadcast of a data-proportional relation is exactly what
+    # the engine-wide hint sweep forbids (bm25's r4 mistake) — AQE
+    # converts the semi join to broadcast at runtime when the admitted
+    # set is actually small, which is the engine's documented posture
     toks = (
         load_table(spark, sf_dir, "documents")
-        .join(F.broadcast(admitted), "doc_id", "left_semi")
+        .join(admitted, "doc_id", "left_semi")
         .select(
             "source",
             "doc_id",
@@ -922,9 +924,10 @@ def funnel_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("admitted"))
         .select("doc_id")
     )
+    # runtime-only broadcast, same rationale as funnel_admitted_packing
     toks = (
         load_table(spark, sf_dir, "documents")
-        .join(F.broadcast(admitted), "doc_id", "left_semi")
+        .join(admitted, "doc_id", "left_semi")
         .select(
             "source",
             "doc_id",

@@ -418,6 +418,12 @@ class IngestFunnelSink:
             .select("doc_id")
         )
         cols = [c for c in decisions.columns if c != "admitted"]
+        # both broadcast sides are bounded by construction: the prior
+        # state is one row per source (dimension-sized), and in_budget
+        # is a subset of ONE micro-batch's ids — epoch size is
+        # operator-controlled, the standard streaming-broadcast bound
+        # (unlike the batch queries, where the admitted set is
+        # data-proportional and hints are forbidden)
         out = pre.join(
             F.broadcast(in_budget.withColumn("in_budget", F.lit(True))),
             "doc_id",
