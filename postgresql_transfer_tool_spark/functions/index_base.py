@@ -75,15 +75,32 @@ def pid_alive(pid: int) -> bool:
 
 
 def atomic_write_text(path: str, text: str) -> None:
-    """Write a small marker file atomically: tmp sibling + rename.
-    The shared primitive behind every marker in the engine (ledger
-    commits, batch fingerprints, index format meta, pinned HWMs) — one
-    implementation so the tmp-naming and replace semantics cannot
-    drift apart (round-11 review)."""
+    """Write a small marker file atomically AND durably: tmp sibling,
+    fsync the data, rename, fsync the directory. The shared primitive
+    behind every marker in the engine (ledger commits, batch
+    fingerprints, index format meta, pinned HWMs) — one implementation
+    so the tmp-naming and replace semantics cannot drift apart
+    (round-11 review).
+
+    The two fsyncs extend the guarantee from process-crash to
+    POWER-LOSS (round-12 ADVICE): without them a rename can be on disk
+    while the file's bytes are not (torn marker), or the rename itself
+    can vanish from an unsynced directory — and ledger commit markers /
+    pinned HWMs are the exactly-once substrate, so a silently-reverted
+    commit would replay an epoch the downstream already consumed.
+    Markers are tiny and per-epoch, so the two fsyncs are noise next to
+    the epoch's Spark jobs."""
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 class ConcurrentIndexWriteError(RuntimeError):
@@ -215,6 +232,47 @@ def index_root(spark: SparkSession, table: str) -> str:
 # single-writer contract
 # ---------------------------------------------------------------------------
 
+#: a breaker marker with unreadable content must be at least this old
+#: (mtime) before it is reclaimed — a LIVE breaker holds its marker for
+#: a few filesystem ops, so seconds of grace is orders of magnitude safe
+_BREAKER_GRACE_S = 30.0
+
+
+def _reclaim_dead_breaker(breaker: str) -> bool:
+    """Remove a breaker marker whose writer is provably dead — the
+    recursive application of the stale-lock rule to the breaker itself
+    (round-12 ADVICE: a SIGKILL inside the breaker critical section
+    orphaned '{lock}.breaker' forever, and every later recovery attempt
+    returned False on FileExistsError). Content ``pid=N`` with N dead →
+    reclaim; content unreadable/unparseable (the pid write may not have
+    landed) → reclaim only past an mtime grace window. Returns True
+    when the marker was removed (caller should retry the break)."""
+    import time
+
+    try:
+        with open(breaker) as f:
+            txt = f.read()
+    except OSError:
+        return True  # marker vanished — its writer finished; retry
+    pid_part = txt[len("pid="):].strip() if txt.startswith("pid=") else ""
+    stale = False
+    if pid_part.isdigit():
+        stale = not pid_alive(int(pid_part))
+    else:
+        try:
+            stale = time.time() - os.path.getmtime(breaker) > _BREAKER_GRACE_S
+        except OSError:
+            return True  # vanished mid-check — retry
+    if not stale:
+        return False
+    try:
+        os.remove(breaker)
+    except OSError:
+        pass  # lost the removal race — the other remover won; retry
+    logger.warning("reclaimed orphaned lock-breaker marker %s (%r)", breaker, txt)
+    return True
+
+
 def _maybe_break_stale_lock(lock: str) -> bool:
     """Reclaim a lock whose recorded holder pid is provably dead on
     THIS host (a SIGKILL'd auto-compaction would otherwise wedge every
@@ -242,8 +300,21 @@ def _maybe_break_stale_lock(lock: str) -> bool:
     try:
         fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        return False  # another breaker is on it
+        # Another breaker is on it — unless ITS writer died between
+        # creating the marker and the finally-removal (a SIGKILL there
+        # would otherwise orphan the marker forever, permanently
+        # disabling stale-lock recovery — round-12 ADVICE). The breaker
+        # records its writer's pid exactly like the lock does, so the
+        # same dead-pid reclaim applies; an empty/unparseable marker
+        # (crash before the pid write landed, or a pre-round-12 file)
+        # is reclaimed only once it is older than a grace window that
+        # no live breaker holds the marker for (the critical section is
+        # a handful of filesystem ops).
+        if _reclaim_dead_breaker(breaker):
+            return _maybe_break_stale_lock(lock)  # one retry, re-checks all
+        return False
     try:
+        os.write(fd, f"pid={os.getpid()}".encode())
         os.close(fd)
         try:
             with open(lock) as f:

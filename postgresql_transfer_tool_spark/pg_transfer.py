@@ -846,11 +846,39 @@ class PgFunnelIngest:
             F.col(self.text_col).alias("text"),
         )
         self.sink(docs, epoch)  # ledger commit inside = the commit point
+        self._prune_hwm()
         return {
             "epoch": epoch,
             "n_rows": batch.n_rows,
             "hwm": pinned if pinned is not None else batch.new_checkpoint,
         }
+
+    def _prune_hwm(self) -> None:
+        """Post-commit retention for the pinned-HWM files, on the same
+        opt-in knob as the sink's record retention
+        (``MaintenancePolicy.keep_records``): only the NEWEST committed
+        epoch's HWM is ever read back (``run_cycle`` reads
+        ``committed[-1]`` and the current epoch's pin), so files for
+        older committed epochs are dead state — one file per epoch
+        growing unboundedly on exactly the long streams retention
+        exists to bound (round-12 ADVICE). Uncommitted pins (a crashed
+        epoch's bound) are never touched."""
+        import os
+
+        policy = getattr(self.sink, "maintenance", None)
+        if policy is None or policy.keep_records is None:
+            return
+        committed = sorted(self.sink.ledger.committed())
+        if len(committed) <= policy.keep_records:
+            return
+        cutoff = committed[-policy.keep_records]
+        for e in committed:
+            if e >= cutoff:
+                break
+            try:
+                os.remove(self._hwm_path(e))
+            except OSError:
+                pass  # already pruned (or never pinned)
 
 
 def verify_table_equivalence(

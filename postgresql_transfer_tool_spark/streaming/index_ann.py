@@ -56,7 +56,7 @@ from .exactly_once import (
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
-    verify_batch_fingerprint,
+    check_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -90,9 +90,13 @@ class AnnIndexSink:
                 ledger=self.ledger,
             )
             return
-        # store/verify the batch fingerprint before any durable write
-        # (exact collision check that survives record retention)
-        fp_verified = verify_batch_fingerprint(
+        # verify the batch against a stored fingerprint (exact collision
+        # check that survives record retention); the first-delivery
+        # write is deferred past the prior-record check so an impostor
+        # batch cannot stamp its fingerprint onto a pre-fingerprint
+        # uncommitted epoch on the way to the mismatch error (round-12
+        # ADVICE)
+        fp_verified, persist_fp = check_batch_fingerprint(
             self.ledger, batch_df, int(epoch_id), "vec_id"
         )
         prior = read_epoch_record(self.spark, epoch_dir)
@@ -106,6 +110,8 @@ class AnnIndexSink:
             ):
                 unpersist_checkpoints(prior)
                 raise epoch_collision_error(int(epoch_id), committed=False)
+            # batch consistent with the record — stamp the fingerprint
+            persist_fp()
             # partial replay: extend with exactly the recorded ids whose
             # rows never reached the cells table. The anti-join's left
             # side is one epoch's ids; the cells side is pruned to the
@@ -129,6 +135,7 @@ class AnnIndexSink:
             finally:
                 unpersist_checkpoints(prior)
         else:
+            persist_fp()  # no prior record — first delivery, stamp it
             # the record precedes the extend — see module docstring
             batch_df = batch_df.localCheckpoint(eager=True)
             try:

