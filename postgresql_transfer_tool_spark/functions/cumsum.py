@@ -87,3 +87,93 @@ def running_sum(
         .withColumn(alias, F.sum("_rs_val").over(w_in) + F.col("_rs_off"))
         .drop("_rs_part", "_rs_val", "_rs_off")
     )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    value: Column,
+    alias: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``alias`` = running sum of ``value`` PER KEY GROUP over the
+    within-group total order ``order_by`` — the keyed generalization of
+    :func:`running_sum` (VERDICT r11 "Next round" #1).
+
+    The naive form, ``Window.partitionBy(*keys).orderBy(*order_by)``,
+    funnels each key group through ONE WindowExec task. That is fine
+    when groups are numerous and small, but the engine's packing/budget
+    operators key on ``source`` — a LOW-CARDINALITY, inherently skewed
+    key: at 100 TB with tens of sources, one task per source orders
+    that source's ENTIRE token stream, the exact serial shape the
+    global two-phase scheme already removes. Here the same two phases
+    are applied per key:
+
+    1. ``repartitionByRange`` on (keys, order) — each partition holds a
+       contiguous slice of ONE OR MORE key groups, and a group spanning
+       partitions spans CONSECUTIVE partitions in order (range
+       partitioning on the composite prefix guarantees it);
+    2. a window partitioned by (physical partition, keys) computes the
+       within-slice running sum — parallel across a group's slices;
+    3. per-(partition, key) totals get a per-key triangular offset join
+       (same key, lower partition id) — ≤ parallelism + #keys rows, so
+       quadratic pairing is parallelism-bounded, not data-bounded;
+    4. broadcast the offsets back and add.
+
+    Correctness for any boundary placement: within a key group, range
+    partitioning on (keys..., order...) puts every row of partition p
+    before every row of partition p+1 in the group's order, so
+    ``group_cumsum(row) = slice_cumsum(row) + Σ totals of the group's
+    earlier slices`` — the per-key restriction of running_sum's
+    argument. Wall-clock: two scans + one broadcast of a
+    parallelism-sized table; the largest single task sees ~|data|/n
+    rows REGARDLESS of key skew, so one source growing 10× adds work
+    to more partitions, not to one task (pinned by
+    tests/test_cumsum.py and the SCALE.md keyed-cumsum curve).
+
+    Cardinality guidance: the offsets broadcast is O(n_partitions +
+    #keys). For HIGH-cardinality keys (≫ parallelism: groups are small)
+    the naive partitioned window is already parallel and cheaper —
+    this helper targets the low-cardinality/skewed regime.
+
+    ``order_by`` must be a total order WITHIN each key group (include a
+    unique tie-break), for the same reason as running_sum. Key columns
+    must be non-null (the offset re-join is an equi-join; a null key
+    group would silently drop) — true of every shard/source key the
+    engine feeds this."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    key_cols = [F.col(k) for k in keys]
+    ranged = (
+        df.withColumn("_rs_val", value)
+        .repartitionByRange(n, *key_cols, *order_by)
+        .withColumn("_rs_part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy("_rs_part", *keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = ranged.groupBy("_rs_part", *keys).agg(F.sum("_rs_val").alias("_rs_tot"))
+    cond = F.col("b._rs_part") < F.col("a._rs_part")
+    for k in keys:
+        cond = cond & F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
+    offsets = (
+        t.alias("a")
+        .join(t.alias("b"), cond, "left")
+        .groupBy(
+            F.col("a._rs_part").alias("_rs_part"),
+            *[F.col(f"a.{k}").alias(k) for k in keys],
+        )
+        .agg(
+            F.coalesce(F.sum("b._rs_tot"), F.lit(0).cast("bigint")).alias(
+                "_rs_off"
+            )
+        )
+    )
+    return (
+        ranged.join(F.broadcast(offsets), ["_rs_part", *keys])
+        .withColumn(alias, F.sum("_rs_val").over(w_in) + F.col("_rs_off"))
+        .drop("_rs_part", "_rs_val", "_rs_off")
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.cumsum import running_sum
+from ..functions.cumsum import keyed_running_sum, running_sum
 from .registry import query
 
 #: engine-portable uniform bucket in [0, 100): md5-prefix → int — the
@@ -209,23 +209,30 @@ PACK_TOKENS = 512
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign documents to fixed-budget training sequences per shard.
 
-    One shuffle on `source`, one window cumsum inside each shard; the
-    per-(shard, pack) summary is a co-partitioned groupBy. Integer
-    token counts end-to-end — bit-exact against the oracle, stable
-    under any parallelism because the packing order (doc_id) is total
-    within a shard.
+    The per-shard cumulative token sum is the KEYED two-phase prefix
+    sum (functions/cumsum.keyed_running_sum — VERDICT r11 #1): `source`
+    is a low-cardinality, skewed shard key, so the naive per-source
+    window would order each source's ENTIRE token stream in one task at
+    100 TB; the keyed scheme range-partitions on (source, doc_id),
+    cumsums within each slice, and broadcast-adds per-(slice, source)
+    offsets — the largest task sees ~|corpus|/parallelism rows no
+    matter how skewed the sources are. Integer token counts end-to-end
+    — bit-exact against the oracle, stable under any parallelism
+    because the packing order (doc_id) is total within a shard.
     """
     toks = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    packed = toks.withColumn(
-        "pack_id",
-        F.floor(
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS
-        ),
+    packed = keyed_running_sum(
+        toks,
+        ["source"],
+        [F.col("doc_id")],
+        F.col("n_tok").cast("bigint"),
+        "_cum",
+    ).withColumn(
+        "pack_id", F.floor((F.col("_cum") - F.col("n_tok")) / PACK_TOKENS)
     )
     return packed.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),

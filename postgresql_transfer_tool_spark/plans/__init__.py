@@ -223,6 +223,43 @@ def broadcast_hint_violations(df: DataFrame) -> list[str]:
     return violations
 
 
+def window_partition_specs(df: DataFrame) -> list[str]:
+    """The partition-spec text of every WindowExec in the physical plan
+    ('' for a global window) — the substrate for asserting a window's
+    PARTITIONING KEY, not just its existence. A window partitioned by a
+    low-cardinality shard key (e.g. raw ``source``) is one task per
+    shard — serial at scale even though ``unpartitioned_window_count``
+    passes it; the keyed two-phase prefix sum's windows carry the
+    physical-slice column ``_rs_part`` in their spec, which is what the
+    packing/budget plan tests assert (VERDICT r11 #1). Same
+    Arguments-line disambiguation as unpartitioned_window_count: order
+    specs carry ASC/DESC NULLS markers, partition specs never do;
+    WindowGroupLimit nodes are skipped."""
+    import re
+
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    specs: list[str] = []
+    for i, ln in enumerate(lines):
+        if re.match(r"^\(\d+\) Window(GroupLimit)?\s*$", ln.strip()):
+            if "GroupLimit" in ln:
+                continue
+            for follow in lines[i + 1 : i + 6]:
+                if follow.startswith("Arguments:"):
+                    groups = _top_level_bracket_contents(follow)
+                    if len(groups) >= 3:
+                        specs.append(groups[1])
+                    elif len(groups) == 2:
+                        if re.search(r"\b(ASC|DESC) NULLS", groups[1]):
+                            specs.append("")  # ordered global window
+                        else:
+                            specs.append(groups[1])
+                    else:
+                        specs.append("")
+                    break
+    return specs
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of Window nodes with NO partition spec — each one is a
     serial single-task bottleneck at scale (WindowExec moves all rows to

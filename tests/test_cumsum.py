@@ -1,0 +1,84 @@
+"""Two-phase parallel prefix sums (functions/cumsum.py): the global
+form and the round-12 keyed generalization must equal the serial
+window for ANY partition-boundary placement, including adversarial key
+skew, and the keyed form's parallelism must come from range slices,
+not one task per key (VERDICT r11 #1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from postgresql_transfer_tool_spark.functions.cumsum import (
+    keyed_running_sum,
+    running_sum,
+)
+from postgresql_transfer_tool_spark.plans import window_partition_specs
+
+
+def _rows(n: int):
+    """Deterministic skewed fixture: 3 keys where key 'big' holds ~90%
+    of rows (the one-source-grows-10x regime), values vary, ids are a
+    total order within each key."""
+    out = []
+    for i in range(n):
+        key = "big" if i % 10 else ("mid" if i % 20 else "small")
+        out.append((key, i, (i * 37) % 101))
+    return out
+
+
+def test_running_sum_equals_serial_window(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(500)], "id bigint, v bigint"
+    )
+    got = running_sum(df, [F.col("id")], F.col("v"), "cum", num_partitions=8)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_keyed_running_sum_equals_serial_window_under_skew(spark):
+    df = spark.createDataFrame(_rows(600), "k string, id bigint, v bigint")
+    for n_parts in (1, 3, 8, 32):
+        got = keyed_running_sum(
+            df, ["k"], [F.col("id")], F.col("v"), "cum",
+            num_partitions=n_parts,
+        )
+        w = (
+            Window.partitionBy("k")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn("cum", F.sum("v").over(w))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"diverged at num_partitions={n_parts}"
+
+
+def test_keyed_running_sum_multi_key(spark):
+    df = spark.createDataFrame(
+        [(r // 100, "s" + str(r % 3), r, r % 7) for r in range(300)],
+        "g bigint, k string, id bigint, v bigint",
+    )
+    got = keyed_running_sum(
+        df, ["g", "k"], [F.col("id")], F.col("v"), "cum", num_partitions=8
+    )
+    w = (
+        Window.partitionBy("g", "k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_keyed_running_sum_window_is_slice_partitioned(spark):
+    """The plan-shape contract: every WindowExec carries the physical
+    slice column `_rs_part`, so no task ever orders more than one
+    range slice of a key group, regardless of key skew."""
+    df = spark.createDataFrame(_rows(200), "k string, id bigint, v bigint")
+    got = keyed_running_sum(
+        df, ["k"], [F.col("id")], F.col("v"), "cum", num_partitions=8
+    )
+    specs = window_partition_specs(got)
+    assert specs and all("_rs_part" in s for s in specs)
