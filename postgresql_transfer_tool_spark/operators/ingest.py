@@ -254,6 +254,45 @@ def streaming_ingest_funnel_maintained(
     return cached
 
 
+@query("streaming_funnel_archived_history", oracle=_funnel_oracle())
+def streaming_funnel_archived_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Archive-then-prune preserves the COMPLETE decisions relation
+    (VERDICT r11 #4): the streamed funnel runs with the most aggressive
+    retention the policy allows (keep_records=1, evaluated after every
+    epoch) and ``archive_root`` armed, so the first two epochs' decision
+    records are archived and physically PRUNED mid-stream; the unified
+    read-back (exactly_once.full_epoch_history — union(archive, live),
+    live wins on overlap) must still hash-match the same monolithic
+    DuckDB oracle as `streaming_ingest_funnel`. This is the row that
+    turns the archive from write-only insurance into a verified product
+    history: replay state is reclaimed, downstream reads lose
+    nothing."""
+    import tempfile as _tempfile
+
+    from ..streaming.maintenance import MaintenancePolicy
+
+    key = (spark.sparkContext.applicationId, sf_dir, "archived")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark,
+            sf_dir,
+            with_ann=False,
+            maintenance=MaintenancePolicy(
+                every_epochs=1,
+                max_files_per_bucket=10**6,  # compaction is not under test
+                keep_records=1,
+                archive_root=_tempfile.mkdtemp(prefix="funnel_archive_"),
+            ),
+            tag="sh",
+            read_full_history=True,
+        )
+        cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
 def _run_streaming_funnel(
     spark: SparkSession,
     sf_dir: str,
@@ -262,6 +301,7 @@ def _run_streaming_funnel(
     maintenance=None,
     tag: str | None = None,
     source_budget: int | None = None,
+    read_full_history: bool = False,
 ) -> DataFrame:
     """Shared driver body for the two streaming funnel rows: build the
     probe-only side indexes (+ the IVF index when ``with_ann``), cut the
@@ -345,7 +385,10 @@ def _run_streaming_funnel(
             + (emb_cols if with_ann else ["n_grams", "n_shared"])
             + ["is_contaminated", "n_tokens", "admitted"]
         )
-    return sink.decisions().select(*base_cols)
+    decided = (
+        sink.decisions_full_history() if read_full_history else sink.decisions()
+    )
+    return decided.select(*base_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -834,9 +877,11 @@ def funnel_admitted_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule of `sequence_packing`. Duplicates, contaminated docs, and
     sub-floor docs never reach a pack; pack boundaries are those of
     the admitted token stream, which is exactly what a dataloader
-    would see."""
-    from pyspark.sql.window import Window
-
+    would see. The per-source cumsum is the keyed two-phase prefix sum
+    (functions/cumsum.keyed_running_sum — VERDICT r11 #1): no task ever
+    orders more than one range-slice of a source's token stream, so the
+    shape survives skewed sources at 100×."""
+    from ..functions.cumsum import keyed_running_sum
     from .curation import PACK_TOKENS
 
     admitted = (
@@ -858,10 +903,14 @@ def funnel_admitted_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
         )
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    packed = toks.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS),
+    packed = keyed_running_sum(
+        toks,
+        ["source"],
+        [F.col("doc_id")],
+        F.col("n_tok").cast("bigint"),
+        "_cum",
+    ).withColumn(
+        "pack_id", F.floor((F.col("_cum") - F.col("n_tok")) / PACK_TOKENS)
     )
     return packed.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"),
@@ -914,10 +963,12 @@ def funnel_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule as sequence packing, so the boundary document is taken whole
     and may overshoot — exactly how a stream cut behaves). This is the
     per-domain cap every production data mix applies after quality
-    filtering; deterministic (id order), shard-parallel (one window
-    per source), and composed on the memoized funnel decisions — no
-    extra index probes."""
-    from pyspark.sql.window import Window
+    filtering; deterministic (id order), composed on the memoized
+    funnel decisions — no extra index probes. The per-source cumsum is
+    the keyed two-phase prefix sum (functions/cumsum.keyed_running_sum
+    — VERDICT r11 #1), so a skewed source's token stream never funnels
+    through one WindowExec task."""
+    from ..functions.cumsum import keyed_running_sum
 
     admitted = (
         incremental_ingest_funnel(spark, sf_dir)
@@ -934,13 +985,136 @@ def funnel_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
         )
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
     return (
-        toks.withColumn(
-            "cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
+        keyed_running_sum(
+            toks, ["source"], [F.col("doc_id")], F.col("n_tok"), "_cum"
         )
-        .filter(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
+        .filter(F.col("_cum") - F.col("n_tok") < SOURCE_TOKEN_BUDGET)
         .select("source", "doc_id", "n_tok")
+    )
+
+
+#: total token budget distributed across sources by mix weight (round
+#: 12). Sized so per-source budgets land around the uniform cap at
+#: fixture scale — several sources partially filled, boundaries hit
+WEIGHTED_BUDGET_TOTAL = 16384
+
+#: the mix-weight × total → per-source integer budget, shared verbatim
+#: between the Spark helper and the oracle CTE. The sqrt/decimal/varchar
+#: dance is domain_mix_weights' pinned cross-engine float recipe; the
+#: final floor lands on an exact BIGINT, so the budget COMPARISON is
+#: pure integer arithmetic on both engines
+_WBUD_CTE = f"""
+    wbud AS (
+      SELECT source,
+             CAST(FLOOR(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(SUM(s) OVER () AS VARCHAR) AS DOUBLE)
+                        * {WEIGHTED_BUDGET_TOTAL}) AS BIGINT) AS budget_tokens
+      FROM (
+        SELECT source,
+               CAST(sqrt(CAST(SUM(len({_SQL_TOKS})) AS DOUBLE))
+                    AS DECIMAL(24,9)) AS s
+        FROM documents GROUP BY source
+      )
+    )"""
+
+
+def source_weight_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, budget_tokens): per-source token budgets from the
+    temperature-scaled mix weights (curation.domain_mix_weights, α=1/2)
+    — ``floor(mix_weight × WEIGHTED_BUDGET_TOTAL)``. The weights come
+    from the WHOLE corpus (a production mix is computed upstream of any
+    one batch); sqrt is IEEE-correctly-rounded and the normalizer sums
+    through DECIMAL, so the doubles — and therefore the floored integer
+    budgets — are bit-identical across engines and partitionings.
+    Dimension-sized: one row per source."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    scaled = counts.withColumn(
+        "s", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(24,9)")
+    ).localCheckpoint(eager=False)
+    total = scaled.agg(F.sum("s").alias("s_total"))
+    return scaled.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(
+            F.col("s").cast("double") / F.col("s_total").cast("double")
+            * WEIGHTED_BUDGET_TOTAL
+        ).cast("bigint").alias("budget_tokens"),
+    )
+
+
+def _funnel_weighted_budget_oracle() -> str:
+    from .dedup_index import verified_pairs_cte
+
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    {_WBUD_CTE},
+    fadmitted AS (
+      SELECT d.doc_id, d.source,
+             len({_SQL_TOKS}) AS n_tok
+      FROM documents d
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % {BATCH_MOD} = 0
+        AND dp.doc_id IS NULL
+        AND NOT COALESCE(c.isc, FALSE)
+        AND len({_SQL_TOKS}) >= {MIN_TOKENS}
+    )
+    SELECT t.source, t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
+           w.budget_tokens
+    FROM (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok AS cum_before
+      FROM fadmitted
+    ) t JOIN wbud w ON w.source = t.source
+    WHERE t.cum_before < w.budget_tokens
+    """
+
+
+@query("funnel_source_weighted_budget", oracle=_funnel_weighted_budget_oracle())
+def funnel_source_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted budget-aware admission (round 12): the uniform
+    per-source cap of `funnel_source_token_budget` composed with the
+    temperature-scaled DATA MIX — each source's budget is its mix-weight
+    share of one global token budget, so big domains are down-weighted
+    and small ones guaranteed room (the production "data mix" step,
+    applied at admission instead of after materialization). Same
+    first-token-lands boundary rule, same keyed two-phase prefix sum
+    for the per-source cumsum, plus one broadcast join against the
+    dimension-sized budgets lookup."""
+    from ..functions.cumsum import keyed_running_sum
+
+    admitted = (
+        incremental_ingest_funnel(spark, sf_dir)
+        .filter(F.col("admitted"))
+        .select("doc_id")
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .join(admitted, "doc_id", "left_semi")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        )
+    )
+    budgets = source_weight_budgets(spark, sf_dir)
+    return (
+        keyed_running_sum(
+            toks, ["source"], [F.col("doc_id")], F.col("n_tok"), "_cum"
+        )
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("_cum") - F.col("n_tok") < F.col("budget_tokens"))
+        .select("source", "doc_id", "n_tok", "budget_tokens")
     )
 
 
@@ -1007,4 +1181,74 @@ def streaming_funnel_source_budget(spark: SparkSession, sf_dir: str) -> DataFram
             source_budget=SOURCE_TOKEN_BUDGET,
         )
         cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
+def _funnel_weighted_decisions_oracle() -> str:
+    """Monolithic recompute of the WEIGHTED budget-gated funnel
+    decisions: `_funnel_budget_decisions_oracle` with the uniform cap
+    replaced by each source's mix-weight budget (the wbud CTE shared
+    with the batch row)."""
+    from .dedup_index import verified_pairs_cte
+
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    {_WBUD_CTE},
+    fdec AS (
+      SELECT d.doc_id, d.source,
+             (dp.doc_id IS NULL) AS is_novel,
+             COALESCE(c.isc, FALSE) AS isc,
+             len({_SQL_TOKS}) AS n_tokens,
+             ((dp.doc_id IS NULL) AND NOT COALESCE(c.isc, FALSE)
+              AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS base_admit
+      FROM documents d
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE d.doc_id % {BATCH_MOD} = 0
+    ),
+    badm AS (
+      SELECT doc_id,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tokens AS cum_before
+      FROM fdec WHERE base_admit
+    )
+    SELECT f.doc_id, f.source, f.is_novel, f.isc AS is_contaminated,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens,
+           (f.base_admit
+            AND COALESCE(b.cum_before < w.budget_tokens, FALSE)) AS admitted
+    FROM fdec f
+    LEFT JOIN badm b ON b.doc_id = f.doc_id
+    LEFT JOIN wbud w ON w.source = f.source
+    """
+
+
+@query(
+    "streaming_funnel_weighted_budget", oracle=_funnel_weighted_decisions_oracle()
+)
+def streaming_funnel_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED budget gate as cross-epoch streaming state (round
+    12): the funnel sink runs with ``source_budget`` set to the
+    dimension-sized (source, budget_tokens) mix lookup instead of a
+    uniform int. The persisted state is unchanged — one (source,
+    cum_tokens) row per source — only the per-source threshold the gate
+    compares against differs, so the same epoch-cut-invariance argument
+    applies verbatim and three streamed epochs must hash-match the
+    monolithic weighted-window oracle. Together with
+    `funnel_source_weighted_budget` this is the batch/streaming pair
+    for weighted data mixes (VERDICT r11 #5)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "wbudget")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        budgets = source_weight_budgets(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        out = _run_streaming_funnel(
+            spark,
+            sf_dir,
+            with_ann=False,
+            tag="wb",
+            source_budget=budgets,
+        )
+        cached = _INGEST_MEMO.put(key, out, budgets)
     return cached

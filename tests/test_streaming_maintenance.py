@@ -305,9 +305,116 @@ def test_archive_before_prune_preserves_full_history(spark, tmp_path):
         for r in sink_b.admitted().select("doc_id", "text").collect()
     )
     assert full == never_pruned
+    # the round-12 unified read-back helper produces the same relation
+    # (union(archive, live), live winning on overlap) without the
+    # caller hand-assembling paths
+    helper = sorted(
+        (r.doc_id, r.text)
+        for r in sink.admitted_full_history().select("doc_id", "text").collect()
+    )
+    assert helper == never_pruned
+    # ...and with NO archive configured it degrades to the live read
+    assert sink_b.admitted_full_history().count() == sink_b.admitted().count()
     # archive and live partitions are disjoint (no epoch double-counted)
     arch_epochs = {int(r.epoch) for r in arch.select("epoch").distinct().collect()}
     live_epochs = {int(r.epoch) for r in live.select("epoch").distinct().collect()}
     assert not (arch_epochs & live_epochs)
     _drop(spark, index)
     _drop(spark, idx_b)
+
+
+def test_budget_state_dir_is_pruned_with_records(spark, tmp_path):
+    """Round-12 ADVICE: the funnel's _budget dir (one state record per
+    epoch) must shrink under record retention like the decision records
+    do — each record carries the full accumulated totals, so only the
+    newest committed one is ever read and pruning loses nothing: an
+    exhausted source stays refused after the prune."""
+    from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+        IngestFunnelSink,
+    )
+    from tests.test_streaming_ingest_funnel import _build, _drop as _drop_f
+
+    index, gtable = _build(spark, "fnlbr")
+    out = str(tmp_path / "out")
+    policy = MaintenancePolicy(
+        every_epochs=2,
+        max_files_per_bucket=10**6,  # compaction never fires here
+        keep_records=3,
+        scratch_root=str(tmp_path),
+    )
+    budget = 120  # each _text doc is 50 tokens → source A exhausts fast
+    sink = IngestFunnelSink(
+        spark, index, gtable, out, source_budget=budget, maintenance=policy
+    )
+    for k in range(8):
+        base = 1000 * (k + 1)
+        rows = [(base + 1, _text(800 + k), "A")]
+        sink(
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string, source string"
+            ),
+            k,
+        )
+
+    budget_epochs = {
+        int(d[len("epoch="):])
+        for d in os.listdir(os.path.join(out, "_budget"))
+        if d.startswith("epoch=")
+    }
+    assert max(budget_epochs) == 7
+    assert min(budget_epochs) >= 8 - 3 - policy.every_epochs, (
+        "old _budget state records were not pruned"
+    )
+    # the pruned state loses nothing: A exhausted in epochs 0-2 (three
+    # 50-token docs, 150 ≥ 120), so every doc in the retained window's
+    # epochs is refused AND the newest state record still carries the
+    # full 150-token history from before the prune
+    d = {r.doc_id: r.admitted for r in sink.decisions().collect()}
+    for k in range(8):
+        if 1000 * (k + 1) + 1 in d:  # decision read-back is windowed too
+            assert d[1000 * (k + 1) + 1] is (k < 3)
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        read_epoch_record,
+    )
+
+    state = read_epoch_record(
+        spark, os.path.join(out, "_budget", f"epoch={max(budget_epochs)}")
+    )
+    assert {(r.source, r.cum_tokens) for r in state.collect()} == {("A", 150)}
+    _drop_f(spark, index, gtable)
+
+
+def test_pg_funnel_hwm_files_pruned_on_retention(tmp_path):
+    """Round-12 ADVICE: PgFunnelIngest's _hwm dir (one pinned file per
+    epoch) is pruned post-commit under the sink's keep_records knob —
+    only the newest committed epoch's HWM is ever read back, so older
+    committed pins are dead state. Uncommitted pins survive."""
+    from types import SimpleNamespace
+
+    from postgresql_transfer_tool_spark.pg_transfer import PgFunnelIngest
+    from postgresql_transfer_tool_spark.streaming.exactly_once import EpochLedger
+
+    out = tmp_path / "out"
+    (out / "decisions").mkdir(parents=True)
+    ledger = EpochLedger(str(out / "_epochs"))
+    sink = SimpleNamespace(
+        decisions_dir=str(out / "decisions"),
+        ledger=ledger,
+        maintenance=MaintenancePolicy(keep_records=2),
+    )
+    ing = PgFunnelIngest.__new__(PgFunnelIngest)
+    ing.sink = sink
+    ing.hwm_dir = str(out / "_hwm")
+    os.makedirs(ing.hwm_dir)
+    for e in range(6):
+        ing._pin_hwm(e, str(100 + e))
+        if e < 5:
+            ledger.commit(e)  # epoch 5 stays uncommitted (mid-epoch pin)
+    ing._prune_hwm()
+    left = sorted(os.listdir(ing.hwm_dir))
+    assert left == ["epoch=3.hwm", "epoch=4.hwm", "epoch=5.hwm"]
+
+    # keep_records=None → retention off, nothing pruned
+    sink.maintenance = MaintenancePolicy(keep_records=None)
+    ing._prune_hwm()
+    assert sorted(os.listdir(ing.hwm_dir)) == left
