@@ -306,6 +306,77 @@ def dedup_batch_against_index(
     )
 
 
+def dedup_slice_against_inclusive_index(
+    spark: SparkSession,
+    slice_docs: DataFrame,
+    index: DedupIndex,
+    epoch_ids: DataFrame,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Novelty of one SLICE of the current epoch against an index that
+    ALREADY CONTAINS the whole epoch's signatures — the decide phase of
+    the partitioned multi-stream admission protocol
+    (streaming/multi_admission.py: all streams publish signatures
+    first, barrier, then decide). Because the batch is in the index,
+    the disjoint-id prober (:func:`dedup_batch_against_index`) cannot
+    be used; instead the candidate pairs are id-disciplined directly:
+
+      slice doc d is a DUPLICATE iff it verified-pairs with an indexed
+      doc d' that is (a) OUTSIDE the current epoch — seen strictly
+      before, any id (the corpus, or an earlier epoch) — or (b) inside
+      the current epoch with a LOWER id.
+
+    That is exactly dedup_batch_against_index's rule restated for an
+    inclusive index (index-hit = any id because the index held only
+    already-seen docs; within-batch = lower id), so under the same
+    id-ordered-epoch contract the merged slice decisions equal the
+    monolithic funnel oracle. ``epoch_ids``: (doc_id) of the FULL
+    current epoch across all slices — O(epoch), operator-bounded, hence
+    broadcast (the standard streaming-broadcast bound).
+
+    Returns (novel_ids, checkpoints); the caller owns the checkpoints'
+    blocks. Sub-shingle docs match nothing and are reported novel, as
+    everywhere else."""
+    _check_format(spark, index)
+    b_hashed, b_bands, pre = batch_signatures(slice_docs)
+    tombs = tombstones(spark, index.bands_table)
+    idx_bands = apply_tombstones(spark.table(index.bands_table), tombs, "doc_id")
+    idx_sh = apply_tombstones(spark.table(index.shingles_table), tombs, "doc_id")
+
+    epoch_marked = F.broadcast(
+        epoch_ids.select(F.col("doc_id").alias("iid"), F.lit(True).alias("_ep"))
+    )
+    cand = (
+        b_bands.select("band_key", F.col("doc_id").alias("bid"))
+        .join(idx_bands.select("band_key", F.col("doc_id").alias("iid")), "band_key")
+        .filter(F.col("bid") != F.col("iid"))  # never self-pair
+        .select("bid", "iid")
+        .distinct()
+        .join(epoch_marked, "iid", "left")
+        # keep: seen-before docs (not in this epoch) OR lower-id
+        # same-epoch docs — the funnel's epoch-cut-invariant dup rule
+        .filter(
+            ~F.coalesce("_ep", F.lit(False)) | (F.col("iid") < F.col("bid"))
+        )
+        .select("bid", "iid")
+    )
+    # verification shingles: the slice's own (from the just-computed
+    # signatures) plus candidate partners' index rows, EXCLUDING index
+    # copies of slice docs (phase 1 already published them — a blind
+    # union would double every (doc_id, h) row and corrupt the Jaccard
+    # counts)
+    idx_docs = cand.select(F.col("iid").alias("doc_id")).distinct()
+    idx_needed = idx_sh.join(idx_docs, "doc_id", "left_semi").join(
+        slice_docs.select("doc_id"), "doc_id", "left_anti"
+    )
+    sh = b_hashed.unionByName(idx_needed)
+    verified = _verify_hashed(
+        cand.select(F.col("bid").alias("da"), F.col("iid").alias("db")), sh
+    )
+    dup_ids = verified.select(F.col("da").alias("doc_id")).distinct()
+    novel = slice_docs.select("doc_id").join(dup_ids, "doc_id", "left_anti")
+    return novel, (b_hashed, b_bands, pre)
+
+
 def extend_dedup_index(
     spark: SparkSession,
     index: DedupIndex,
@@ -362,11 +433,17 @@ def append_all_signatures(
     stamp: int | None = None,
     op: str = "extend",
     n_buckets: int = N_INDEX_BUCKETS,
+    wait: float | None = None,
 ) -> None:
     """Append the signature rows of ALL given docs — no novelty filter —
     with the full extend contract (single-writer lock; stamps recorded
     BEFORE the data append so a crash in between leaves
-    stamped-but-unindexed ids, never unstampable rows).
+    stamped-but-unindexed ids, never unstampable rows). ``wait``: bound
+    for the writer-lock retry — the publish phase of partitioned
+    multi-stream admission has N streams legitimately contending here
+    (streaming/multi_admission.py), and their inputs are checkpointed
+    slices, never lazy reads of the index, so waiting is safe under the
+    torn-extend analysis.
 
     This is the ingest-funnel's "seen = probed" index discipline
     (streaming/ingest_funnel.py): indexing duplicates too makes the
@@ -381,7 +458,7 @@ def append_all_signatures(
     The inputs must not read the index tables through a lazy plan
     (batch_signatures output never does)."""
     _check_format(spark, index, backfill=True)
-    with single_writer(spark, index.bands_table, op=op):
+    with single_writer(spark, index.bands_table, op=op, wait=wait):
         if stamp is not None:
             record_stamps(
                 spark, index.bands_table, bands_rows.select("doc_id").distinct(), stamp

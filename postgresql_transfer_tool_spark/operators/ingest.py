@@ -254,6 +254,30 @@ def streaming_ingest_funnel_maintained(
     return cached
 
 
+@query("partitioned_ingest_funnel", oracle=_funnel_oracle())
+def partitioned_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission funnel run as TWO CONCURRENT PARTITIONED STREAMS
+    over one shared index (round 12 —
+    streaming/multi_admission.PartitionedFunnelStreams): each epoch is
+    hash-split on doc_id, both streams publish their slices' signatures
+    under the contended writer lock, barrier, then decide in parallel
+    with the inclusive-index dup rule. The merged per-stream decision
+    records must hash-match the SAME monolithic DuckDB oracle as
+    `streaming_ingest_funnel` — horizontal admission parallelism with
+    zero semantic drift, the throughput-ceiling fix the single-stream
+    sink's docstring could previously only prescribe. N∈{2,4}
+    equivalence, the per-stream crash matrix, and lock-contention
+    starvation checks are pinned by tests/test_multi_admission.py."""
+    key = (spark.sparkContext.applicationId, sf_dir, "partitioned")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark, sf_dir, with_ann=False, tag="pf", n_streams=2
+        )
+        cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
 @query("streaming_funnel_archived_history", oracle=_funnel_oracle())
 def streaming_funnel_archived_history(
     spark: SparkSession, sf_dir: str
@@ -302,15 +326,18 @@ def _run_streaming_funnel(
     tag: str | None = None,
     source_budget: int | None = None,
     read_full_history: bool = False,
+    n_streams: int | None = None,
 ) -> DataFrame:
-    """Shared driver body for the two streaming funnel rows: build the
+    """Shared driver body for the streaming funnel rows: build the
     probe-only side indexes (+ the IVF index when ``with_ann``), cut the
     batch into three nondecreasing doc_id ranges, push them through one
-    IngestFunnelSink, and return the union of decision records. The
-    epoch cut uses two scalar percentile boundaries — a
-    partial-aggregatable scan, no global sort (NTILE would funnel every
-    row through one task)."""
+    IngestFunnelSink — or, when ``n_streams`` is set, through the
+    N-way PartitionedFunnelStreams coordinator (round 12) — and return
+    the union of decision records. The epoch cut uses two scalar
+    percentile boundaries — a partial-aggregatable scan, no global sort
+    (NTILE would funnel every row through one task)."""
     from ..streaming.ingest_funnel import IngestFunnelSink
+    from ..streaming.multi_admission import PartitionedFunnelStreams
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -356,15 +383,28 @@ def _run_streaming_funnel(
             "grow_ann": grow_ann,
         }
         emb_cols = ["is_emb_novel", "nn_cosine"]
-    sink = IngestFunnelSink(
-        spark,
-        index,
-        gtable,
-        tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
-        maintenance=maintenance,
-        source_budget=source_budget,
-        **ann_kwargs,
-    )
+    if n_streams is not None:
+        if ann_kwargs or maintenance or source_budget is not None:
+            raise ValueError(
+                "partitioned admission composes with the plain funnel only"
+            )
+        sink = PartitionedFunnelStreams(
+            spark,
+            index,
+            gtable,
+            tempfile.mkdtemp(prefix=f"{dname}_pfunnel_"),
+            n_streams=n_streams,
+        )
+    else:
+        sink = IngestFunnelSink(
+            spark,
+            index,
+            gtable,
+            tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
+            maintenance=maintenance,
+            source_budget=source_budget,
+            **ann_kwargs,
+        )
     b1, b2 = batch.select(
         F.percentile("doc_id", 1 / 3), F.percentile("doc_id", 2 / 3)
     ).first()
