@@ -263,6 +263,52 @@ def _retrain_swap(
         spark.sql(f"DROP TABLE {live}_retired")
 
 
+def cell_balance(spark: SparkSession, index: AnnIndex) -> dict:
+    """Health metrics of the IVF cell layout — the ONE index statistic
+    that moves every epoch once a stream GROWS the index (VERDICT r11
+    #3): vectors ingested after the centroids were frozen pile into
+    whichever cells are nearest the drifted distribution, so
+
+    - ``imbalance`` = max / median live cell population: rises as a few
+      cells absorb the drift (recall falls with it — the probe's
+      nprobe-cells budget buys ever-less of the corpus);
+    - ``mean_fill`` = mean population / TARGET_CELL: rises as the
+      corpus outgrows the build-time centroid COUNT even without drift
+      (stride was sized for the old n).
+
+    One groupBy over the cells table projected to its bucket key — the
+    same cost class as compaction_due's file statistics, paid only on
+    the maintenance cadence. MaintenancePolicy.max_cell_imbalance
+    compares against ``imbalance`` to auto-fire retrain."""
+    from .similarity import TARGET_CELL
+
+    pops = (
+        apply_tombstones(
+            spark.table(index.cells_table),
+            tombstones(spark, index.cells_table),
+            "vec_id",
+        )
+        .groupBy("cell")
+        .count()
+    )
+    row = pops.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile(count, 0.5)").alias("med"),
+        F.avg("count").alias("mean"),
+        F.count("*").alias("nc"),
+    ).first()
+    if row["nc"] == 0:
+        return {"imbalance": 1.0, "mean_fill": 0.0, "n_cells": 0,
+                "max": 0, "median": 0.0}
+    return {
+        "imbalance": float(row["mx"]) / max(1.0, float(row["med"])),
+        "mean_fill": float(row["mean"]) / TARGET_CELL,
+        "n_cells": int(row["nc"]),
+        "max": int(row["mx"]),
+        "median": float(row["med"]),
+    }
+
+
 def retrain_ann_index(
     spark: SparkSession,
     index: AnnIndex,

@@ -171,14 +171,33 @@ def gate_order(names: list[str]) -> list[str]:
     base = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int, int, int]:
+        eff = last.get(n, -1)
+        if eff < _RESHAPED.get(n, 0):
+            eff = -1  # prior rows proved the OLD plan — re-prove now
         return (
-            last.get(n, -1),
+            eff,
             0 if n in ORACLES else 1,
             prio.get(n, len(_PRIORITY)),
             base[n],
         )
 
     return sorted(names, key=key)
+
+
+#: queries whose PHYSICAL PLAN was materially reshaped in a given round
+#: (VERDICT r11 #7: a reshaped query MUST re-prove its oracle at the
+#: next driver gate, but its old CORRECTNESS rows would rotate it to
+#: the back). A driver row from BEFORE the recorded round verified the
+#: old plan and does not count; once a row at/after that round lands,
+#: normal rotation resumes. Append (name, round) on every reshape.
+_RESHAPED = {
+    # round 12: per-source windows rerouted through the keyed two-phase
+    # prefix sum (functions/cumsum.keyed_running_sum)
+    "sequence_packing": 12,
+    "funnel_admitted_packing": 12,
+    "funnel_source_token_budget": 12,
+    "streaming_funnel_source_budget": 12,  # _apply_budget generalized
+}
 
 
 def load_all() -> None:

@@ -352,11 +352,27 @@ class IngestFunnelSink:
             self.index.bands_table, N_INDEX_BUCKETS,
             lambda p: compact_dedup_index(self.spark, self.index, p),
         )]
+        retrain = None
         if self.grow_ann:
             indexes.append((
                 self.ann_index.cells_table, N_CELL_BUCKETS,
                 lambda p: compact_ann_index(self.spark, self.ann_index, p),
             ))
+            if (
+                self.maintenance.max_cell_imbalance is not None
+                or self.maintenance.max_mean_cell_fill is not None
+            ):
+                # the growing IVF index is the one whose health MOVES
+                # every epoch — arm the auto-retrain hook (round 12):
+                # measured cell imbalance past the knob → retrain under
+                # the writer lock, superseding that pass's compaction
+                from ..operators.ann_index import cell_balance, retrain_ann_index
+
+                retrain = (
+                    self.ann_index.cells_table,
+                    lambda: cell_balance(self.spark, self.ann_index),
+                    lambda p: retrain_ann_index(self.spark, self.ann_index, p),
+                )
         run_maintenance(
             self.spark, self.maintenance, epoch_id,
             indexes=indexes,
@@ -369,6 +385,7 @@ class IngestFunnelSink:
             state_dirs=(
                 [self.budget_dir] if self.source_budget is not None else []
             ),
+            retrain=retrain,
         )
 
     # -- per-source token budget (round 11) -------------------------------

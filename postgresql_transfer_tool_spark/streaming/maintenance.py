@@ -71,6 +71,24 @@ class MaintenancePolicy:
     every_epochs: int = 8
     max_files_per_bucket: int = 8
     max_dead_ratio: float = 0.2
+    #: auto-RETRAIN trigger (round 12 — VERDICT r11 #3): when a sink
+    #: passes a ``retrain`` hook and the index's measured cell
+    #: imbalance (max/median live cell population —
+    #: operators/ann_index.cell_balance) exceeds this, the model is
+    #: re-trained under the writer lock. None = retrain stays manual.
+    #: Retrain is evaluated BEFORE compaction and supersedes it for
+    #: that pass (the rewrite subsumes the compaction). Semantically it
+    #: is NOT inert — post-retrain probes use resampled centroids —
+    #: but it equals a fresh build over the accumulated corpus at the
+    #: same cut (tests/test_auto_retrain.py pins trigger ≡ manual)
+    max_cell_imbalance: float | None = None
+    #: companion occupancy knob: mean live cell population over
+    #: TARGET_CELL. Catches the OTHER degradation mode — scatter-type
+    #: drift and plain growth fill every cell past the per-probe cost
+    #: the adaptive cell count was sized for, without ever skewing the
+    #: max/median ratio (tools/retrain_recall_curve.py measures both
+    #: modes; SCALE.md records the curves)
+    max_mean_cell_fill: float | None = None
     keep_records: int | None = None
     #: when set together with ``keep_records``, each record dir is
     #: archived under ``{archive_root}/{basename(record_dir)}`` BEFORE
@@ -85,6 +103,29 @@ class MaintenancePolicy:
         return (int(epoch_id) + 1) % self.every_epochs == 0
 
 
+def retrain_due(balance: dict, policy: MaintenancePolicy) -> list[str]:
+    """Why (if at all) the measured cell layout warrants a re-train
+    under this policy — shared verbatim by :func:`run_maintenance` and
+    the measurement tooling (tools/retrain_recall_curve.py), so the
+    recorded curves evaluate exactly the deployed trigger."""
+    reasons = []
+    if (
+        policy.max_cell_imbalance is not None
+        and balance["imbalance"] > policy.max_cell_imbalance
+    ):
+        reasons.append(
+            f"imbalance {balance['imbalance']:.2f} > {policy.max_cell_imbalance}"
+        )
+    if (
+        policy.max_mean_cell_fill is not None
+        and balance["mean_fill"] > policy.max_mean_cell_fill
+    ):
+        reasons.append(
+            f"mean fill {balance['mean_fill']:.2f} > {policy.max_mean_cell_fill}"
+        )
+    return reasons
+
+
 def run_maintenance(
     spark: SparkSession,
     policy: MaintenancePolicy,
@@ -94,6 +135,7 @@ def run_maintenance(
     ledger: EpochLedger,
     record_dirs: list[str],
     state_dirs: list[str] = (),
+    retrain: tuple | None = None,
 ) -> None:
     """The post-commit maintenance pass every sink shares.
 
@@ -113,7 +155,35 @@ def run_maintenance(
     the stream loudly rather than silently never compacting."""
     if not policy.due_this_epoch(epoch_id):
         return
+    retrained_tables: set[str] = set()
+    if retrain is not None:
+        # (table, balance_fn, retrain_fn): measure the index's cell
+        # layout and re-train the model when it degraded past either
+        # armed knob. Evaluated FIRST — a retrain rewrites the whole
+        # index, so compacting the same table in the same pass would be
+        # wasted work (it is skipped below).
+        table, balance_fn, retrain_fn = retrain
+        balance = balance_fn()
+        reasons = retrain_due(balance, policy)
+        if reasons:
+            new_path = tempfile.mkdtemp(
+                prefix=f"{table}_retrain_gen{int(epoch_id) + 1}_",
+                dir=policy.scratch_root,
+            )
+            stats = retrain_fn(new_path)
+            retrained_tables.add(table)
+            logger.info(
+                "epoch %d: retrained %s (%s) -> %s",
+                epoch_id, table, "; ".join(reasons), stats,
+            )
+            policy.history.append(
+                {"epoch": int(epoch_id), "table": table,
+                 "retrained": True, "balance": balance,
+                 "reasons": reasons, "stats": stats}
+            )
     for table, n_buckets, compact_fn in indexes:
+        if table in retrained_tables:
+            continue  # the retrain already rewrote this generation
         due = compaction_due(
             spark,
             table,

@@ -35,11 +35,19 @@ def test_never_checked_oracle_queries_lead_the_prefix():
 
 def test_prefix_prefers_stalest_rows():
     """Within the prefix, no checked query may outrank a staler one:
-    the sequence of last-checked rounds along the registry order is
-    non-decreasing (never-checked = -1 first)."""
+    the sequence of EFFECTIVE last-checked rounds along the registry
+    order is non-decreasing — never-checked = -1 first, and a query
+    whose plan was reshaped (registry._RESHAPED) counts as unchecked
+    until a driver row at/after the reshape round lands (its older rows
+    proved the OLD plan — VERDICT r11 #7)."""
     names = _loaded()
     last = registry.driver_rounds()
-    seq = [last.get(n, -1) for n in names]
+
+    def eff(n):
+        e = last.get(n, -1)
+        return -1 if e < registry._RESHAPED.get(n, 0) else e
+
+    seq = [eff(n) for n in names]
     assert seq == sorted(seq), "registry order is not stalest-first"
 
 
