@@ -105,12 +105,15 @@ def main() -> None:
             for cycle in range(3):
                 texts = [_text(seq + j) for j in range(batch)]
                 seq += batch
-                vals = ", ".join(
-                    "('" + t.replace("'", "''") + "')" for t in texts
-                )
-                run_sql(
-                    server, f"INSERT INTO src.documents (text) VALUES {vals}"
-                )
+                for lo in range(0, len(texts), 100):  # psql arg-length cap
+                    vals = ", ".join(
+                        "('" + t.replace("'", "''") + "')"
+                        for t in texts[lo : lo + 100]
+                    )
+                    run_sql(
+                        server,
+                        f"INSERT INTO src.documents (text) VALUES {vals}",
+                    )
                 t0 = time.monotonic()
                 stats = ingest.run_cycle()
                 dt = time.monotonic() - t0
