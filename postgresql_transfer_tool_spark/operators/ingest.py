@@ -384,9 +384,10 @@ def _run_streaming_funnel(
         }
         emb_cols = ["is_emb_novel", "nn_cosine"]
     if n_streams is not None:
-        if ann_kwargs or maintenance or source_budget is not None:
+        if ann_kwargs or maintenance:
             raise ValueError(
-                "partitioned admission composes with the plain funnel only"
+                "partitioned admission composes with the text funnel "
+                "(optionally budget-gated) only"
             )
         sink = PartitionedFunnelStreams(
             spark,
@@ -394,6 +395,10 @@ def _run_streaming_funnel(
             gtable,
             tempfile.mkdtemp(prefix=f"{dname}_pfunnel_"),
             n_streams=n_streams,
+            # the budget gate scales horizontally only under source
+            # routing (each stream owns its sources' token state)
+            slice_by="source" if source_budget is not None else "doc_id",
+            source_budget=source_budget,
         )
     else:
         sink = IngestFunnelSink(
@@ -1218,6 +1223,36 @@ def streaming_funnel_source_budget(spark: SparkSession, sf_dir: str) -> DataFram
             sf_dir,
             with_ann=False,
             tag="sb",
+            source_budget=SOURCE_TOKEN_BUDGET,
+        )
+        cached = _INGEST_MEMO.put(key, out)
+    return cached
+
+
+@query(
+    "partitioned_funnel_source_budget",
+    oracle=_funnel_budget_decisions_oracle(),
+)
+def partitioned_funnel_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL budget gate scaled horizontally (round 12 — the
+    composition of this round's two streaming features): two
+    partitioned admission streams sliced by SOURCE, so each stream is
+    authoritative for whole domains and carries its own sources'
+    cross-epoch token state with zero cross-stream coordination; the
+    text-dedup side still shares one index through publish → barrier →
+    decide. Merged decisions must hash-match the SAME monolithic
+    budget-window oracle as the single-stream
+    `streaming_funnel_source_budget` — per-domain caps are preserved
+    exactly while admission throughput scales with N."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pbudget")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark,
+            sf_dir,
+            with_ann=False,
+            tag="pb",
+            n_streams=2,
             source_budget=SOURCE_TOKEN_BUDGET,
         )
         cached = _INGEST_MEMO.put(key, out)

@@ -102,6 +102,7 @@ class _Stream(NamedTuple):
     idx: int
     decisions_dir: str
     ledger: EpochLedger
+    budget_dir: str
 
 
 class PartitionedFunnelStreams:
@@ -122,19 +123,46 @@ class PartitionedFunnelStreams:
         out_dir: str,
         n_streams: int = 2,
         lock_wait: float = 120.0,
+        slice_by: str = "doc_id",
+        source_budget=None,
     ) -> None:
+        """``slice_by``: the column whose hash routes a doc to its
+        authoritative stream. ``doc_id`` (default) balances perfectly;
+        ``source`` makes each stream authoritative for WHOLE SOURCES —
+        the routing a deployment with per-domain feeders uses, and the
+        one that lets the STATEFUL per-source budget gate scale
+        horizontally: a source's cross-epoch token state lives wholly
+        inside one stream, so the gate needs no cross-stream
+        coordination and the merged decisions still equal the
+        single-stream (and monolithic-window) semantics. The dedup
+        correctness is slicing-AGNOSTIC — the publish/barrier protocol
+        makes the inclusive probe see the identical index for any
+        disjoint+exhaustive split.
+
+        ``source_budget``: the funnel's budget gate per stream — a
+        uniform int cap or a (source, budget_tokens) weighted lookup
+        (operators/ingest.source_weight_budgets). Requires
+        ``slice_by='source'`` (with doc_id slicing a source's docs
+        scatter across streams and no stream could own its total)."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if slice_by not in ("doc_id", "source"):
+            raise ValueError("slice_by must be 'doc_id' or 'source'")
+        if source_budget is not None and slice_by != "source":
+            raise ValueError("source_budget requires slice_by='source'")
         self.spark = spark
         self.index = index
         self.grams_table = grams_table
         self.n_streams = n_streams
         self.lock_wait = lock_wait
+        self.slice_by = slice_by
+        self.source_budget = source_budget
         self.streams = [
             _Stream(
                 i,
                 os.path.join(out_dir, f"s{i}", "decisions"),
                 EpochLedger(os.path.join(out_dir, f"s{i}", "_epochs")),
+                os.path.join(out_dir, f"s{i}", "_budget"),
             )
             for i in range(n_streams)
         ]
@@ -145,7 +173,10 @@ class PartitionedFunnelStreams:
         batch_df = batch_df.localCheckpoint(eager=True)
         slices = [
             batch_df.filter(
-                F.pmod(F.xxhash64(F.col("doc_id").cast("string")), self.n_streams)
+                F.pmod(
+                    F.xxhash64(F.col(self.slice_by).cast("string")),
+                    self.n_streams,
+                )
                 == i
             ).localCheckpoint(eager=True)
             for i in range(self.n_streams)
@@ -222,16 +253,19 @@ class PartitionedFunnelStreams:
         prior = read_epoch_record(self.spark, epoch_dir)
         if prior is not None:
             # record-exists ⇒ record-complete; phase 1 already repaired
-            # any lost publication this replay, so commit is all that
-            # remains — after verifying the record IS this slice's
+            # any lost publication this replay, so all that remains is
+            # the (idempotent) budget-state rewrite and the commit —
+            # after verifying the record IS this slice's
             try:
                 if not fp_verified and replay_contents_mismatch(
                     slice_df, prior, "doc_id"
                 ):
                     raise epoch_collision_error(epoch_id, committed=False)
+                persist_fp()
+                if self.source_budget is not None:
+                    self._write_budget_state(stream, prior, epoch_id)
             finally:
                 unpersist_checkpoints(prior)
-            persist_fp()
             stream.ledger.commit(epoch_id)
             return
         persist_fp()
@@ -241,11 +275,112 @@ class PartitionedFunnelStreams:
         cont = check_batch_contamination(self.spark, slice_df, self.grams_table)
         try:
             decisions = funnel_decisions(slice_df, novel, cont)
+            if self.source_budget is not None:
+                decisions = self._apply_budget(
+                    stream, decisions, slice_df, epoch_id
+                )
             write_epoch_record(decisions, epoch_dir)
+            if self.source_budget is not None:
+                rec = read_epoch_record(self.spark, epoch_dir)
+                try:
+                    self._write_budget_state(stream, rec, epoch_id)
+                finally:
+                    unpersist_checkpoints(rec)
             stream.ledger.commit(epoch_id)
         finally:
             for d in (*checkpoints, cont):
                 unpersist_checkpoints(d)
+
+    # -- per-stream budget gate (round 12: the stateful per-source cap,
+    # horizontally scaled — slice_by='source' makes each stream own its
+    # sources' cross-epoch token state, so the gate below is the SAME
+    # state machine as IngestFunnelSink's (ingest_funnel.py:_apply_budget
+    # / _budget_state / _write_budget_state), scoped to the stream's
+    # dirs; no cross-stream coordination exists or is needed ------------
+    def _budget_state(self, stream: _Stream, epoch_id: int) -> DataFrame:
+        committed = [e for e in stream.ledger.committed() if e < epoch_id]
+        empty = self.spark.createDataFrame(
+            [], "source string, cum_tokens bigint"
+        )
+        if not committed:
+            return empty
+        last = max(committed)
+        state = read_epoch_record(
+            self.spark, os.path.join(stream.budget_dir, f"epoch={last}")
+        )
+        if state is not None:
+            return state
+        try:
+            dec = self.spark.read.option(
+                "basePath", stream.decisions_dir
+            ).parquet(stream.decisions_dir)
+        except Exception:
+            return empty
+        return (
+            dec.filter(F.col("admitted") & (F.col("epoch") <= last))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("cum_tokens"))
+        )
+
+    def _apply_budget(
+        self, stream: _Stream, decisions: DataFrame, slice_df: DataFrame,
+        epoch_id: int,
+    ) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        prior = self._budget_state(stream, epoch_id)
+        pre = decisions.join(slice_df.select("doc_id", "source"), "doc_id")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        scored = (
+            pre.filter(F.col("admitted"))
+            .select("doc_id", "source", "n_tokens")
+            .withColumn(
+                "cum_local", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .join(F.broadcast(prior), "source", "left")
+        )
+        if isinstance(self.source_budget, int):
+            cap = F.lit(self.source_budget)
+        else:
+            scored = scored.join(
+                F.broadcast(self.source_budget), "source", "left"
+            )
+            cap = F.coalesce("budget_tokens", F.lit(0))
+        in_budget = scored.filter(
+            F.col("cum_local") + F.coalesce("cum_tokens", F.lit(0)) < cap
+        ).select("doc_id")
+        cols = [c for c in decisions.columns if c != "admitted"]
+        out = pre.join(
+            F.broadcast(in_budget.withColumn("in_budget", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        return out.select(
+            *cols,
+            "source",
+            (F.col("admitted") & F.coalesce("in_budget", F.lit(False))).alias(
+                "admitted"
+            ),
+        )
+
+    def _write_budget_state(
+        self, stream: _Stream, decisions_record: DataFrame, epoch_id: int
+    ) -> None:
+        prior = self._budget_state(stream, epoch_id)
+        this = (
+            decisions_record.filter(F.col("admitted"))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("t"))
+        )
+        new = prior.join(this, "source", "full").select(
+            "source",
+            (
+                F.coalesce("cum_tokens", F.lit(0)) + F.coalesce("t", F.lit(0))
+            ).cast("bigint").alias("cum_tokens"),
+        )
+        write_epoch_record(
+            new, os.path.join(stream.budget_dir, f"epoch={epoch_id}")
+        )
 
     # -- read-back ---------------------------------------------------------
     def committed(self) -> set[int]:

@@ -140,3 +140,70 @@ def test_partitioned_contention_no_starvation(spark, tmp_path):
     )
     assert dup_h == 0
     _drop(spark, index, gtable)
+
+
+def test_partitioned_source_sliced_budget_gate(spark, tmp_path, monkeypatch):
+    """slice_by='source' + source_budget (round 12 composition): each
+    stream owns its sources' cross-epoch token state, so the stateful
+    per-domain cap holds exactly across streams — a source exhausted in
+    epoch 0 admits nothing later, the crash window between the
+    decisions write and the budget-state write is repaired on replay,
+    and the invalid configuration (budget under doc_id slicing, where
+    no stream could own a source's total) fails loudly."""
+    from tests.test_dedup_index import _text
+
+    with pytest.raises(ValueError, match="slice_by='source'"):
+        PartitionedFunnelStreams(
+            spark, None, None, str(tmp_path / "bad"), source_budget=100
+        )
+
+    index, gtable = _build(spark, "pfbdg")
+    out = str(tmp_path / "pbudget")
+    coord = PartitionedFunnelStreams(
+        spark, index, gtable, out, n_streams=2,
+        slice_by="source", source_budget=120,  # each _text doc = 50 tokens
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+
+    # epoch 0: A contributes 3 clean docs — all admitted under
+    # first-token-lands (cum_before 0/50/100 < 120), A exhausted at 150
+    coord(docs([(210, _text(31), "A"), (211, _text(32), "A"),
+                (212, _text(33), "A"), (213, _text(34), "B")]), 0)
+    d = {r.doc_id: r.admitted for r in coord.decisions().collect()}
+    assert d == {210: True, 211: True, 212: True, 213: True}
+
+    # epoch 1: A refused by its stream's state; B still has room
+    coord(docs([(310, _text(35), "A"), (311, _text(36), "B")]), 1)
+    d = {r.doc_id: r.admitted for r in coord.decisions().collect()}
+    assert d[310] is False and d[311] is True
+
+    # crash between the decisions write and the budget-state write,
+    # then replay: the state record is recomputed from the durable
+    # record and the refusals hold
+    real = PartitionedFunnelStreams._write_budget_state
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before budget state")
+    monkeypatch.setattr(PartitionedFunnelStreams, "_write_budget_state", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        coord(docs([(410, _text(37), "B"), (411, _text(38), "B")]), 2)
+    monkeypatch.setattr(PartitionedFunnelStreams, "_write_budget_state", real)
+    coord(docs([(410, _text(37), "B"), (411, _text(38), "B")]), 2)
+    assert coord.committed() == {0, 1, 2}
+    d = {r.doc_id: r.admitted for r in coord.decisions().collect()}
+    # B entered epoch 2 at 100 tokens: 410's first token fits (100 <
+    # 120 — taken whole, B now 150), 411's does not (150 >= 120)
+    assert d[410] is True and d[411] is False
+
+    # epoch 3: both sources exhausted (A at 150, B at 150)
+    coord(docs([(510, _text(39), "A"), (511, _text(40), "B")]), 3)
+    d = {r.doc_id: r.admitted for r in coord.decisions().collect()}
+    assert d[510] is False and d[511] is False
+    # per-source totals respect first-token-lands (<= budget + one doc)
+    adm = coord.decisions().filter("admitted").groupBy("source").sum("n_tokens")
+    for r in adm.collect():
+        assert r["sum(n_tokens)"] <= 120 + 50
+    _drop(spark, index, gtable)
