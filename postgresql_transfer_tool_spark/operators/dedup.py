@@ -628,6 +628,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _survivors_quality_oracle() -> str:
+    from .relational import dd
+    from .text import _sql_list, EN_STOP
+
+    body = _clusters_oracle()
+    final = "SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"
+    head = body[: body.rindex(final)].rstrip()
+    return f"""{head},
+    clusters AS (
+      {final}
+    ),
+    qt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS qtoks
+      FROM documents
+    ),
+    qscore AS (
+      SELECT doc_id,
+             CAST(
+               CAST(len(list_filter(qtoks, w -> list_contains([{_sql_list(EN_STOP)}], w)))
+                    AS DOUBLE) / len(qtoks)
+               + CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks)
+               + CAST(CASE WHEN len(qtoks) >= 20 AND len(qtoks) <= 200
+                      THEN 1 ELSE 0 END AS DOUBLE)
+             AS DECIMAL(14,6)) AS quality
+      FROM qt WHERE len(qtoks) > 0
+    ),
+    members AS (
+      SELECT c.cluster_id, c.doc_id, s.quality
+      FROM clusters c JOIN qscore s USING (doc_id)
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM members
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_members,
+           {dd("quality")} AS survivor_quality
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """
+
+
+@query("dedup_survivors_by_quality", oracle=_survivors_quality_oracle())
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate CLUSTER: production
+    dedup keeps the BEST-QUALITY member of each near-dup component, not
+    the lowest id (the greedy `dedup_survivors` rule) — the kept copy
+    is what trains, so quality decides. Composes the iterative
+    connected components (`dedup_clusters`) with the Gopher-style
+    quality score (`text_quality_score`'s per-doc decimal expression,
+    bit-stable cross-engine) and picks argmax(quality, tie → min
+    doc_id) per multi-member cluster via a groupBy struct-max — an
+    all-partial-aggregable shape with NO per-cluster window (cluster
+    ids are data-sized keys; the window form would be fine for
+    parallelism but the agg form is one shuffle and no sort)."""
+    from .text import EN_STOP
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "qtoks", F.split(F.trim("text"), r"\s+")
+    )
+    n = F.size("qtoks")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(F.filter("qtoks", lambda w: F.array_contains(stop_arr, w)))
+    quality = (
+        (n_stop.cast("double") / n)
+        + F.size(F.array_distinct("qtoks")).cast("double") / n
+        + F.when((n >= 20) & (n <= 200), 1).otherwise(0).cast("double")
+    ).cast("decimal(14,6)")
+    scored = docs.filter(n > 0).select("doc_id", quality.alias("quality"))
+    members = clusters.join(scored, "doc_id")
+    best = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.negid")).alias("survivor_id"),
+        "n_members",
+        F.col("b.q").cast("double").alias("survivor_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2d — embedding-cosine near-dup: semantic (vector) deduplication over
 # the embeddings table (vec_id aligns with doc_id in the fixtures).

@@ -38,16 +38,18 @@ Crash windows (both handled, symmetrically):
   rows) and appends them, making the subsequent probe see exactly the
   post-extend state.
 
-One ADMISSION stream per index: the writer lock (and its bounded
-``wait=`` retry) serializes index MUTATIONS — extends, maintenance
-compactions, repairs — but an admission DECISION is probe-then-extend,
-not atomic under the lock. Two concurrent admission streams on one
-index could both probe before either extends and both admit a twin.
-Partition the doc-id space across streams (each stream is then
-authoritative for its partition and twins within a partition are
-caught), or serialize the streams; ``wait=`` exists so maintenance,
-repairs, and a co-located benchmark/vector sink can safely interleave
-with ONE admission stream, not to multiplex admission itself.
+One ADMISSION stream per index — for THIS sink: the writer lock (and
+its bounded ``wait=`` retry) serializes index MUTATIONS — extends,
+maintenance compactions, repairs — but an admission DECISION is
+probe-then-extend, not atomic under the lock. Two concurrent admission
+streams on one index could both probe before either extends and both
+admit a twin. ``wait=`` exists so maintenance, repairs, and a
+co-located benchmark/vector sink can safely interleave with ONE
+admission stream, not to multiplex admission itself. To scale
+admission horizontally, use streaming/multi_admission.py (round 12):
+it partitions the id space across N streams and replaces
+probe-then-extend with publish → barrier → decide, which makes the
+merged decisions equal the single-stream semantics exactly.
 """
 
 from __future__ import annotations
