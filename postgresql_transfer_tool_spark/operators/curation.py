@@ -297,3 +297,104 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+def _curriculum_oracle() -> str:
+    from .relational import dd
+    from .text import _sql_list, EN_STOP
+
+    return f"""
+    WITH ctoks AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    cpacked AS (
+      SELECT source, doc_id,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+               // {PACK_TOKENS} AS pack_id
+      FROM ctoks
+    ),
+    qt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS qtoks
+      FROM documents
+    ),
+    qscore AS (
+      SELECT doc_id,
+             CAST(
+               CAST(len(list_filter(qtoks, w -> list_contains([{_sql_list(EN_STOP)}], w)))
+                    AS DOUBLE) / len(qtoks)
+               + CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks)
+               + CAST(CASE WHEN len(qtoks) >= 20 AND len(qtoks) <= 200
+                      THEN 1 ELSE 0 END AS DOUBLE)
+             AS DECIMAL(14,6)) AS quality
+      FROM qt WHERE len(qtoks) > 0
+    ),
+    pq AS (
+      SELECT p.source, CAST(p.pack_id AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs,
+             {dd("SUM(s.quality)")} / COUNT(*) AS avg_quality
+      FROM cpacked p JOIN qscore s USING (doc_id)
+      GROUP BY p.source, p.pack_id
+    )
+    SELECT source, pack_id, n_docs, avg_quality,
+           ROW_NUMBER() OVER (ORDER BY avg_quality DESC, source, pack_id)
+             AS curriculum_rank
+    FROM pq
+    """
+
+
+@query("pack_curriculum_order", oracle=_curriculum_oracle())
+def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum order for the packed training sequences: rank every
+    pack by its members' mean quality (best first; deterministic
+    (source, pack_id) tie-break) — the dataloader manifest a
+    quality-curriculum run consumes. The GLOBAL rank is the one shape
+    Spark's Window cannot parallelize, so it is computed as the
+    two-phase parallel prefix sum of 1 over the rank order
+    (functions/cumsum.running_sum — the same distributed ROW_NUMBER
+    `serial_id_generation` uses): range-partition on the order,
+    per-slice counts, broadcast offsets. Per-pack quality is a
+    partial-aggregable decimal groupBy; nothing in the plan serializes
+    at 100×."""
+    from .text import EN_STOP
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    packed = keyed_running_sum(
+        toks, ["source"], [F.col("doc_id")], F.col("n_tok").cast("bigint"),
+        "_cum",
+    ).select(
+        "source", "doc_id",
+        F.floor((F.col("_cum") - F.col("n_tok")) / PACK_TOKENS).alias("pack_id"),
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "qtoks", F.split(F.trim("text"), r"\s+")
+    )
+    n = F.size("qtoks")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(F.filter("qtoks", lambda w: F.array_contains(stop_arr, w)))
+    quality = (
+        (n_stop.cast("double") / n)
+        + F.size(F.array_distinct("qtoks")).cast("double") / n
+        + F.when((n >= 20) & (n <= 200), 1).otherwise(0).cast("double")
+    ).cast("decimal(14,6)")
+    scored = docs.filter(n > 0).select("doc_id", quality.alias("quality"))
+    pq = (
+        packed.join(scored, "doc_id")
+        .groupBy("source", F.col("pack_id").cast("bigint").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("quality").cast("double") / F.count("*")).alias(
+                "avg_quality"
+            ),
+        )
+    )
+    return running_sum(
+        pq,
+        [F.col("avg_quality").desc(), F.col("source"), F.col("pack_id")],
+        F.lit(1).cast("bigint"),
+        "curriculum_rank",
+    )
