@@ -963,3 +963,69 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rw))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+#: matryoshka truncation dims measured by embedding_energy_retention
+MRL_DIMS = (8, 16, 32, 48)
+
+
+def _energy_retention_oracle() -> str:
+    from .relational import dd
+
+    dims = ", ".join(str(d) for d in MRL_DIMS)
+    return f"""
+    WITH {_SQL_QUANTIZED},
+    dims AS (SELECT unnest([{dims}]) AS trunc_dim),
+    fr AS (
+      SELECT d.trunc_dim, vec_id,
+             CAST(
+               CAST(list_sum(list_transform(qe[1:d.trunc_dim], x -> x * x))
+                    AS DOUBLE) / CAST(nq AS DOUBLE)
+             AS DECIMAL(14,9)) AS frac
+      FROM q, dims d
+    )
+    SELECT trunc_dim, COUNT(*) AS n_vecs,
+           {dd("SUM(frac)")} / COUNT(*) AS avg_energy,
+           {dd("MIN(frac)")} AS min_energy,
+           {dd("MAX(frac)")} AS max_energy
+    FROM fr GROUP BY trunc_dim
+    """
+
+
+@query("embedding_energy_retention", oracle=_energy_retention_oracle())
+def embedding_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation curve: for each prefix length d, the
+    fraction of every embedding's squared norm retained by its first d
+    dimensions — cos²(full, truncated), the quantity that decides
+    whether a retrieval index can serve truncated vectors at reduced
+    storage/compute (MRL-style serving). Exact integer partial norms
+    over the shared quantized relation; the per-vector fraction is one
+    double division quantized to decimal so the cross-vector aggregates
+    are order-independent and engine-exact. Map-side only until one
+    4-group aggregation — nothing here shuffles more than the final
+    (trunc_dim) rollup at any corpus size."""
+    qdf = _spark_quantized_materialized(spark, sf_dir)
+    per = qdf.select(
+        "vec_id",
+        "nq",
+        "qe",
+        F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("trunc_dim"),
+    )
+    nq_d = F.aggregate(
+        F.expr("slice(qe, 1, trunc_dim)"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+    frac = (nq_d.cast("double") / F.col("nq").cast("double")).cast(
+        "decimal(14,9)"
+    )
+    return (
+        per.select("trunc_dim", frac.alias("frac"))
+        .groupBy("trunc_dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("frac").cast("double") / F.count("*")).alias("avg_energy"),
+            F.min("frac").cast("double").alias("min_energy"),
+            F.max("frac").cast("double").alias("max_energy"),
+        )
+    )

@@ -499,3 +499,42 @@ def test_check_batch_fingerprint_defers_first_delivery_write(spark, tmp_path):
     persist()  # no-op on an already-stored fingerprint
     with pytest.raises(RuntimeError, match="collision"):
         check_batch_fingerprint(ledger, _ids(spark, [7]), 0, "doc_id")
+
+
+def test_full_epoch_history_edges(spark, tmp_path):
+    """union(archive, live) read-back (round 12): live wins on overlap,
+    archive-only and live-only both read, nothing anywhere raises a
+    clear error."""
+    import os as _os
+
+    import pytest
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        full_epoch_history,
+        write_epoch_record,
+    )
+
+    live = str(tmp_path / "live")
+    arch = str(tmp_path / "arch")
+
+    with pytest.raises(ValueError, match="no epoch records"):
+        full_epoch_history(spark, live, arch)
+
+    # archive-only (everything pruned from live)
+    write_epoch_record(_ids(spark, [1, 2]), _os.path.join(arch, "epoch=0"))
+    got = {r.doc_id for r in full_epoch_history(spark, live, arch).collect()}
+    assert got == {1, 2}
+
+    # live-only
+    write_epoch_record(_ids(spark, [3]), _os.path.join(live, "epoch=1"))
+    got = {
+        (r.doc_id, r.epoch)
+        for r in full_epoch_history(spark, live, arch).collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 1)}
+
+    # overlap: epoch 1 archived too (archive-then-prune window) — the
+    # live copy wins, no row double-counted
+    write_epoch_record(_ids(spark, [3]), _os.path.join(arch, "epoch=1"))
+    rows = full_epoch_history(spark, live, arch).collect()
+    assert sorted((r.doc_id, r.epoch) for r in rows) == [(1, 0), (2, 0), (3, 1)]
