@@ -804,3 +804,90 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+def _ngram_novelty_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= {_NGRAM}
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {_NGRAM - 1}),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), gdf AS (
+      SELECT gram, COUNT(*) AS df FROM e GROUP BY gram
+    ), per AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM e JOIN gdf USING (gram) GROUP BY e.doc_id
+    ), scored AS (
+      SELECT doc_id,
+             CAST(CAST(n_unique AS DOUBLE) / n_grams AS DECIMAL(14,9))
+               AS novelty
+      FROM per
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           {dd("SUM(novelty)")} / COUNT(*) AS avg_novelty,
+           {dd("MIN(novelty)")} AS min_novelty,
+           {dd("MAX(novelty)")} AS max_novelty
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("text_ngram_novelty", oracle=_ngram_novelty_oracle())
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of each document's
+    distinct word 5-grams that occur in NO other document — high
+    novelty marks original content, low novelty marks boilerplate and
+    near-duplication pressure (the corpus-level complement of the
+    pairwise dedup operators, and a memorization-risk proxy: a gram
+    seen once is what a model can only have learned from that one
+    document). Inverted-index shape: one shuffle keyed on gram to count
+    document frequency, one keyed on doc_id to roll up — both
+    partial-aggregable, nothing quadratic; the per-doc ratio is
+    quantized to decimal so the per-source rollup is order-independent
+    and engine-exact."""
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(0, size(toks)-{_NGRAM}),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],"
+        " toks[i+4])))"
+    )
+    e = (
+        _spark_tokens_materialized(spark, sf_dir)
+        .filter(F.size("toks") >= _NGRAM)
+        .select("doc_id", F.explode(grams_expr).alias("gram"))
+        .localCheckpoint(eager=False)
+    )
+    gdf = e.groupBy("gram").agg(F.count("*").alias("df"))
+    per = (
+        e.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    novelty = (
+        F.col("n_unique").cast("double") / F.col("n_grams")
+    ).cast("decimal(14,9)")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per.select("doc_id", novelty.alias("novelty"))
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("novelty").cast("double") / F.count("*")).alias(
+                "avg_novelty"
+            ),
+            F.min("novelty").cast("double").alias("min_novelty"),
+            F.max("novelty").cast("double").alias("max_novelty"),
+        )
+    )

@@ -866,6 +866,54 @@ def ingest_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_source_report_oracle() -> str:
+    return f"""
+    SELECT d2.source, r.reason,
+           COUNT(*) AS n_docs,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT doc_id,
+             CASE
+               WHEN NOT is_novel THEN 'duplicate'
+               WHEN is_contaminated THEN 'contaminated'
+               WHEN n_tokens < {MIN_TOKENS} THEN 'low_quality'
+               ELSE 'admitted'
+             END AS reason,
+             n_tokens
+      FROM ({_funnel_oracle()}) f
+    ) r
+    JOIN documents d2 ON d2.doc_id = r.doc_id
+    GROUP BY d2.source, r.reason
+    """
+
+
+@query("funnel_source_report", oracle=_funnel_source_report_oracle())
+def funnel_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE slice of the funnel rejection report (round 12):
+    which domains are losing documents to which stage — the first
+    question an operator asks when an upstream feed degrades (a crawler
+    re-emitting old pages shows as a duplicate spike in ONE source; a
+    benchmark leak shows as that source's contamination rate). Same
+    memoized decisions, same precedence CASE, one extra dimension and a
+    broadcast-or-shuffled join to the source column."""
+    d = incremental_ingest_funnel(spark, sf_dir)
+    reason = (
+        F.when(~F.col("is_novel"), F.lit("duplicate"))
+        .when(F.col("is_contaminated"), F.lit("contaminated"))
+        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("low_quality"))
+        .otherwise(F.lit("admitted"))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(src, "doc_id")
+        .groupBy("source", reason.alias("reason"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Funnel → packing composition (round 11): the end of the curation
 # pipeline meets the start of the training pipeline. A real pretraining
