@@ -207,3 +207,57 @@ def test_partitioned_source_sliced_budget_gate(spark, tmp_path, monkeypatch):
     for r in adm.collect():
         assert r["sum(n_tokens)"] <= 120 + 50
     _drop(spark, index, gtable)
+
+
+def test_partitioned_streams_via_real_readstream(spark, tmp_path):
+    """The coordinator is a foreachBatch-compatible callable: drive it
+    through a REAL Structured Streaming file source (one epoch per
+    landed file) and the merged decisions must equal the batch funnel —
+    including across a restart from the same checkpoint, where the last
+    committed epoch is redelivered and fingerprint-skipped per
+    stream."""
+    import os as _os
+
+    from tests.test_dedup_index import _text
+
+    index, gtable = _build(spark, "pfrs")
+    landing = str(tmp_path / "landing")
+    _os.makedirs(landing)
+    coord = PartitionedFunnelStreams(
+        spark, index, gtable, str(tmp_path / "pout_rs"), n_streams=2
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        landing
+    )
+    q = stream.writeStream.foreachBatch(coord).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        for wave in (EPOCH0, EPOCH1, EPOCH2):
+            _docs(spark, wave).coalesce(1).write.mode("append").parquet(landing)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert _rows(coord.decisions()) == _batch_oracle_rows(spark)
+    assert coord.committed() == {0, 1, 2}
+
+    # restart from the SAME checkpoint: the next epoch lands, the
+    # replayed boundary epoch is verified-skipped in both streams
+    extra = [(500, _text(15)), (501, _text(14))]  # 501 dups admitted 401
+    q2 = stream.writeStream.foreachBatch(coord).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        _docs(spark, extra).coalesce(1).write.mode("append").parquet(landing)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    assert coord.committed() == {0, 1, 2, 3}
+    by_id = {
+        r.doc_id: r.admitted
+        for r in coord.decisions().filter("doc_id >= 500").collect()
+    }
+    assert by_id == {500: True, 501: False}
+    _drop(spark, index, gtable)
