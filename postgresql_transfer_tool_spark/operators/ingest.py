@@ -1201,11 +1201,15 @@ def funnel_source_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     budgets = source_weight_budgets(spark, sf_dir)
+    # no broadcast HINT on the budgets side: its plan bottoms out in the
+    # checkpointed per-source relation (a LogicalRDD leaf the hint sweep
+    # cannot prove bounded) — AQE broadcasts the dimension-sized lookup
+    # at runtime, the engine's documented posture
     return (
         keyed_running_sum(
             toks, ["source"], [F.col("doc_id")], F.col("n_tok"), "_cum"
         )
-        .join(F.broadcast(budgets), "source")
+        .join(budgets, "source")
         .filter(F.col("_cum") - F.col("n_tok") < F.col("budget_tokens"))
         .select("source", "doc_id", "n_tok", "budget_tokens")
     )
