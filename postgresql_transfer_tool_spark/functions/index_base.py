@@ -252,6 +252,7 @@ def _reclaim_dead_breaker(breaker: str) -> bool:
     try:
         with open(breaker) as f:
             txt = f.read()
+        seen = os.stat(breaker)
     except OSError:
         return True  # marker vanished — its writer finished; retry
     pid_part = txt[len("pid="):].strip() if txt.startswith("pid=") else ""
@@ -259,12 +260,22 @@ def _reclaim_dead_breaker(breaker: str) -> bool:
     if pid_part.isdigit():
         stale = not pid_alive(int(pid_part))
     else:
-        try:
-            stale = time.time() - os.path.getmtime(breaker) > _BREAKER_GRACE_S
-        except OSError:
-            return True  # vanished mid-check — retry
+        stale = time.time() - seen.st_mtime > _BREAKER_GRACE_S
     if not stale:
         return False
+    # round-13 ADVICE: read-then-remove was not atomic — two reclaimers
+    # both reading the same dead content could interleave so the slower
+    # one removed the faster one's FRESH (live) marker, letting both
+    # into the break critical section. Re-verify the marker on disk is
+    # still the byte-identical file we judged stale (same inode+mtime)
+    # immediately before unlinking; a changed identity means a racer
+    # already reclaimed and a new LIVE breaker holds the marker.
+    try:
+        now = os.stat(breaker)
+        if (now.st_ino, now.st_mtime_ns) != (seen.st_ino, seen.st_mtime_ns):
+            return False  # marker changed hands — a live breaker owns it
+    except OSError:
+        return True  # vanished — the other reclaimer won; retry
     try:
         os.remove(breaker)
     except OSError:
@@ -322,7 +333,16 @@ def _maybe_break_stale_lock(lock: str) -> bool:
                     return False  # lock changed hands — leave it
         except OSError:
             return False
-        os.remove(lock)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            # round-13 ADVICE: another breaker (racing through the
+            # marker-reclaim window) removed the same stale lock first.
+            # The lock is gone either way — report broken so the
+            # acquire loop retries O_EXCL instead of crashing.
+            return True
+        except OSError:
+            return False  # lock unremovable right now — leave it
         logger.warning(
             "broke stale index write lock %s held by dead process [%s]",
             lock, txt.strip(),

@@ -382,7 +382,14 @@ def full_epoch_history(spark, records_dir: str, archive_dir: str) -> DataFrame:
     separated replay state from product history, but nothing READ the
     union back; this is that read, used by the sinks'
     ``*_full_history()`` helpers and proved against the monolithic
-    oracle by the ``streaming_funnel_archived_history`` driver row)."""
+    oracle by the ``streaming_funnel_archived_history`` driver row).
+
+    Mid-overwrite epochs are not lost (round-13 ADVICE): an epoch whose
+    live dir vanished because a crashed :func:`write_epoch_record` left
+    only the rename-aside ``_old-epoch=N`` dir is read back from the
+    aside — the same fallback :func:`read_epoch_record` applies — so
+    the "complete" history stays complete even while an overwrite of a
+    never-archived epoch is in flight."""
     from pyspark.sql import functions as F
 
     live_epochs = (
@@ -394,25 +401,62 @@ def full_epoch_history(spark, records_dir: str, archive_dir: str) -> DataFrame:
         if os.path.isdir(records_dir)
         else set()
     )
+    arch_epochs = (
+        {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(archive_dir)
+            if d.startswith("epoch=")
+        }
+        if os.path.isdir(archive_dir)
+        else set()
+    )
+    # aside-only epochs: live dir renamed aside by a crashed overwrite
+    # and nothing re-renamed back — absent from BOTH listings above.
+    aside_epochs: dict[int, str] = {}
+    if os.path.isdir(records_dir):
+        for d in os.listdir(records_dir):
+            if not d.startswith("_old-epoch-"):
+                continue
+            suffix = d[len("_old-epoch-"):]
+            if not suffix.isdigit():
+                continue
+            e = int(suffix)
+            if e not in live_epochs and e not in arch_epochs:
+                aside_epochs[e] = os.path.join(records_dir, d)
     live = (
         spark.read.option("basePath", records_dir).parquet(records_dir)
         if live_epochs
         else None
     )
-    has_archive = os.path.isdir(archive_dir) and any(
-        d.startswith("epoch=") for d in os.listdir(archive_dir)
+    arch = (
+        spark.read.option("basePath", archive_dir).parquet(archive_dir)
+        if arch_epochs
+        else None
     )
-    if not has_archive:
-        if live is None:
-            raise ValueError(
-                f"no epoch records under {records_dir} or {archive_dir}"
+    if arch is not None and live is not None:
+        arch = arch.filter(~F.col("epoch").isin(sorted(live_epochs)))
+    parts = [p for p in (arch, live) if p is not None]
+    if parts:
+        ep_type = dict(parts[0].dtypes)["epoch"]
+        for e in sorted(aside_epochs):
+            parts.append(
+                spark.read.parquet(aside_epochs[e]).withColumn(
+                    "epoch", F.lit(e).cast(ep_type)
+                )
             )
-        return live
-    arch = spark.read.option("basePath", archive_dir).parquet(archive_dir)
-    if live is None:
-        return arch
-    arch = arch.filter(~F.col("epoch").isin(sorted(live_epochs)))
-    return arch.unionByName(live)
+    elif aside_epochs:
+        parts = [
+            spark.read.parquet(aside_epochs[e]).withColumn("epoch", F.lit(e))
+            for e in sorted(aside_epochs)
+        ]
+    else:
+        raise ValueError(
+            f"no epoch records under {records_dir} or {archive_dir}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def verify_committed_replay(

@@ -310,12 +310,24 @@ class PartitionedFunnelStreams:
         )
         if state is not None:
             return state
+        # round-13 ADVICE: a bare `except Exception: return empty` here
+        # silently treated ANY read failure (corrupt footer, IO error)
+        # as zero prior token state, letting the budget gate re-admit
+        # past the cap. Only the two legitimate "no decisions yet"
+        # shapes return empty: dir absent, or present but holding no
+        # parquet (AnalysisException: unable to infer schema). Real
+        # read errors propagate loudly, like the rest of the
+        # exactly-once machinery.
+        if not os.path.isdir(stream.decisions_dir):
+            return empty
+        from pyspark.errors import AnalysisException
+
         try:
             dec = self.spark.read.option(
                 "basePath", stream.decisions_dir
             ).parquet(stream.decisions_dir)
-        except Exception:
-            return empty
+        except AnalysisException:
+            return empty  # dir exists but no committed parquet yet
         return (
             dec.filter(F.col("admitted") & (F.col("epoch") <= last))
             .groupBy("source")

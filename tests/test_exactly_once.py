@@ -538,3 +538,50 @@ def test_full_epoch_history_edges(spark, tmp_path):
     write_epoch_record(_ids(spark, [3]), _os.path.join(arch, "epoch=1"))
     rows = full_epoch_history(spark, live, arch).collect()
     assert sorted((r.doc_id, r.epoch) for r in rows) == [(1, 0), (2, 0), (3, 1)]
+
+
+def test_full_epoch_history_reads_aside_only_epoch(spark, tmp_path):
+    """Round-13 ADVICE: an epoch whose live dir is mid-overwrite (a
+    crashed write_epoch_record renamed it aside and never finished) was
+    silently missing from the 'complete' history unless archived. The
+    aside fallback read_epoch_record already had now applies to
+    full_epoch_history too."""
+    import os as _os
+    import shutil
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        full_epoch_history,
+        write_epoch_record,
+    )
+
+    live = str(tmp_path / "live")
+    arch = str(tmp_path / "arch")
+    write_epoch_record(_ids(spark, [1, 2]), _os.path.join(live, "epoch=0"))
+    write_epoch_record(_ids(spark, [3]), _os.path.join(live, "epoch=1"))
+    # simulate the crash window: epoch 1's live dir renamed aside, the
+    # new record never written (write_epoch_record's _old-epoch-1 name)
+    shutil.move(
+        _os.path.join(live, "epoch=1"), _os.path.join(live, "_old-epoch-1")
+    )
+    got = {
+        (r.doc_id, r.epoch)
+        for r in full_epoch_history(spark, live, arch).collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 1)}
+
+    # archived copy of the aside epoch wins over the aside (identical
+    # contents; no double count)
+    write_epoch_record(_ids(spark, [3]), _os.path.join(arch, "epoch=1"))
+    rows = full_epoch_history(spark, live, arch).collect()
+    assert sorted((r.doc_id, r.epoch) for r in rows) == [(1, 0), (2, 0), (3, 1)]
+
+    # aside-only root (everything mid-overwrite) still reads
+    shutil.move(
+        _os.path.join(live, "epoch=0"), _os.path.join(live, "_old-epoch-0")
+    )
+    shutil.rmtree(arch)
+    got = {
+        (r.doc_id, r.epoch)
+        for r in full_epoch_history(spark, live, arch).collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 1)}

@@ -429,3 +429,70 @@ def test_orphaned_breaker_marker_is_reclaimed(tmp_path):
         os.remove(breaker)
         live.kill()
         live.wait()
+
+
+def test_breaker_reclaim_race_lock_already_removed(tmp_path, monkeypatch):
+    """Round-13 ADVICE: when two breakers race through the marker
+    window, the slower one's os.remove(lock) used to raise an uncaught
+    FileNotFoundError, crashing writer_lock acquisition. Simulate the
+    racer winning the lock removal first: acquisition must still
+    succeed (the lock IS gone — retry O_EXCL), not crash."""
+    import subprocess
+    import sys
+
+    from postgresql_transfer_tool_spark.functions import index_base
+    from postgresql_transfer_tool_spark.functions.index_base import writer_lock
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = os.path.join(root, "_writer.lock")
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    open(lock, "w").write(f"pid={dead.pid} op=compact")
+
+    real_remove = os.remove
+    raced = {"n": 0}
+
+    def racy_remove(path, *a, **kw):
+        if path == lock and raced["n"] == 0:
+            raced["n"] += 1
+            real_remove(path)  # the other breaker removes it first...
+            raise FileNotFoundError(path)  # ...so ours raises
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(index_base.os, "remove", racy_remove)
+    with writer_lock(root, op="recover"):
+        assert raced["n"] == 1  # the injected race actually fired
+    assert not os.path.exists(lock)
+
+
+def test_reclaim_dead_breaker_respects_fresh_marker(tmp_path, monkeypatch):
+    """Round-13 ADVICE: read-then-remove was not atomic — a reclaimer
+    that read the OLD dead marker could unlink the FRESH live marker a
+    faster racer had just created. The identity re-check (inode+mtime)
+    before unlink must leave a swapped marker alone."""
+    import subprocess
+    import sys
+
+    from postgresql_transfer_tool_spark.functions import index_base
+    from postgresql_transfer_tool_spark.functions.index_base import (
+        _reclaim_dead_breaker,
+    )
+
+    breaker = str(tmp_path / "_writer.lock.breaker")
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    open(breaker, "w").write(f"pid={dead.pid}")
+
+    real_pid_alive = index_base.pid_alive
+
+    def swap_then_answer(pid):
+        # between our read and our remove, the faster racer reclaims
+        # the dead marker and creates its own LIVE one (new inode)
+        os.remove(breaker)
+        open(breaker, "w").write(f"pid={os.getpid()}")
+        return real_pid_alive(pid)
+
+    monkeypatch.setattr(index_base, "pid_alive", swap_then_answer)
+    assert _reclaim_dead_breaker(breaker) is False  # fresh marker spared
+    assert open(breaker).read() == f"pid={os.getpid()}"

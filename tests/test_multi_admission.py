@@ -261,3 +261,46 @@ def test_partitioned_streams_via_real_readstream(spark, tmp_path):
     }
     assert by_id == {500: True, 501: False}
     _drop(spark, index, gtable)
+
+
+def test_budget_state_corrupt_decisions_fail_loud(spark, tmp_path):
+    """Round-13 ADVICE: _budget_state's fallback caught bare Exception,
+    so a corrupt/unreadable decisions dir silently became zero prior
+    token state and the budget gate could re-admit past the cap. Only
+    the two legitimate empty shapes return empty; real read errors
+    propagate."""
+    from pyspark.errors import AnalysisException
+
+    from postgresql_transfer_tool_spark.streaming.exactly_once import (
+        EpochLedger,
+    )
+    from postgresql_transfer_tool_spark.streaming.multi_admission import (
+        _Stream,
+        PartitionedFunnelStreams,
+    )
+
+    sink = object.__new__(PartitionedFunnelStreams)
+    sink.spark = spark
+    sdir = tmp_path / "s0"
+    stream = _Stream(
+        0,
+        str(sdir / "decisions"),
+        EpochLedger(str(sdir / "_epochs")),
+        str(sdir / "_budget"),
+    )
+    stream.ledger.commit(0)  # a committed prior epoch, no budget record
+
+    # absent decisions dir: legitimately empty state
+    assert sink._budget_state(stream, 1).count() == 0
+
+    # dir exists but holds no parquet yet: also legitimately empty
+    (sdir / "decisions").mkdir(parents=True)
+    assert sink._budget_state(stream, 1).count() == 0
+
+    # corrupt parquet: must raise, not silently zero the budget state
+    ep = sdir / "decisions" / "epoch=0"
+    ep.mkdir(parents=True)
+    (ep / "part-0000.parquet").write_text("garbage not parquet")
+    with pytest.raises(Exception) as ei:
+        sink._budget_state(stream, 1).count()
+    assert not isinstance(ei.value, AnalysisException)
