@@ -244,6 +244,8 @@ def run_once(spark, qs, names, sf_dir: str, attempt: dict) -> dict:
         "value": total,
         "unit": "sec",
         "queries": headline,
+        # full per-query map for merge_attempts; stripped before print
+        "queries_all": dict(timings),
         "sf": sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
@@ -256,43 +258,94 @@ def run_once(spark, qs, names, sf_dir: str, attempt: dict) -> dict:
     }
 
 
+def merge_attempts(attempts: list[dict]) -> dict:
+    """Cross-attempt fallback when EVERY attempt tripped the drift
+    tripwire (round-13 VERDICT #1): per-query median across the
+    attempts' per-query medians. Each attempt's mid-run load shift
+    contaminates different queries, so the cross-attempt median is
+    robust to any one attempt's spike — the per-query medians are the
+    record, the per-attempt series are the evidence. The drift flag
+    stays TRUE (no single clean pass existed); ``merged_medians``
+    tells the reader how the numbers were salvaged."""
+    last = attempts[-1]
+    per_query: dict[str, float] = {}
+    for name in last["queries_all"]:
+        vals = sorted(
+            a["queries_all"][name]
+            for a in attempts
+            if a["queries_all"].get(name, -1.0) >= 0
+        )
+        per_query[name] = vals[len(vals) // 2] if vals else -1.0
+    total = round(sum(t for t in per_query.values() if t >= 0), 4)
+    headline = {
+        n: per_query[n]
+        for n in [*HEADLINE, "transfer_pipeline"]
+        if n in per_query
+    }
+    return {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": last["sf"],
+        "n_queries": len(per_query),
+        "n_failed": sum(1 for t in per_query.values() if t < 0),
+        "n_cold": last["n_cold"],
+        "normalizer_sec": last["normalizer_sec"],
+        "normalizer_drift": last["normalizer_drift"],
+        "normalizer_drift_exceeded": True,
+        "merged_medians": True,
+        "merged_from_attempts": len(attempts),
+        "attempt_values": [a["value"] for a in attempts],
+        "attempt_normalizer_sec": [a["normalizer_sec"] for a in attempts],
+        "full_table": "BENCH_FULL.json",
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from postgresql_transfer_tool_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "5"))
     spark = get_spark("bench")
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
-    rec = run_once(spark, qs, names, sf_dir, attempt={"attempt": 1})
-    if rec["normalizer_drift_exceeded"]:
-        # VERDICT r8 #5: a drift-exceeded artifact is an invalidated
-        # record — retry ONCE (memo-cold, same session: the JVM warmth
-        # is part of every attempt's steady state). If the retry drifts
-        # too, record it anyway WITH the first attempt's normalizer
-        # series — two consecutive exceeded runs are the evidence that
-        # the host, not the code, moved.
-        print(
-            "bench: normalizer drift exceeded 20% — retrying once "
-            f"(first series: {rec['normalizer_sec']})",
-            file=sys.stderr,
-        )
-        clear_memos()
-        rec = run_once(
-            spark,
-            qs,
-            names,
-            sf_dir,
-            attempt={
-                "attempt": 2,
-                "retried_after_drift": True,
-                "first_attempt_normalizer_sec": rec["normalizer_sec"],
-                "first_attempt_value": rec["value"],
-            },
-        )
+    # VERDICT r8 #5 upgraded by r13 #1: a drift-exceeded artifact is an
+    # invalidated record — retry (memo-cold, same session: the JVM
+    # warmth is part of every attempt's steady state) until a pass
+    # stays under the 20% tripwire, bounded at max_attempts. If every
+    # attempt drifts, record per-query medians ACROSS attempts — robust
+    # to any one attempt's load spike — with all normalizer series as
+    # evidence that the host, not the code, moved.
+    attempts: list[dict] = []
+    rec = None
+    for i in range(1, max_attempts + 1):
+        if attempts:
+            print(
+                f"bench: normalizer drift exceeded 20% on attempt {i - 1} "
+                f"({attempts[-1]['normalizer_sec']}) — retrying "
+                f"({i}/{max_attempts})",
+                file=sys.stderr,
+            )
+            clear_memos()
+        attempt_meta = {"attempt": i}
+        if attempts:
+            attempt_meta.update(
+                retried_after_drift=True,
+                first_attempt_normalizer_sec=attempts[0]["normalizer_sec"],
+                first_attempt_value=attempts[0]["value"],
+            )
+        rec = run_once(spark, qs, names, sf_dir, attempt=attempt_meta)
+        attempts.append(rec)
+        if not rec["normalizer_drift_exceeded"]:
+            break
+    if rec["normalizer_drift_exceeded"] and len(attempts) > 1:
+        rec = merge_attempts(attempts)
+    rec.pop("queries_all", None)
     print(json.dumps(rec))
 
 

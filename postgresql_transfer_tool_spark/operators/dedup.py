@@ -330,7 +330,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sql() -> str:
+def minhash_pairs_cte() -> str:
+    """WITH-body producing ``verified(doc_a, doc_b, jaccard)`` — the
+    full corpus-wide shingle → MinHash → band-join → exact-Jaccard
+    chain (UNFILTERED; consumers apply the threshold). Claims CTE
+    names toks/sh/hashed/sigs/sigs2/bands/cand/counts/inter/verified.
+    Shared by the minhash oracle and the cross-modal dedup oracle
+    (operators/semantic.py)."""
     mins = ",\n         ".join(
         f"MIN((h * {A_CONST[j]} + {B_CONST[j]}) % {P_MINHASH}) AS mh{j}"
         for j in range(N_PERM)
@@ -343,8 +349,7 @@ def _minhash_sql() -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, band{b} AS band_key FROM sigs" for b in range(N_BANDS)
     )
-    return f"""
-    WITH {_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
     sigs AS (
       SELECT doc_id,
          {mins}
@@ -361,7 +366,12 @@ def _minhash_sql() -> str:
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    {_SQL_VERIFY}
+    {_SQL_VERIFY}"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {minhash_pairs_cte()}
     SELECT doc_a, doc_b, jaccard FROM verified
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """

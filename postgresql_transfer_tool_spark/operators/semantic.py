@@ -376,3 +376,111 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("d2").alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal duplicate rule (round-13 VERDICT #3): one pair-level rule
+# joining TEXT near-dup evidence (shingle MinHash-LSH, exact-Jaccard
+# verified) with MEDIA near-dup evidence (embedding cosine over the
+# SemDeDup cell candidates — the embeddings fixture stands in for the
+# decoded-media embedding column that multimodal.py's decode stage
+# produces at 100 TB). A pair is a cross-modal duplicate iff
+# text-Jaccard ≥ JACCARD_THRESHOLD OR embedding-cosine ≥
+# SEMANTIC_THRESHOLD; the output keeps both evidence columns so
+# downstream policy can distinguish "same words" from "same meaning /
+# same image".
+# ---------------------------------------------------------------------------
+
+
+def _cross_modal_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, minhash_pairs_cte
+
+    return f"""
+    WITH {minhash_pairs_cte()},
+    tpairs AS (
+      SELECT doc_a, doc_b, jaccard FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    {_SQL_QUANTIZED},
+    {_SQL_NCELLS},
+    cent AS (
+      SELECT vec_id AS cid, qe AS ce, nq AS ncent FROM q
+      WHERE {_SQL_CENT_WHERE}
+    ),
+    eassigned AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT q.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range({DIM}),
+                                i -> q.qe[i+1] * c.ce[i+1])) AS DOUBLE)
+                          / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.ncent AS DOUBLE)))
+                          DESC, c.cid) AS crk
+        FROM q, cent c
+      ) t WHERE crk <= {ASSIGN_PROBES}
+    ),
+    ecand AS (
+      SELECT sa.vec_id AS doc_a, sb.vec_id AS doc_b
+      FROM eassigned sa
+      JOIN eassigned sb ON sa.cluster_id = sb.cluster_id
+                       AND sa.vec_id < sb.vec_id
+      GROUP BY sa.vec_id, sb.vec_id
+    ),
+    epairs AS (
+      SELECT * FROM (
+        SELECT p.doc_a, p.doc_b,
+               CAST({_SQL_DOT} AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+        FROM ecand p
+        JOIN q a ON a.vec_id = p.doc_a
+        JOIN q b ON b.vec_id = p.doc_b
+      ) s WHERE cosine >= {SEMANTIC_THRESHOLD}
+    )
+    SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+           COALESCE(t.doc_b, e.doc_b) AS doc_b,
+           t.jaccard AS jaccard,
+           e.cosine AS cosine,
+           (t.doc_a IS NOT NULL) AS matched_text,
+           (e.doc_a IS NOT NULL) AS matched_media
+    FROM tpairs t
+    FULL OUTER JOIN epairs e
+      ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+    """
+
+
+@query("dedup_cross_modal", oracle=_cross_modal_oracle())
+def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup pairs: duplicate iff text-Jaccard ≥ t OR
+    media-embedding cosine ≥ c, with both evidence columns per pair
+    (round-13 VERDICT #3).
+
+    Both sides are the engine's SUBQUADRATIC candidate paths — LSH
+    banding for text (memoized verified pairs,
+    dedup._lsh_verified_pairs) and SemDeDup cell-bounded pairing for
+    embeddings (dedup_semantic_clusters) — merged with one FULL OUTER
+    join on the pair key. At 100 TB the merge shuffles only the two
+    candidate-bounded pair relations (each linear in the corpus by the
+    LSH/cell arguments; flatness across decades is pinned by
+    tests/test_decade_scale.py's cross-modal row), never the corpora.
+    Reference analog: none (X2 multimodal derivative, SURVEY §2.8)."""
+    from .dedup import _lsh_verified_pairs, JACCARD_THRESHOLD
+
+    t = (
+        _lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    e = dedup_semantic_clusters(spark, sf_dir).select(
+        "doc_a", "doc_b", "cosine"
+    )
+    return (
+        t.join(e, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "cosine",
+            F.col("jaccard").isNotNull().alias("matched_text"),
+            F.col("cosine").isNotNull().alias("matched_media"),
+        )
+    )

@@ -429,3 +429,32 @@ def test_ingest_funnel_growth_three_points(spark, x10_dir):
     # throughput must GROW with scale (fixed scheduler overhead
     # amortizes; a shrinking rate would mean corpus-bound probes)
     assert rate[-1] > rate[0], rate
+
+
+def test_cross_modal_candidates_three_points(spark, x10_dir):
+    """Cross-modal dedup (round-13 VERDICT #3): the merged pair
+    relation is the union of two candidate-bounded sides, so
+    candidates/doc must stay ~flat across the decade points — the
+    merge adds no quadratic stage on top of the LSH and SemDeDup
+    arguments it composes."""
+    from postgresql_transfer_tool_spark.operators.semantic import (
+        dedup_cross_modal,
+    )
+
+    dirs = [SF_SMALL, SF_MID, x10_dir]
+    rows = [table_row_count(d, "documents") for d in dirs]
+    pairs, per_doc = [], []
+    for d, r in zip(dirs, rows):
+        n = dedup_cross_modal(spark, d).count()
+        pairs.append(n)
+        per_doc.append(n / r)
+    print(f"cross-modal pairs: {list(zip(rows, pairs))} per-doc {per_doc}")
+    assert pairs[0] > 0, "fixture must contain cross-modal duplicates"
+    for g, r in _growth(pairs, rows):
+        assert g < 5 * r, (pairs, rows)  # linear-ish merged volume
+    # both evidence sides must actually fire at every point
+    ev = dedup_cross_modal(spark, SF_MID).agg(
+        F.sum(F.col("matched_text").cast("int")).alias("t"),
+        F.sum(F.col("matched_media").cast("int")).alias("m"),
+    ).first()
+    assert ev.t > 0 and ev.m > 0, (ev.t, ev.m)
