@@ -1597,3 +1597,159 @@ def streaming_funnel_late_accounting(
     not silent data loss. Hash-matched against the same monolithic
     watermark recompute."""
     return _late_funnel_memoized(spark, sf_dir)[1]
+
+
+# ---------------------------------------------------------------------------
+# Adaptive domain mixes (round-13 VERDICT #5): the per-source budget as
+# a PER-EPOCH allotment with carry-over. A source that under-fills
+# early epochs (few docs arrived yet) keeps its unmet budget: the cap
+# applied at epoch k is the CUMULATIVE allotment (k+1)×B, so the carry
+# needs no new state — it is the gap between the rising cap and the
+# persisted per-source consumption, riding the same exactly-once
+# budget-state machinery as the flat cap (crash/replay pinned by
+# tests/test_adaptive_budget.py).
+# ---------------------------------------------------------------------------
+
+#: per-source tokens allotted PER EPOCH in the adaptive driver row —
+#: low enough that the gate bites in every epoch, high enough that
+#: under-filled sources visibly spend their carry later
+ADAPTIVE_EPOCH_BUDGET = 300
+#: arrival epochs for the adaptive row's deterministic modulus cut
+#: (same cut as the late-data rows — uncorrelated with doc_id order,
+#: so the carry-over actually moves tokens across epochs)
+AB_EPOCHS = 3
+
+
+def _adaptive_budget_oracle() -> str:
+    """Monolithic recompute: (epoch, id)-lexicographic dup rule over
+    the modulus cut (the epochs are NOT id-ordered, so the id-ordered
+    fdups would be wrong here — same rule as the late-data row, with
+    every batch doc accepted), then the per-epoch budget state machine
+    unrolled over the AB_EPOCHS epochs: taken iff prior consumption +
+    within-epoch pre-budget cumsum < (epoch+1)×B; consumption carries
+    only TAKEN tokens forward — exactly the sink's state writes."""
+    B = ADAPTIVE_EPOCH_BUDGET
+    epoch_expr = f"(doc_id // {BATCH_MOD}) % {AB_EPOCHS}"
+    blocks, prev_taken = [], []
+    for e in range(AB_EPOCHS):
+        prior = (
+            f"""(SELECT COALESCE(SUM(n_tok), 0)
+                 FROM ({" UNION ALL ".join(f"SELECT * FROM k{j}" for j in prev_taken)}) u
+                 WHERE u.source = f.source)"""
+            if prev_taken
+            else "0"
+        )
+        blocks.append(f"""t{e} AS (
+      SELECT f.doc_id, f.source, f.n_tok, f.epoch,
+             {prior} AS prior,
+             SUM(f.n_tok) OVER (PARTITION BY f.source ORDER BY f.doc_id)
+               - f.n_tok AS cumb
+      FROM fadm f WHERE f.epoch = {e}
+    ),
+    k{e} AS (
+      SELECT doc_id, source, n_tok, epoch FROM t{e}
+      WHERE prior + cumb < {(e + 1) * B}
+    )""")
+        prev_taken.append(e)
+    taken_union = " UNION ALL ".join(f"SELECT * FROM k{e}" for e in range(AB_EPOCHS))
+    return f"""
+    WITH {verified_pairs_cte()},
+    fepoch AS (
+      SELECT doc_id, {epoch_expr} AS epoch
+      FROM documents WHERE doc_id % {BATCH_MOD} = 0
+    ),
+    fdirs AS (
+      SELECT doc_a AS d, doc_b AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT doc_b AS d, doc_a AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    fdups AS (
+      SELECT DISTINCT r.d AS doc_id
+      FROM fdirs r
+      JOIN fepoch fd ON fd.doc_id = r.d
+      LEFT JOIN fepoch fp ON fp.doc_id = r.p
+      WHERE r.p % {BATCH_MOD} <> 0
+         OR fp.epoch < fd.epoch
+         OR (fp.epoch = fd.epoch AND r.p < r.d)
+    ),
+    {_contamination_cte()},
+    fadm AS (
+      SELECT d.doc_id, d.source, fe.epoch,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok
+      FROM documents d
+      JOIN fepoch fe ON fe.doc_id = d.doc_id
+      LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+      LEFT JOIN fcont c ON c.doc_id = d.doc_id
+      WHERE dp.doc_id IS NULL
+        AND NOT COALESCE(c.isc, FALSE)
+        AND len({_SQL_TOKS}) >= {MIN_TOKENS}
+    ),
+    {",".join(blocks)}
+    SELECT source, doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch
+    FROM ({taken_union}) taken
+    """
+
+
+@query("funnel_source_adaptive_budget", oracle=_adaptive_budget_oracle())
+def funnel_source_adaptive_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streamed funnel with the ADAPTIVE per-epoch budget gate
+    (round-13 VERDICT #5): three event-order-uncorrelated arrival
+    epochs ((doc_id div 4) mod 3), each source allotted
+    {ADAPTIVE_EPOCH_BUDGET} tokens PER EPOCH with unmet budget carried
+    forward (cap at epoch k = (k+1)×allotment vs persisted
+    consumption). Returns the taken documents with their epoch — must
+    hash-match the monolithic state-machine unroll. Crash/replay
+    exactness rides the unchanged budget-state records
+    (tests/test_adaptive_budget.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "adaptive-budget")
+    cached = _INGEST_MEMO.get(key)
+    if cached is not None:
+        return cached
+
+    from ..streaming.ingest_funnel import IngestFunnelSink
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0)
+    app = spark.sparkContext.applicationId
+    dname = index_table_name("ddidxab", app, sf_dir)
+    index = build_dedup_index(
+        spark,
+        docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"{dname}_"),
+        dname,
+    )
+    gname = index_table_name("contidxab", app, sf_dir)
+    gtable = build_contamination_index(
+        spark,
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=f"{gname}_"),
+        gname,
+    )
+    sink = IngestFunnelSink(
+        spark,
+        index,
+        gtable,
+        tempfile.mkdtemp(prefix=f"{dname}_funnel_"),
+        source_budget=ADAPTIVE_EPOCH_BUDGET,
+        budget_per_epoch=True,
+    )
+    epoch_of = (F.col("doc_id") / BATCH_MOD).cast("bigint") % AB_EPOCHS
+    for epoch in range(AB_EPOCHS):
+        sink(batch.filter(epoch_of == epoch), epoch)
+    out = (
+        sink.decisions()
+        .filter(F.col("admitted"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").alias("n_tok"),
+            F.col("epoch").cast("bigint").alias("epoch"),
+        )
+    )
+    return _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))

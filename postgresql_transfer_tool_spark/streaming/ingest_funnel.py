@@ -133,6 +133,7 @@ class IngestFunnelSink:
         grow_ann: bool = False,
         maintenance: MaintenancePolicy | None = None,
         source_budget: int | None = None,
+        budget_per_epoch: bool = False,
     ) -> None:
         """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
         relation, vec_id = doc_id) switch on the embedding-novelty
@@ -190,6 +191,16 @@ class IngestFunnelSink:
         #: operators/ingest.source_weight_budgets. The state machine is
         #: identical either way — only the per-source threshold differs
         self.source_budget = source_budget
+        #: adaptive carry-over mode (round 13 — VERDICT #5): when True,
+        #: ``source_budget`` is a PER-EPOCH allotment rather than a
+        #: total — the cap applied at epoch k is (k+1)×allotment, so a
+        #: source that under-fills early epochs implicitly carries its
+        #: unmet budget forward (cumulative-allotment formulation: no
+        #: extra state beyond the existing per-source cum_tokens; the
+        #: carry is the gap between the rising cap and the persisted
+        #: consumption). Requires the stream's contiguous 0-based
+        #: epoch numbering, which foreachBatch guarantees.
+        self.budget_per_epoch = budget_per_epoch
         self.budget_dir = os.path.join(out_dir, "_budget")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -461,6 +472,8 @@ class IngestFunnelSink:
                 F.broadcast(self.source_budget), "source", "left"
             )
             cap = F.coalesce("budget_tokens", F.lit(0))
+        if self.budget_per_epoch:
+            cap = cap * F.lit(int(epoch_id) + 1)
         in_budget = scored.filter(
             F.col("cum_local") + F.coalesce("cum_tokens", F.lit(0)) < cap
         ).select("doc_id")

@@ -157,47 +157,123 @@ class PartitionedFunnelStreams:
         self.lock_wait = lock_wait
         self.slice_by = slice_by
         self.source_budget = source_budget
-        self.streams = [
-            _Stream(
+        self.out_dir = out_dir
+        #: per-epoch durable shard map (round 13 — dynamic re-sharding):
+        #: one tiny record per epoch with (n, changed_at). Replays of an
+        #: old epoch re-derive slice ownership from the RECORDED n, so a
+        #: coordinator restarted with a different stream count (feeder
+        #: death/addition) still verifies old fingerprints against the
+        #: slicing they were taken under.
+        self.shards_dir = os.path.join(out_dir, "_shards")
+        self._stream_cache: dict[int, _Stream] = {}
+
+    def _stream(self, i: int) -> _Stream:
+        """Stream handle by index — created on demand so a replay of an
+        epoch processed at a LARGER historical n can still address the
+        retired streams' durable state."""
+        s = self._stream_cache.get(i)
+        if s is None:
+            s = _Stream(
                 i,
-                os.path.join(out_dir, f"s{i}", "decisions"),
-                EpochLedger(os.path.join(out_dir, f"s{i}", "_epochs")),
-                os.path.join(out_dir, f"s{i}", "_budget"),
+                os.path.join(self.out_dir, f"s{i}", "decisions"),
+                EpochLedger(os.path.join(self.out_dir, f"s{i}", "_epochs")),
+                os.path.join(self.out_dir, f"s{i}", "_budget"),
             )
-            for i in range(n_streams)
-        ]
+            self._stream_cache[i] = s
+        return s
+
+    def _all_decisions_dirs(self) -> list[str]:
+        """Every stream decisions dir that EVER existed under out_dir —
+        the cross-stream read basis for budget rebuilds and read-backs
+        (after a re-shard a source's history lives in its FORMER
+        owner's dir)."""
+        out = []
+        if os.path.isdir(self.out_dir):
+            for d in sorted(os.listdir(self.out_dir)):
+                if d.startswith("s") and d[1:].isdigit():
+                    out.append(os.path.join(self.out_dir, d, "decisions"))
+        return out
+
+    def _shard_map(self, epoch_id: int) -> tuple[int, int]:
+        """(n, changed_at) for this epoch. A recorded epoch replays
+        under its RECORDED n; a fresh epoch records the coordinator's
+        current n, with ``changed_at`` = this epoch when n differs from
+        the previous epoch's (the budget gate uses it to decide whether
+        a stream's cached per-source state predates a re-shard). The
+        write is the same rename-aside atomic record as everything
+        else — deterministic and idempotent on replay."""
+        rec = read_epoch_record(
+            self.spark, os.path.join(self.shards_dir, f"epoch={epoch_id}")
+        )
+        if rec is not None:
+            try:
+                row = rec.collect()[0]
+            finally:
+                unpersist_checkpoints(rec)
+            return int(row["n"]), int(row["changed_at"])
+        if epoch_id == 0:
+            changed_at = 0
+        else:
+            prev = read_epoch_record(
+                self.spark,
+                os.path.join(self.shards_dir, f"epoch={epoch_id - 1}"),
+            )
+            if prev is None:
+                raise RuntimeError(
+                    f"shard map for epoch {epoch_id - 1} is missing under "
+                    f"{self.shards_dir} — the stream checkpoint and the "
+                    "coordinator state diverged; restore or reset together"
+                )
+            try:
+                prow = prev.collect()[0]
+            finally:
+                unpersist_checkpoints(prev)
+            changed_at = (
+                epoch_id if int(prow["n"]) != self.n_streams
+                else int(prow["changed_at"])
+            )
+        write_epoch_record(
+            self.spark.createDataFrame(
+                [(self.n_streams, changed_at)], "n int, changed_at bigint"
+            ),
+            os.path.join(self.shards_dir, f"epoch={epoch_id}"),
+        )
+        return self.n_streams, changed_at
 
     # -- the per-epoch protocol -------------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_id = int(epoch_id)
+        n_k, changed_at = self._shard_map(epoch_id)
+        streams = [self._stream(i) for i in range(n_k)]
         batch_df = batch_df.localCheckpoint(eager=True)
         slices = [
             batch_df.filter(
                 F.pmod(
-                    F.xxhash64(F.col(self.slice_by).cast("string")),
-                    self.n_streams,
+                    F.xxhash64(F.col(self.slice_by).cast("string")), n_k
                 )
                 == i
             ).localCheckpoint(eager=True)
-            for i in range(self.n_streams)
+            for i in range(n_k)
         ]
         epoch_ids = batch_df.select("doc_id")
         try:
-            with ThreadPoolExecutor(max_workers=self.n_streams) as pool:
+            with ThreadPoolExecutor(max_workers=n_k) as pool:
                 # phase 1: publish every slice's signatures (idempotent,
                 # lock-contended), then BARRIER — list() propagates the
                 # first failure after all futures settle
                 list(
                     pool.map(
                         lambda s: self._publish(s[0], s[1], epoch_id),
-                        zip(self.streams, slices),
+                        zip(streams, slices),
                     )
                 )
                 # phase 2: decide every slice (read-only, parallel)
                 list(
                     pool.map(
-                        lambda s: self._decide(s[0], s[1], epoch_ids, epoch_id),
-                        zip(self.streams, slices),
+                        lambda s: self._decide(
+                            s[0], s[1], epoch_ids, epoch_id, changed_at
+                        ),
+                        zip(streams, slices),
                     )
                 )
         finally:
@@ -239,6 +315,7 @@ class PartitionedFunnelStreams:
         slice_df: DataFrame,
         epoch_ids: DataFrame,
         epoch_id: int,
+        changed_at: int,
     ) -> None:
         epoch_dir = os.path.join(stream.decisions_dir, f"epoch={epoch_id}")
         if epoch_id in stream.ledger.committed():
@@ -263,7 +340,9 @@ class PartitionedFunnelStreams:
                     raise epoch_collision_error(epoch_id, committed=False)
                 persist_fp()
                 if self.source_budget is not None:
-                    self._write_budget_state(stream, prior, epoch_id)
+                    self._write_budget_state(
+                        stream, prior, epoch_id, changed_at
+                    )
             finally:
                 unpersist_checkpoints(prior)
             stream.ledger.commit(epoch_id)
@@ -277,13 +356,13 @@ class PartitionedFunnelStreams:
             decisions = funnel_decisions(slice_df, novel, cont)
             if self.source_budget is not None:
                 decisions = self._apply_budget(
-                    stream, decisions, slice_df, epoch_id
+                    stream, decisions, slice_df, epoch_id, changed_at
                 )
             write_epoch_record(decisions, epoch_dir)
             if self.source_budget is not None:
                 rec = read_epoch_record(self.spark, epoch_dir)
                 try:
-                    self._write_budget_state(stream, rec, epoch_id)
+                    self._write_budget_state(stream, rec, epoch_id, changed_at)
                 finally:
                     unpersist_checkpoints(rec)
             stream.ledger.commit(epoch_id)
@@ -297,50 +376,65 @@ class PartitionedFunnelStreams:
     # state machine as IngestFunnelSink's (ingest_funnel.py:_apply_budget
     # / _budget_state / _write_budget_state), scoped to the stream's
     # dirs; no cross-stream coordination exists or is needed ------------
-    def _budget_state(self, stream: _Stream, epoch_id: int) -> DataFrame:
-        committed = [e for e in stream.ledger.committed() if e < epoch_id]
+    def _budget_state(
+        self, stream: _Stream, epoch_id: int, changed_at: int
+    ) -> DataFrame:
         empty = self.spark.createDataFrame(
             [], "source string, cum_tokens bigint"
         )
-        if not committed:
+        if epoch_id == 0:
             return empty
-        last = max(committed)
-        state = read_epoch_record(
-            self.spark, os.path.join(stream.budget_dir, f"epoch={last}")
-        )
-        if state is not None:
-            return state
-        # round-13 ADVICE: a bare `except Exception: return empty` here
-        # silently treated ANY read failure (corrupt footer, IO error)
-        # as zero prior token state, letting the budget gate re-admit
-        # past the cap. Only the two legitimate "no decisions yet"
-        # shapes return empty: dir absent, or present but holding no
-        # parquet (AnalysisException: unable to infer schema). Real
-        # read errors propagate loudly, like the rest of the
-        # exactly-once machinery.
-        if not os.path.isdir(stream.decisions_dir):
-            return empty
+        committed = [e for e in stream.ledger.committed() if e < epoch_id]
+        last = max(committed) if committed else None
+        # The per-stream cached state is valid only while slice
+        # OWNERSHIP has been stable since it was written: a re-shard at
+        # any epoch > last moves sources between streams, and a state
+        # record that predates it misses (or double-claims) the moved
+        # sources' history (round 13 — dynamic re-sharding).
+        if last is not None and last >= changed_at:
+            state = read_epoch_record(
+                self.spark, os.path.join(stream.budget_dir, f"epoch={last}")
+            )
+            if state is not None:
+                return state
+        # Rebuild from the decision records — across EVERY stream dir
+        # that ever existed (a source's pre-re-shard history lives in
+        # its former owner's dir; slices are disjoint per epoch, so the
+        # union counts each admission exactly once). Only the two
+        # legitimate "no decisions yet" shapes contribute nothing: dir
+        # absent, or present but holding no parquet (round-13 ADVICE:
+        # real read errors propagate loudly, never silently zero the
+        # budget basis).
         from pyspark.errors import AnalysisException
 
-        try:
-            dec = self.spark.read.option(
-                "basePath", stream.decisions_dir
-            ).parquet(stream.decisions_dir)
-        except AnalysisException:
-            return empty  # dir exists but no committed parquet yet
+        parts = []
+        for d in self._all_decisions_dirs():
+            if not os.path.isdir(d):
+                continue
+            try:
+                parts.append(
+                    self.spark.read.option("basePath", d).parquet(d)
+                )
+            except AnalysisException:
+                continue  # dir exists but no committed parquet yet
+        if not parts:
+            return empty
+        dec = parts[0]
+        for p_ in parts[1:]:
+            dec = dec.unionByName(p_)
         return (
-            dec.filter(F.col("admitted") & (F.col("epoch") <= last))
+            dec.filter(F.col("admitted") & (F.col("epoch") < epoch_id))
             .groupBy("source")
             .agg(F.sum("n_tokens").cast("bigint").alias("cum_tokens"))
         )
 
     def _apply_budget(
         self, stream: _Stream, decisions: DataFrame, slice_df: DataFrame,
-        epoch_id: int,
+        epoch_id: int, changed_at: int,
     ) -> DataFrame:
         from pyspark.sql.window import Window
 
-        prior = self._budget_state(stream, epoch_id)
+        prior = self._budget_state(stream, epoch_id, changed_at)
         pre = decisions.join(slice_df.select("doc_id", "source"), "doc_id")
         w = Window.partitionBy("source").orderBy("doc_id")
         scored = (
@@ -376,9 +470,10 @@ class PartitionedFunnelStreams:
         )
 
     def _write_budget_state(
-        self, stream: _Stream, decisions_record: DataFrame, epoch_id: int
+        self, stream: _Stream, decisions_record: DataFrame, epoch_id: int,
+        changed_at: int,
     ) -> None:
-        prior = self._budget_state(stream, epoch_id)
+        prior = self._budget_state(stream, epoch_id, changed_at)
         this = (
             decisions_record.filter(F.col("admitted"))
             .groupBy("source")
@@ -396,21 +491,35 @@ class PartitionedFunnelStreams:
 
     # -- read-back ---------------------------------------------------------
     def committed(self) -> set[int]:
-        """Epochs committed by EVERY stream (the coordinator's notion of
-        a finished epoch)."""
-        out = self.streams[0].ledger.committed()
-        for s in self.streams[1:]:
-            out &= s.ledger.committed()
+        """Epochs committed by EVERY stream that owned a slice of that
+        epoch (per the durable shard map — after a re-shard, retired
+        streams are not expected to commit epochs they never saw)."""
+        if not os.path.isdir(self.shards_dir):
+            return set()
+        out: set[int] = set()
+        for d in os.listdir(self.shards_dir):
+            if not d.startswith("epoch="):
+                continue
+            e = int(d.split("=", 1)[1])
+            n_e, _ = self._shard_map(e)
+            if all(
+                e in self._stream(i).ledger.committed() for i in range(n_e)
+            ):
+                out.add(e)
         return out
 
     def decisions(self) -> DataFrame:
-        """Union of all streams' decision rows across epochs."""
-        parts = [
-            self.spark.read.option("basePath", s.decisions_dir).parquet(
-                s.decisions_dir
-            )
-            for s in self.streams
-        ]
+        """Union of all streams' decision rows across epochs — every
+        stream dir that ever existed, so a re-shard never truncates the
+        merged relation."""
+        from pyspark.errors import AnalysisException
+
+        parts = []
+        for d in self._all_decisions_dirs():
+            try:
+                parts.append(self.spark.read.option("basePath", d).parquet(d))
+            except AnalysisException:
+                continue
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -304,3 +304,140 @@ def test_budget_state_corrupt_decisions_fail_loud(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         sink._budget_state(stream, 1).count()
     assert not isinstance(ei.value, AnalysisException)
+
+
+def test_reshard_mid_run_decisions_equal_batch_funnel(spark, tmp_path):
+    """Round-13 VERDICT #4: N changes BETWEEN epochs (stream death —
+    4 → 2 after epoch 0; then growth 2 → 3 after epoch 1). Slice
+    ownership re-derives per epoch from the durable shard map, and the
+    merged decisions across the re-shard cuts stay bit-equal to the
+    one-shot batch funnel."""
+    from tests.test_streaming_ingest_funnel import (
+        _batch_oracle_rows,
+        _rows,
+        EPOCH0,
+        EPOCH1,
+        EPOCH2,
+    )
+    from tests.test_dedup_index import _docs
+
+    index, gtable = _build(spark, "pfrs")
+    out = str(tmp_path / "rsout")
+    # epoch 0 at N=4
+    c4 = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=4)
+    c4(_docs(spark, EPOCH0), 0)
+    # feeder death: epoch 1 at N=2 (fresh coordinator, same out_dir —
+    # the restart shape)
+    c2 = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=2)
+    c2(_docs(spark, EPOCH1), 1)
+    # feeder addition: epoch 2 at N=3
+    c3 = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=3)
+    c3(_docs(spark, EPOCH2), 2)
+    try:
+        assert _rows(c3.decisions()) == _batch_oracle_rows(spark)
+        assert c3.committed() == {0, 1, 2}
+        # one decision per doc across all stream dirs — no slice was
+        # double-owned or orphaned across the cuts
+        ids = [r.doc_id for r in c3.decisions().select("doc_id").collect()]
+        assert len(ids) == len(set(ids)) == len(EPOCH0 + EPOCH1 + EPOCH2)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_reshard_replay_uses_recorded_shard_map(spark, tmp_path):
+    """A committed epoch redelivered AFTER a re-shard must verify under
+    the slicing it was processed with (the recorded n), not the
+    coordinator's current n — otherwise per-stream fingerprints
+    mismatch and a healthy replay dies as a collision."""
+    from tests.test_streaming_ingest_funnel import (
+        _batch_oracle_rows,
+        _rows,
+        EPOCH0,
+        EPOCH1,
+        EPOCH2,
+    )
+    from tests.test_dedup_index import _docs
+
+    index, gtable = _build(spark, "pfrr")
+    out = str(tmp_path / "rrout")
+    c4 = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=4)
+    c4(_docs(spark, EPOCH0), 0)
+    c2 = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=2)
+    c2(_docs(spark, EPOCH1), 1)
+    try:
+        # replay epoch 0 through the N=2 coordinator: must route the
+        # batch by the RECORDED n=4 and verify-skip every stream
+        before = _rows(c2.decisions())
+        c2(_docs(spark, EPOCH0), 0)
+        assert _rows(c2.decisions()) == before
+        # and the shard map survives for the next fresh epoch
+        c2(_docs(spark, EPOCH2), 2)
+        assert _rows(c2.decisions()) == _batch_oracle_rows(spark)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_reshard_budget_state_follows_sources(spark, tmp_path, monkeypatch):
+    """slice_by='source' + a uniform token cap across a 4 → 2 re-shard:
+    a source's cross-epoch token state must FOLLOW the source to its
+    new owning stream (rebuilt from the union of every stream dir's
+    decisions), so the merged admissions equal the single-stream
+    funnel's over the same epochs."""
+    from tests.test_dedup_index import _docs
+    from tests.test_streaming_ingest_funnel import _build as _build2
+
+    def _src_docs(rows):
+        # (doc_id, text, source) — many sources so both slicings are
+        # non-trivial at N∈{4,2}
+        return spark.createDataFrame(
+            [(i, t, f"src{i % 5}") for i, t in rows],
+            "doc_id bigint, text string, source string",
+        )
+
+    from tests.test_streaming_ingest_funnel import EPOCH0, EPOCH1, EPOCH2
+
+    CAP = 25  # tokens per source — low enough that the gate bites
+
+    def run_single():
+        index, gtable = _build(spark, "rsb1")
+        sink = IngestFunnelSink(
+            spark, index, gtable,
+            tempfile.mkdtemp(prefix="rsb1_"), source_budget=CAP,
+        )
+        for k, rows in enumerate((EPOCH0, EPOCH1, EPOCH2)):
+            sink(_src_docs(rows), k)
+        got = {
+            (r.doc_id, r.admitted)
+            for r in sink.decisions().select("doc_id", "admitted").collect()
+        }
+        _drop(spark, index, gtable)
+        return got
+
+    from postgresql_transfer_tool_spark.streaming.ingest_funnel import (
+        IngestFunnelSink,
+    )
+    import tempfile
+
+    want = run_single()
+
+    index, gtable = _build(spark, "rsb2")
+    out = str(tmp_path / "rsbout")
+    c4 = PartitionedFunnelStreams(
+        spark, index, gtable, out, n_streams=4,
+        slice_by="source", source_budget=CAP,
+    )
+    c4(_src_docs(EPOCH0), 0)
+    c2 = PartitionedFunnelStreams(
+        spark, index, gtable, out, n_streams=2,
+        slice_by="source", source_budget=CAP,
+    )
+    c2(_src_docs(EPOCH1), 1)
+    c2(_src_docs(EPOCH2), 2)
+    try:
+        got = {
+            (r.doc_id, r.admitted)
+            for r in c2.decisions().select("doc_id", "admitted").collect()
+        }
+        assert got == want
+    finally:
+        _drop(spark, index, gtable)
