@@ -20,6 +20,14 @@ writer lock; resampled centroids give the new clusters their own cells
 and recall recovers.
 
     python tools/retrain_recall_curve.py [N_CORPUS] [N_EPOCHS]
+
+Round-13 VERDICT #8 adds the QUERY-TIME knob sweep: ``--nprobe-curve``
+measures recall@10 and probe wall-clock across per-query nprobe values
+against ONE fixed index (build-time cell count untouched) — the
+recall/latency trade a caller buys per query through
+``ann_query_index(..., nprobe=...)``, recorded in SCALE.md:
+
+    python tools/retrain_recall_curve.py --nprobe-curve [N_CORPUS]
 """
 
 from __future__ import annotations
@@ -71,13 +79,16 @@ def _rows(ids, mat):
     ]
 
 
-def _recall(spark, index, probe_rows, indexed_rows) -> float:
+def _recall(spark, index, probe_rows, indexed_rows, nprobe=None) -> float:
     probes = spark.createDataFrame(
         probe_rows, "vec_id bigint, qe array<bigint>, nq bigint"
     )
+    kw = {} if nprobe is None else {"nprobe": nprobe}
     got = {
         (r.query_id, r.neighbor_id)
-        for r in ann_query_index(spark, probes, index, topk=TOPK).collect()
+        for r in ann_query_index(
+            spark, probes, index, topk=TOPK, **kw
+        ).collect()
     }
     ids = np.array([r[0] for r in indexed_rows])
     m = np.array([r[1] for r in indexed_rows], dtype=np.float64)
@@ -92,7 +103,54 @@ def _recall(spark, index, probe_rows, indexed_rows) -> float:
     return hits / (len(probe_rows) * TOPK)
 
 
+def nprobe_curve(n_corpus: int) -> None:
+    """Recall@10 + warm probe latency vs PER-QUERY nprobe on one fixed
+    index: the build-time cell count (corpus-adaptive) stays put; only
+    the query-time knob moves. The corpus is the same 16-cluster layout
+    as the drift curve WITHOUT drift — so recall deficits are purely
+    cell-boundary misses, the regime the knob exists for."""
+    import time
+
+    spark = get_spark("nprobe-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    corpus = _rows(range(n_corpus), _cluster(rng, n_corpus, list(range(16))))
+    name = "npc"
+    index = build_ann_index(
+        spark,
+        spark.createDataFrame(
+            corpus, "vec_id bigint, qe array<bigint>, nq bigint"
+        ),
+        tempfile.mkdtemp(prefix=name),
+        name,
+        n_rows=n_corpus,
+    )
+    probes = _rows(
+        range(900_000, 900_000 + N_PROBES),
+        _cluster(rng, N_PROBES, list(range(16))),
+    )
+    n_cells = spark.table(index.centroids_table).count()
+    print(f"nprobe curve: corpus {n_corpus}, {n_cells} cells, "
+          f"recall@{TOPK} over {N_PROBES} probes")
+    for nprobe in (1, 2, 4, 8, 16, 32, 64):
+        if nprobe > n_cells:
+            break
+        _recall(spark, index, probes, corpus, nprobe=nprobe)  # warm
+        t0 = time.time()
+        r = _recall(spark, index, probes, corpus, nprobe=nprobe)
+        dt = time.time() - t0
+        print(f"nprobe {nprobe:3d}: recall@{TOPK} {r:.3f}  "
+              f"probe wall {dt:.2f}s", flush=True)
+    for t in (index.cells_table, index.centroids_table,
+              f"{name}_tombstones", f"{name}_stamps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def main() -> None:
+    if "--nprobe-curve" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        nprobe_curve(int(args[0]) if args else 4000)
+        return
     n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     per_epoch = n_corpus // 4
