@@ -167,6 +167,14 @@ class PartitionedFunnelStreams:
         self.shards_dir = os.path.join(out_dir, "_shards")
         self._stream_cache: dict[int, _Stream] = {}
 
+    @property
+    def streams(self) -> list[_Stream]:
+        """Handles for the coordinator's CURRENT n streams (historical
+        streams from larger past n remain addressable via
+        :meth:`_stream` and are covered by the disk-enumerating
+        read-backs)."""
+        return [self._stream(i) for i in range(self.n_streams)]
+
     def _stream(self, i: int) -> _Stream:
         """Stream handle by index — created on demand so a replay of an
         epoch processed at a LARGER historical n can still address the
