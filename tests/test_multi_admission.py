@@ -281,6 +281,7 @@ def test_budget_state_corrupt_decisions_fail_loud(spark, tmp_path):
 
     sink = object.__new__(PartitionedFunnelStreams)
     sink.spark = spark
+    sink.out_dir = str(tmp_path)
     sdir = tmp_path / "s0"
     stream = _Stream(
         0,
@@ -291,18 +292,18 @@ def test_budget_state_corrupt_decisions_fail_loud(spark, tmp_path):
     stream.ledger.commit(0)  # a committed prior epoch, no budget record
 
     # absent decisions dir: legitimately empty state
-    assert sink._budget_state(stream, 1).count() == 0
+    assert sink._budget_state(stream, 1, changed_at=0).count() == 0
 
     # dir exists but holds no parquet yet: also legitimately empty
     (sdir / "decisions").mkdir(parents=True)
-    assert sink._budget_state(stream, 1).count() == 0
+    assert sink._budget_state(stream, 1, changed_at=0).count() == 0
 
     # corrupt parquet: must raise, not silently zero the budget state
     ep = sdir / "decisions" / "epoch=0"
     ep.mkdir(parents=True)
     (ep / "part-0000.parquet").write_text("garbage not parquet")
     with pytest.raises(Exception) as ei:
-        sink._budget_state(stream, 1).count()
+        sink._budget_state(stream, 1, changed_at=0).count()
     assert not isinstance(ei.value, AnalysisException)
 
 
