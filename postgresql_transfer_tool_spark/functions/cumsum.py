@@ -131,61 +131,6 @@ def _slice_expr(bounds: list[float]) -> Column:
     )
 
 
-def _offsets_local(sliced: DataFrame, keys: list[str]) -> DataFrame:
-    """Exclusive per-(slice, keys) prefix offsets, folded on the driver
-    from the collected totals table. Sound at any data size because the
-    totals table is parallelism-bounded (see the caller's comment) —
-    the same size class AQE ships to the driver for every shuffle.
-    NULL keys group under Python ``None`` exactly as groupBy groups
-    them and re-enter the local relation as NULL; the caller's
-    null-safe back-join keeps them one ordinary group. The offset is
-    never NULL (all-NULL slice totals contribute zero), matching the
-    old subplan's ``COALESCE(SUM(..), 0)``."""
-    from decimal import Decimal
-
-    from pyspark.sql.types import (
-        DecimalType,
-        DoubleType,
-        FloatType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    spark = sliced.sparkSession
-    t = sliced.groupBy("_rs_part", *keys).agg(
-        F.sum("_rs_val").alias("_rs_tot")
-    )
-    tot_type = t.schema["_rs_tot"].dataType
-    key_fields = [t.schema[k] for k in keys]
-    by_key: dict[tuple, list] = {}
-    for r in t.collect():
-        by_key.setdefault(tuple(r[k] for k in keys), []).append(
-            (r["_rs_part"], r["_rs_tot"])
-        )
-    if isinstance(tot_type, DecimalType):
-        zero = Decimal(0)
-    elif isinstance(tot_type, (DoubleType, FloatType)):
-        zero = 0.0
-    else:
-        zero = 0
-    out = []
-    for kt, parts in by_key.items():
-        acc = zero  # exclusive prefix; NULL slice totals contribute 0
-        for p, tot in sorted(parts, key=lambda pt: pt[0]):
-            out.append((p, *kt, acc))
-            if tot is not None:
-                acc = acc + tot
-    schema = StructType(
-        [
-            StructField("_rs_part", IntegerType(), False),
-            *key_fields,
-            StructField("_rs_off", tot_type, False),
-        ]
-    )
-    return spark.createDataFrame(out, schema)
-
-
 def _two_phase(
     df: DataFrame,
     keys: list[str],
@@ -224,18 +169,39 @@ def _two_phase(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Offsets: slice s's offset = Σ totals of earlier slices of the
-    # same key group — an exclusive prefix over the totals table, which
-    # is parallelism-bounded (≤ 2n + #keys rows: range contiguity
-    # bounds it on the fallback path, the 2n quantile buckets × per-
-    # bucket key presence on the fast path). Metadata-sized by
-    # construction, so the prefix is folded ON THE DRIVER
-    # (:func:`_offsets_local`) and re-enters as a LocalTableScan: the
-    # whole offsets branch costs one small collect instead of a
-    # triangular self-join + groupBy + distributed broadcast build —
-    # 3-4 AQE stage jobs per call at micro-batch scale (round-13
-    # VERDICT #6). The collect also materializes the shared checkpoint,
-    # work the main plan would have paid anyway.
-    offsets = _offsets_local(sliced, keys)
+    # same key group, via a triangular join over the totals table. The
+    # totals table is parallelism-bounded (≤ 2n + #keys rows: range
+    # contiguity bounds it on the fallback path, the 2n quantile
+    # buckets × per-bucket key presence on the fast path), so the
+    # quadratic pairing is tiny at any data size — and it avoids any
+    # unpartitioned window (Catalyst constant-folds a literal partition
+    # key right back out, resurrecting the serial WindowExec this
+    # helper exists to remove). Two round-13 variants were measured and
+    # rejected: a driver-side fold re-entering as createDataFrame (no
+    # wall-clock gain, and its LogicalRDD leaf is structurally
+    # unbounded to the engine's broadcast-hint sweep — the hint below
+    # is legitimate precisely BECAUSE the subplan aggregates the scan),
+    # and a per-key window over the totals (no faster, breaks the
+    # no-unpartitioned-window invariant for ``keys=[]``).
+    t = sliced.groupBy("_rs_part", *keys).agg(
+        F.sum("_rs_val").alias("_rs_tot")
+    )
+    cond = F.col("b._rs_part") < F.col("a._rs_part")
+    for k in keys:
+        cond = cond & F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
+    offsets = (
+        t.alias("a")
+        .join(t.alias("b"), cond, "left")
+        .groupBy(
+            F.col("a._rs_part").alias("_rs_part"),
+            *[F.col(f"a.{k}").alias(k) for k in keys],
+        )
+        .agg(
+            F.coalesce(F.sum("b._rs_tot"), F.lit(0).cast("bigint")).alias(
+                "_rs_off"
+            )
+        )
+    )
     back = F.col("d._rs_part") == F.col("o._rs_part")
     for k in keys:
         back = back & F.col(f"d.{k}").eqNullSafe(F.col(f"o.{k}"))
