@@ -1753,3 +1753,64 @@ def funnel_source_adaptive_budget(
         )
     )
     return _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))
+
+
+@query("streaming_funnel_late_data_partitioned", oracle=_late_funnel_oracle())
+def streaming_funnel_late_data_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermark gate COMPOSED with horizontal admission (round 13:
+    #2 × #4): the same event-time-disordered epochs and watermark as
+    `streaming_funnel_late_data`, but each epoch's on-time set is
+    decided by the TWO-WAY PartitionedFunnelStreams coordinator over a
+    shared index. The merged decisions must hash-match the SAME
+    monolithic watermarked oracle — the gate is orthogonal to slicing
+    (it splits the batch BEFORE the id-hash routing), and the
+    (arrival epoch, id) dup rule is slicing-agnostic by the
+    publish/barrier argument."""
+    import datetime as _dt
+
+    from ..streaming.late_data import WatermarkedFunnelSink
+    from ..streaming.multi_admission import PartitionedFunnelStreams
+
+    key = (spark.sparkContext.applicationId, sf_dir, "late-partitioned")
+    cached = _INGEST_MEMO.get(key)
+    if cached is not None:
+        return cached
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == 0).withColumn(
+        "modified", F.expr(_LATE_TS_SPARK)
+    )
+    app = spark.sparkContext.applicationId
+    dname = index_table_name("ddidxlp", app, sf_dir)
+    index = build_dedup_index(
+        spark,
+        docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+        tempfile.mkdtemp(prefix=f"{dname}_"),
+        dname,
+    )
+    gname = index_table_name("contidxlp", app, sf_dir)
+    gtable = build_contamination_index(
+        spark,
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0),
+        tempfile.mkdtemp(prefix=f"{gname}_"),
+        gname,
+    )
+    coord = PartitionedFunnelStreams(
+        spark, index, gtable,
+        tempfile.mkdtemp(prefix=f"{dname}_pfunnel_"), n_streams=2,
+    )
+    wsink = WatermarkedFunnelSink(
+        coord, "modified", _dt.timedelta(minutes=LATE_DELAY_MIN)
+    )
+    epoch_of = (F.col("doc_id") / BATCH_MOD).cast("bigint") % LATE_EPOCHS
+    for epoch in range(LATE_EPOCHS):
+        wsink(batch.filter(epoch_of == epoch), epoch)
+    out = coord.decisions().select(
+        "doc_id", "is_novel", "n_grams", "n_shared", "is_contaminated",
+        "n_tokens", "admitted",
+    )
+    return _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))

@@ -86,43 +86,58 @@ class WatermarkedFunnelSink:
             if isinstance(delay, datetime.timedelta)
             else datetime.timedelta(seconds=float(delay))
         )
-        out_dir = os.path.dirname(inner.decisions_dir.rstrip("/"))
+        # single-stream sinks expose decisions_dir; the partitioned
+        # coordinator exposes out_dir directly — the gate composes with
+        # both (round 13: the watermark is orthogonal to slicing).
+        out_dir = getattr(inner, "out_dir", None) or os.path.dirname(
+            inner.decisions_dir.rstrip("/")
+        )
         self.wm_dir = os.path.join(out_dir, "_watermark")
         self.late_dir = os.path.join(out_dir, "late")
 
     # -- durable watermark state ------------------------------------------
-    def _cummax_at(self, epoch_id: int):
-        """cummax of epochs ≤ epoch_id from the durable record, or None
-        when that epoch never recorded one (only legitimate for
-        epoch_id < 0 — the 'before everything' basis)."""
+    def _cummax_record(self, epoch_id: int):
+        """(exists, value) for epoch_id's durable cummax record. The
+        two None-shapes are distinct (round-13 self-review): a MISSING
+        record for a prior epoch is diverged state (loud error at the
+        caller), while an existing record holding NULL means every
+        delivered row so far had a NULL (or no) event time — a young
+        stream with no watermark derivable yet, a legitimate state."""
         rec = read_epoch_record(
             self.inner.spark, os.path.join(self.wm_dir, f"epoch={epoch_id}")
         )
         if rec is None:
-            return None
+            return False, None
         try:
             rows = rec.collect()
         finally:
             unpersist_checkpoints(rec)
-        return rows[0]["max_event_time"] if rows else None
+        return True, (rows[0]["max_event_time"] if rows else None)
+
+    def _cummax_at(self, epoch_id: int):
+        """cummax value of epochs ≤ epoch_id (None when unrecorded OR
+        recorded-as-NULL; use :meth:`_cummax_record` to distinguish)."""
+        return self._cummax_record(epoch_id)[1]
 
     def watermark_for(self, epoch_id: int):
         """The watermark applied to epoch ``epoch_id``: prior cummax −
-        delay, or None when no prior epoch exists. Loud error when the
-        prior record is missing for a non-first epoch — epochs are
-        delivered serially, so its absence means the wrapper's state
-        and the stream checkpoint diverged (one recovery unit, same
-        posture as the inner sink's renumbering guard)."""
+        delay; None when no prior epoch exists OR no prior row carried
+        an event time (an empty/all-NULL early epoch cannot prove
+        lateness). Loud error when the prior record is MISSING for a
+        non-first epoch — epochs are delivered serially, so its absence
+        means the wrapper's state and the stream checkpoint diverged
+        (one recovery unit, same posture as the inner sink's
+        renumbering guard)."""
         if epoch_id <= 0:
             return None
-        prior = self._cummax_at(epoch_id - 1)
-        if prior is None:
+        exists, prior = self._cummax_record(epoch_id - 1)
+        if not exists:
             raise RuntimeError(
                 f"watermark state for epoch {epoch_id - 1} is missing "
                 f"under {self.wm_dir} — the stream checkpoint and the "
                 "sink state diverged; restore or reset them together"
             )
-        return prior - self.delay
+        return None if prior is None else prior - self.delay
 
     # -- the per-epoch gate -------------------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:

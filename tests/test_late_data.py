@@ -152,3 +152,28 @@ def test_null_event_time_is_never_late(spark, tmp_path):
         assert wsink._cummax_at(1) == _m(100)
     finally:
         _drop(spark, index, gtable)
+
+
+def test_empty_first_epoch_yields_no_watermark(spark, tmp_path):
+    """Round-13 self-review: an EMPTY (or all-NULL-event-time) first
+    epoch records a NULL cummax — the next epoch must see 'no
+    watermark derivable yet' (nothing dropped), not a diverged-state
+    crash."""
+    index, gtable = _build(spark, "lde")
+    sink = IngestFunnelSink(spark, index, gtable, str(tmp_path / "f"))
+    wsink = WatermarkedFunnelSink(
+        sink, "modified", datetime.timedelta(minutes=30)
+    )
+    try:
+        empty = spark.createDataFrame(
+            [], "doc_id bigint, text string, modified timestamp"
+        )
+        wsink(empty, 0)
+        assert wsink.watermark_for(1) is None  # NULL cummax, not a crash
+        wsink(_batch(spark, E0), 1)  # nothing droppable yet
+        assert wsink.late_accounting().count() == 0
+        assert {200, 201} <= {r.doc_id for r in sink.decisions().collect()}
+        # the real watermark engages one epoch later
+        assert wsink.watermark_for(2) == _m(70)
+    finally:
+        _drop(spark, index, gtable)
