@@ -42,6 +42,45 @@ def write_bucketed(
     )
 
 
+def write_bucketed_aligned(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_key: str,
+    n_buckets: int,
+) -> None:
+    """:func:`write_bucketed` with the input pre-shuffled onto the
+    bucket hash itself. ``repartition(n, key)`` and ``bucketBy(n,
+    key)`` use the SAME partition function (murmur3 pmod n), so every
+    write task holds exactly one bucket's rows → one file per bucket
+    regardless of upstream parallelism. Two wins for one-time
+    corpus-sized builds (round-13 VERDICT #1):
+
+    - file count stops growing with write parallelism (the plain path
+      writes tasks × buckets files — SCALE.md measured 64/bucket at
+      the 1000× point; this path writes exactly ``n_buckets``);
+    - the exchange is a pipeline breaker, so upstream expression
+      pipelines (e.g. the shingle-array transform feeding an explode)
+      are materialized into disk-backed shuffle files instead of
+      needing a block-manager checkpoint — the heap-bounded build
+      path's barrier.
+
+    The pre-shuffle is correctness-neutral: bucketBy recomputes the
+    bucket per row, so even a partition/bucket misalignment only costs
+    extra files, never wrong bucket contents."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(n_buckets, F.col(bucket_key))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:

@@ -82,7 +82,15 @@ def _first_order_boundaries(
     from pyspark.sql.types import NumericType, TimestampType
 
     first = order_by[0]
-    if " DESC" in str(first):
+    first_s = str(first)
+    if " DESC" in first_s:
+        return None
+    # NULLS LAST must be rejected EXPLICITLY (round-13 ADVICE): the
+    # window orders NULLs last, but _slice_expr places NULLs in slice 0
+    # (NULLS FIRST semantics). Today the probe below happens to throw on
+    # a SortOrder expression and the blanket except bails us out — but
+    # correctness must not depend on a swallowed engine error.
+    if " NULLS LAST" in first_s:
         return None
     named = df.select(first.alias("_rs_b"))
     if not isinstance(named.schema[0].dataType, (NumericType, TimestampType)):

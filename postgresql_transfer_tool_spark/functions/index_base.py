@@ -252,7 +252,9 @@ def _reclaim_dead_breaker(breaker: str) -> bool:
     try:
         with open(breaker) as f:
             txt = f.read()
-        seen = os.stat(breaker)
+            # fstat the open fd so content and identity come from the
+            # SAME inode — a path re-stat could describe a replacement
+            seen = os.stat(f.fileno())
     except OSError:
         return True  # marker vanished — its writer finished; retry
     pid_part = txt[len("pid="):].strip() if txt.startswith("pid=") else ""
@@ -263,25 +265,51 @@ def _reclaim_dead_breaker(breaker: str) -> bool:
         stale = time.time() - seen.st_mtime > _BREAKER_GRACE_S
     if not stale:
         return False
-    # round-13 ADVICE: read-then-remove was not atomic — two reclaimers
-    # both reading the same dead content could interleave so the slower
-    # one removed the faster one's FRESH (live) marker, letting both
-    # into the break critical section. Re-verify the marker on disk is
-    # still the byte-identical file we judged stale (same inode+mtime)
-    # immediately before unlinking; a changed identity means a racer
-    # already reclaimed and a new LIVE breaker holds the marker.
+    # round-14 (closes the r13 shrunken window): CLAIM the marker
+    # atomically before removing. The r13 stat-identity re-check could
+    # still interleave — between the re-stat and the unlink, a racer
+    # reclaims and a new live breaker recreates the path, so the slower
+    # reclaimer unlinked a live marker. rename() moves whatever file is
+    # at the path to a reclaimer-private name in ONE atomic step, so at
+    # most one reclaimer ever holds any given marker file. We then
+    # verify the claimed file is the one we judged stale (same
+    # inode+mtime); a mismatch means we claimed a LIVE breaker's fresh
+    # marker, which we restore via link() — link refuses to clobber a
+    # marker a third breaker may have since created (in that residual
+    # shape exactly one marker remains at the path; the stolen one is
+    # dropped and logged loudly).
+    claimed = f"{breaker}.reclaim.{os.getpid()}"
     try:
-        now = os.stat(breaker)
-        if (now.st_ino, now.st_mtime_ns) != (seen.st_ino, seen.st_mtime_ns):
-            return False  # marker changed hands — a live breaker owns it
+        os.rename(breaker, claimed)
     except OSError:
-        return True  # vanished — the other reclaimer won; retry
+        return True  # path vanished/moved — another reclaimer won; retry
     try:
-        os.remove(breaker)
+        now = os.stat(claimed)
     except OSError:
-        pass  # lost the removal race — the other remover won; retry
-    logger.warning("reclaimed orphaned lock-breaker marker %s (%r)", breaker, txt)
-    return True
+        return True  # our private name removed externally; retry break
+    if (now.st_ino, now.st_mtime_ns) == (seen.st_ino, seen.st_mtime_ns):
+        try:
+            os.remove(claimed)
+        except OSError:
+            pass
+        logger.warning(
+            "reclaimed orphaned lock-breaker marker %s (%r)", breaker, txt
+        )
+        return True
+    # mismatch: we claimed a live breaker's marker — restore it
+    try:
+        os.link(claimed, breaker)
+    except OSError:
+        logger.warning(
+            "could not restore claimed live breaker marker %s — a newer "
+            "marker already holds the path; dropping the claimed copy",
+            breaker,
+        )
+    try:
+        os.remove(claimed)
+    except OSError:
+        pass
+    return False  # a live breaker owns the path
 
 
 def _maybe_break_stale_lock(lock: str) -> bool:

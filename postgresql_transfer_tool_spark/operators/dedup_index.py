@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.bucketing import index_table_name, write_bucketed
+from ..functions.bucketing import (
+    index_table_name,
+    write_bucketed,
+    write_bucketed_aligned,
+)
 from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
@@ -167,23 +171,60 @@ def build_dedup_index(
     The one-time write is the only corpus-sized shuffle the index ever
     pays; every later batch probe reads the layout shuffle-free.
     ``stamp``: optional logical ingest stamp for TTL expiry (see
-    extend_dedup_index); None skips the stamp write."""
-    hashed, bands, pre = batch_signatures(docs)
-    idx = DedupIndex(f"{name}_bands", f"{name}_shingles")
-    write_bucketed(
-        bands, idx.bands_table, os.path.join(path, "bands"), "band_key", n_buckets
+    extend_dedup_index); None skips the stamp write.
+
+    Heap-bounded build (round-13 VERDICT #1). The previous build ran
+    through :func:`batch_signatures`, whose three corpus-sized
+    ``localCheckpoint`` relations (pre-explode shingle arrays, hashed
+    shingles, bands) all pin deserialized block-manager memory at once
+    — at the 5M-doc 1000× point (~190M shingle rows) that exceeded the
+    default 8 GiB single-JVM heap, and on a real cluster the same shape
+    would OOM a skewed executor. The build now caches NOTHING
+    corpus-sized; every barrier is a disk-backed shuffle:
+
+    1. shingle arrays → ``repartition(par, doc_id)`` — the exchange is
+       the pipeline breaker that defuses the Generate-collapse trap
+       (the array transform is materialized into shuffle files, the
+       explode reads a plain column), replacing the pre-explode
+       checkpoint;
+    2. explode + hash + ``distinct`` — the post-barrier rows are
+       already hash-clustered by doc_id, and clustering by a SUBSET of
+       the distinct keys satisfies the aggregation's distribution, so
+       the dedup adds no exchange;
+    3. the distinct relation is written straight to the bucketed
+       shingles table (aligned pre-shuffle → one file per bucket);
+    4. the band/MinHash aggregation reads the PERSISTED bucketed table
+       — groupBy on the bucket key is exchange-free — instead of a
+       cached relation, and its output shuffles once onto band_key for
+       the aligned bands write.
+
+    Probe paths keep batch_signatures unchanged: micro-batches are
+    small, and their checkpoints are reused across 2-3 plan branches
+    within one epoch."""
+    par = max(
+        spark.sparkContext.defaultParallelism,
+        n_buckets,
     )
-    write_bucketed(
-        hashed, idx.shingles_table, os.path.join(path, "shingles"), "doc_id", n_buckets
+    pre = shingle_arrays_from_docs(docs).repartition(par, F.col("doc_id"))
+    sh = pre.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = _spark_hashed_from(sh).select("doc_id", "h").distinct()
+    idx = DedupIndex(f"{name}_bands", f"{name}_shingles")
+    write_bucketed_aligned(
+        hashed, idx.shingles_table, os.path.join(path, "shingles"),
+        "doc_id", n_buckets,
+    )
+    persisted = spark.table(idx.shingles_table)
+    bands = minhash_bands_from_hashed(persisted)
+    write_bucketed_aligned(
+        bands, idx.bands_table, os.path.join(path, "bands"),
+        "band_key", n_buckets,
     )
     if stamp is not None:
         record_stamps(
-            spark, idx.bands_table, hashed.select("doc_id").distinct(), stamp
+            spark, idx.bands_table, persisted.select("doc_id").distinct(),
+            stamp,
         )
     write_index_meta(path, _FORMAT_KIND, _FORMAT_TABLES)
-    # index state now lives on disk/catalog — free the builder's blocks
-    for d in (bands, hashed, pre):
-        unpersist_checkpoints(d)
     return idx
 
 

@@ -337,6 +337,7 @@ def _run_streaming_funnel(
     source_budget: int | None = None,
     read_full_history: bool = False,
     n_streams: int | None = None,
+    with_media: bool = False,
 ) -> DataFrame:
     """Shared driver body for the streaming funnel rows: build the
     probe-only side indexes (+ the IVF index when ``with_ann``), cut the
@@ -373,6 +374,16 @@ def _run_streaming_funnel(
     )
     ann_kwargs = {}
     emb_cols = []
+    if with_media:
+        from .multimodal import build_media_fp_index
+
+        mname = index_table_name(f"mfpidx{tag}", app, sf_dir)
+        ann_kwargs["media_index"] = build_media_fp_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD != 0),
+            tempfile.mkdtemp(prefix=f"{mname}_"),
+            mname,
+        )
     if with_ann:
         from .ann_index import build_ann_index
         from .similarity import _spark_quantized_materialized, NPROBE
@@ -438,6 +449,7 @@ def _run_streaming_funnel(
         base_cols = (
             ["doc_id", "is_novel"]
             + (emb_cols if with_ann else ["n_grams", "n_shared"])
+            + (["is_media_novel"] if with_media else [])
             + ["is_contaminated", "n_tokens", "admitted"]
         )
     decided = (
@@ -595,6 +607,27 @@ def apply_embedding_stage(decisions: DataFrame, nn: DataFrame) -> DataFrame:
             & ~F.col("is_contaminated")
             & (F.col("n_tokens") >= MIN_TOKENS)
         ).alias("admitted"),
+    )
+
+
+def apply_media_stage(decisions: DataFrame, media_novel: DataFrame) -> DataFrame:
+    """Fold the cross-modal media stage into a funnel decision relation
+    (round-13 VERDICT #3): left-join the media-novel id set from the
+    persistent fingerprint index probe
+    (operators/multimodal.probe_media_fp — absent row ⇒ a media-dup)
+    and re-derive admission with the extra conjunct, making the
+    REJECTION rule text-dup OR media-dup. Shared by the streaming sink
+    and the batch composition, like :func:`funnel_decisions`."""
+    cols = [c for c in decisions.columns if c != "admitted"]
+    m_novel = F.coalesce(F.col("_m_novel"), F.lit(False))
+    return decisions.join(
+        media_novel.select("doc_id").withColumn("_m_novel", F.lit(True)),
+        "doc_id",
+        "left",
+    ).select(
+        *cols,
+        m_novel.alias("is_media_novel"),
+        (F.col("admitted") & m_novel).alias("admitted"),
     )
 
 
@@ -1500,6 +1533,56 @@ def _late_accounting_oracle() -> str:
     """
 
 
+def _late_backfill_oracle() -> str:
+    """Monolithic recompute of the watermarked funnel PLUS the batch
+    backfill pass (round-13 VERDICT #2): every batch doc is decided at
+    its EFFECTIVE epoch — arrival epoch when on-time, the single
+    backfill epoch ({LATE_EPOCHS}, after every arrival epoch) when
+    late — and the dup rule is (effective epoch, doc_id)-lexicographic
+    over that order. This IS the monolithic no-watermark run under the
+    effective delivery order: duplicate pairs are delivery-order
+    invariant; survivor selection follows (effective epoch, id)."""
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_late_meta_cte()},
+    feff AS (
+      SELECT doc_id, epoch FROM facc
+      UNION ALL
+      SELECT doc_id, {LATE_EPOCHS} AS epoch FROM flate
+    ),
+    fdirs AS (
+      SELECT doc_a AS d, doc_b AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT doc_b AS d, doc_a AS p FROM verified
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    fdups AS (
+      SELECT DISTINCT r.d AS doc_id
+      FROM fdirs r
+      JOIN feff fd ON fd.doc_id = r.d
+      LEFT JOIN feff fp ON fp.doc_id = r.p
+      WHERE r.p % {BATCH_MOD} <> 0
+         OR fp.epoch < fd.epoch
+         OR (fp.epoch = fd.epoch AND r.p < r.d)
+    ),
+    {_contamination_cte()}
+    SELECT d.doc_id,
+           (dp.doc_id IS NULL) AS is_novel,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_shared, 0) AS n_shared,
+           COALESCE(c.isc, FALSE) AS is_contaminated,
+           len({_SQL_TOKS}) AS n_tokens,
+           ((dp.doc_id IS NULL) AND NOT COALESCE(c.isc, FALSE)
+            AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS admitted,
+           CAST(fe.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN feff fe ON fe.doc_id = d.doc_id
+    LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+    LEFT JOIN fcont c ON c.doc_id = d.doc_id
+    """
+
+
 def _run_late_funnel(spark: SparkSession, sf_dir: str) -> tuple:
     """Shared runner for the two late-data rows: build the probe-only
     indexes, synthesize `modified`, cut the batch into LATE_EPOCHS
@@ -1541,29 +1624,48 @@ def _run_late_funnel(spark: SparkSession, sf_dir: str) -> tuple:
     epoch_of = (F.col("doc_id") / BATCH_MOD).cast("bigint") % LATE_EPOCHS
     for epoch in range(LATE_EPOCHS):
         wsink(batch.filter(epoch_of == epoch), epoch)
-    decisions = sink.decisions().select(
-        "doc_id", "is_novel", "n_grams", "n_shared", "is_contaminated",
-        "n_tokens", "admitted",
-    )
     late = wsink.late_accounting().select(
         "doc_id", F.col("epoch").cast("bigint").alias("epoch"),
         "event_time", "watermark",
+    ).localCheckpoint(eager=True)
+    # the backfill pass re-admits the accounted late set as one more
+    # epoch (= LATE_EPOCHS); the pre-backfill rows keep their semantics
+    # by filtering on the epoch partition column (checkpoint `late`
+    # FIRST — it must reflect the pre-backfill accounting even though
+    # backfill never mutates it, the read stays plan-stable this way)
+    wsink.backfill(batch)
+    dec_cols = [
+        "doc_id", "is_novel", "n_grams", "n_shared", "is_contaminated",
+        "n_tokens", "admitted",
+    ]
+    all_dec = sink.decisions()
+    decisions = all_dec.filter(
+        F.col("epoch").cast("bigint") < LATE_EPOCHS
+    ).select(*dec_cols)
+    backfilled = all_dec.select(
+        *dec_cols, F.col("epoch").cast("bigint").alias("epoch")
     )
-    return decisions, late
+    return decisions, late, backfilled
 
 
 def _late_funnel_memoized(spark: SparkSession, sf_dir: str) -> tuple:
-    """One watermarked-funnel run feeds both rows; each frame is its
-    own memo entry (independent checkpoints), and a partial eviction
-    re-runs the whole thing rather than returning a half-pair."""
+    """One watermarked-funnel run (epochs + backfill) feeds all three
+    rows; each frame is its own memo entry (independent checkpoints),
+    and a partial eviction re-runs the whole thing rather than
+    returning a torn triple."""
     app = spark.sparkContext.applicationId
-    kd, ka = (app, sf_dir, "late"), (app, sf_dir, "late-acct")
-    dec, acct = _INGEST_MEMO.get(kd), _INGEST_MEMO.get(ka)
-    if dec is None or acct is None:
-        decisions, late = _run_late_funnel(spark, sf_dir)
+    kd = (app, sf_dir, "late")
+    ka = (app, sf_dir, "late-acct")
+    kb = (app, sf_dir, "late-backfill")
+    dec = _INGEST_MEMO.get(kd)
+    acct = _INGEST_MEMO.get(ka)
+    bf = _INGEST_MEMO.get(kb)
+    if dec is None or acct is None or bf is None:
+        decisions, late, backfilled = _run_late_funnel(spark, sf_dir)
         dec = _INGEST_MEMO.put(kd, decisions.localCheckpoint(eager=True))
-        acct = _INGEST_MEMO.put(ka, late.localCheckpoint(eager=True))
-    return dec, acct
+        acct = _INGEST_MEMO.put(ka, late)  # checkpointed pre-backfill
+        bf = _INGEST_MEMO.put(kb, backfilled.localCheckpoint(eager=True))
+    return dec, acct, bf
 
 
 @query("streaming_funnel_late_data", oracle=_late_funnel_oracle())
@@ -1597,6 +1699,27 @@ def streaming_funnel_late_accounting(
     not silent data loss. Hash-matched against the same monolithic
     watermark recompute."""
     return _late_funnel_memoized(spark, sf_dir)[1]
+
+
+@query("streaming_funnel_late_backfill", oracle=_late_backfill_oracle())
+def streaming_funnel_late_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-row BACKFILL re-admission (round-13 VERDICT #2): after the
+    watermarked epochs of `streaming_funnel_late_data`, one batch pass
+    (streaming/late_data.WatermarkedFunnelSink.backfill) re-admits the
+    accounted late set through the unchanged funnel as epoch
+    {LATE_EPOCHS} — indexes extended, budgets charged, the pending set
+    PLANNED durably before the run so a crash anywhere replays the
+    identical batch (tests/test_late_data.py crash cuts). Returns the
+    full decision relation — accepted ∪ backfilled, each doc decided
+    exactly once at its effective epoch — which must hash-match the
+    monolithic no-watermark recompute under the effective delivery
+    order: pairs are delivery-order invariant, survivors follow
+    (effective epoch, doc_id). Reference parity: this is the batch
+    re-sync its `synced_with_posthog`/`last_local_modified_at` columns
+    imply (event-table.sql:17-18)."""
+    return _late_funnel_memoized(spark, sf_dir)[2]
 
 
 # ---------------------------------------------------------------------------
@@ -1814,3 +1937,88 @@ def streaming_funnel_late_data_partitioned(
         "n_tokens", "admitted",
     )
     return _INGEST_MEMO.put(key, out.localCheckpoint(eager=True))
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal rule in the streaming funnel (round-13 VERDICT #3):
+# `dedup_cross_modal_media` proved the OR-shaped pair rule in batch;
+# this row streams it — the decoded-media fingerprint evidence persists
+# as a FOURTH index table (operators/multimodal.MediaFpIndex,
+# equality-bucketed — the exact-dedup scale shape) and the admission
+# decision becomes REJECT iff text-dup OR media-dup, epoch-cut
+# invariant under the same seen=probed discipline as the text index.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_media_oracle() -> str:
+    """Monolithic recompute of the cross-modal funnel: the text stage
+    is `_funnel_cte`'s lowest-id-wins rule; the media stage declares a
+    batch doc media-dup iff its decoded-media fingerprint — determined
+    by (payload length, first-32-byte checksum), the same analytic
+    derivation `dedup_cross_modal_media`'s oracle uses — equals a
+    corpus doc's or a lower-id batch doc's. Admission requires BOTH
+    novelties (reject = text-dup OR media-dup)."""
+    return f"""
+    WITH {verified_pairs_cte()},
+    {_funnel_cte()},
+    mfp AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS plen,
+             list_sum(list_transform(range(32),
+               i -> ascii(substr(text, i + 1, 1)))) % 251 AS csum
+      FROM documents
+    ),
+    fmdup AS (
+      SELECT DISTINCT a.doc_id
+      FROM mfp a JOIN mfp b
+        ON a.plen = b.plen AND a.csum = b.csum AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % {BATCH_MOD} = 0
+        AND (b.doc_id % {BATCH_MOD} <> 0 OR b.doc_id < a.doc_id)
+    )
+    SELECT d.doc_id,
+           (dp.doc_id IS NULL) AS is_novel,
+           (md.doc_id IS NULL) AS is_media_novel,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_shared, 0) AS n_shared,
+           COALESCE(c.isc, FALSE) AS is_contaminated,
+           len({_SQL_TOKS}) AS n_tokens,
+           ((dp.doc_id IS NULL) AND (md.doc_id IS NULL)
+            AND NOT COALESCE(c.isc, FALSE)
+            AND len({_SQL_TOKS}) >= {MIN_TOKENS}) AS admitted
+    FROM documents d
+    LEFT JOIN fdups dp ON dp.doc_id = d.doc_id
+    LEFT JOIN fmdup md ON md.doc_id = d.doc_id
+    LEFT JOIN fcont c ON c.doc_id = d.doc_id
+    WHERE d.doc_id % {BATCH_MOD} = 0
+    """
+
+
+@query("streaming_funnel_cross_modal", oracle=_funnel_media_oracle())
+def streaming_funnel_cross_modal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streamed admission funnel with the CROSS-MODAL rule: three
+    id-ordered epochs through the IngestFunnelSink composed with the
+    persistent media-fingerprint index — per epoch the batch's decoded
+    media fingerprints (REAL Arrow-batched decode path,
+    operators/multimodal.media_fingerprints_from_docs) probe the
+    equality-bucketed fp table for corpus or earlier-streamed matches,
+    decisions gain is_media_novel, admission requires text-novel AND
+    media-novel, and every probed doc's fingerprint extends the table
+    (seen = probed — the rule is epoch-cut invariant, same argument as
+    the text index). Must hash-match the monolithic OR-rule recompute.
+    Crash/replay: the fp extension has the same decisions-durable →
+    extend repair bracket as the signature append
+    (tests/test_streaming_ingest_funnel.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "cross-modal-stream")
+    cached = _INGEST_MEMO.get(key)
+    if cached is None:
+        out = _run_streaming_funnel(
+            spark, sf_dir, with_ann=False, tag="cm", with_media=True
+        )
+        sel = out.select(
+            "doc_id", "is_novel", "is_media_novel", "n_grams", "n_shared",
+            "is_contaminated", "n_tokens", "admitted",
+        )
+        cached = _INGEST_MEMO.put(key, sel.localCheckpoint(eager=True))
+    return cached

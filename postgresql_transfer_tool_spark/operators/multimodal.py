@@ -181,11 +181,13 @@ def decode_media_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic media table: one FIMG blob per document, dims
-    derived from the payload size, header written with JVM-side
-    expressions (the fixture-side encoder matching _parse_decode)."""
-    docs = load_table(spark, sf_dir, "documents")
+def media_blobs_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, blob) for any (doc_id, text, ...) relation:
+    one FIMG blob per document, dims derived from the payload size,
+    header written with JVM-side expressions (the fixture-side encoder
+    matching _parse_decode). Factored out of :func:`media_table` so the
+    streaming funnel can derive media evidence for its own micro-batch
+    relations (round-13 VERDICT #3)."""
     payload = F.encode("text", "UTF-8")
     n = F.octet_length(payload)
     header = F.format_string(
@@ -198,6 +200,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/fake").alias("media_type"),
         F.concat(F.encode(header, "UTF-8"), payload).alias("blob"),
     )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic media table over the documents fixture."""
+    return media_blobs_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 def media_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,17 +842,8 @@ def dedup_cross_modal_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-merge with text pairs — is unchanged."""
     from .dedup import _lsh_verified_pairs, JACCARD_THRESHOLD
 
-    decoded = media_decode_pipeline(spark, sf_dir).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col("feature")[i].cast("bigint").cast("string")
-                    for i in range(4)
-                ],
-            )
-        ).alias("fp"),
+    decoded = media_fingerprints_from_docs(
+        load_table(spark, sf_dir, "documents")
     )
     mpairs = (
         decoded.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -868,3 +866,138 @@ def dedup_cross_modal_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_m", F.lit(False)).alias("matched_media"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent media-fingerprint index (round-13 VERDICT #3): the
+# cross-modal dedup evidence as a FOURTH index table, so the streaming
+# admission funnel can decide text-dup OR media-dup continuously.
+# `dedup_cross_modal_media` above proves the batch rule; this index
+# gives its media side the same persistent, equality-bucketed shape as
+# exact dedup: one (doc_id, fp) table bucketed on fp, probes join on
+# the bucket key (index side never shuffled), appends under the shared
+# single-writer lock. At 100 TB the fp relation is corpus-sized but the
+# probe exchanges only the batch side — the dedup_exact scale shape.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+from ..functions.bucketing import write_bucketed_aligned  # noqa: E402
+from ..functions.index_base import (  # noqa: E402
+    append_bucketed,
+    single_writer,
+    snapshot_before_write,
+)
+from ..functions.memo import unpersist_checkpoints  # noqa: E402
+
+N_MEDIA_FP_BUCKETS = 16
+
+
+class MediaFpIndex(NamedTuple):
+    """Handle to a persisted media-fingerprint table (bucketed on fp)."""
+
+    fp_table: str
+
+
+def media_fingerprints_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — the decoded-media feature fingerprint for any
+    (doc_id, text, ...) relation, through the REAL Arrow-batched decode
+    stage (blob synth → mapInPandas parse → feature → md5). Every
+    feature component is integral by construction, so the bigint cast
+    is exact and the fingerprint deterministic."""
+    decoded = media_blobs_from_docs(docs).mapInPandas(
+        decode_media_batches, DECODE_SCHEMA
+    )
+    return decoded.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col("feature")[i].cast("bigint").cast("string")
+                    for i in range(4)
+                ],
+            )
+        ).alias("fp"),
+    )
+
+
+def build_media_fp_index(
+    spark: SparkSession, docs: DataFrame, path: str, name: str
+) -> MediaFpIndex:
+    """Persist the corpus media fingerprints as the equality-bucketed
+    fp table — one decode pass, one shuffle (the aligned bucket
+    write)."""
+    idx = MediaFpIndex(f"{name}_mediafp")
+    write_bucketed_aligned(
+        media_fingerprints_from_docs(docs), idx.fp_table, path, "fp",
+        N_MEDIA_FP_BUCKETS,
+    )
+    return idx
+
+
+def probe_media_fp(
+    spark: SparkSession, batch_docs: DataFrame, index: MediaFpIndex
+) -> tuple[DataFrame, DataFrame]:
+    """(batch_fps, media_novel_ids) for one micro-batch under the
+    funnel's epoch-invariant rule: a doc is a media-dup iff its
+    fingerprint equals an INDEXED doc's (anything probed in an earlier
+    epoch — seen = probed) or a lower-id doc's in its own batch.
+    ``batch_fps`` is eagerly checkpointed (the caller extends the index
+    with it after decisions are durable, and owns the blocks); the
+    probe exchanges only the batch side — the fp table's bucketed
+    layout satisfies the join distribution as-is."""
+    fps = media_fingerprints_from_docs(batch_docs).localCheckpoint(
+        eager=True
+    )
+    idx_hit = fps.join(spark.table(index.fp_table), "fp", "left_semi")
+    mins = fps.groupBy("fp").agg(F.min("doc_id").alias("_min_id"))
+    within_dup = (
+        fps.join(mins, "fp").filter(F.col("doc_id") > F.col("_min_id"))
+    )
+    dups = idx_hit.select("doc_id").unionByName(
+        within_dup.select("doc_id")
+    ).distinct()
+    novel = fps.select("doc_id").join(dups, "doc_id", "left_anti")
+    return fps, novel
+
+
+def extend_media_fp_index(
+    spark: SparkSession, index: MediaFpIndex, fps: DataFrame,
+    op: str = "extend", wait: float | None = None,
+) -> None:
+    """Append the fingerprints of ALL probed docs (seen = probed — the
+    same discipline as append_all_signatures, for the same epoch-cut
+    invariance). ``fps`` must not read the fp table through a lazy plan
+    (probe_media_fp's checkpointed output never does)."""
+    with single_writer(spark, index.fp_table, op=op, wait=wait):
+        append_bucketed(
+            spark, index.fp_table, fps.select("doc_id", "fp"), "fp",
+            N_MEDIA_FP_BUCKETS,
+        )
+
+
+def repair_media_fp_index(
+    spark: SparkSession, index: MediaFpIndex, recorded: DataFrame,
+    batch_docs: DataFrame,
+) -> None:
+    """Replay repair (the decisions-durable → extend crash window):
+    re-derive fingerprints for recorded docs missing from the fp table
+    and append them — bounded by one epoch, idempotent after a
+    post-extend crash (the anti-join finds nothing)."""
+    indexed = spark.table(index.fp_table).select("doc_id")
+    missing = recorded.select("doc_id").join(
+        indexed, "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    try:
+        if missing.limit(1).count():
+            rows = batch_docs.join(missing, "doc_id", "left_semi")
+            fps = media_fingerprints_from_docs(rows).localCheckpoint(
+                eager=True
+            )
+            try:
+                extend_media_fp_index(spark, index, fps, op="replay-repair")
+            finally:
+                unpersist_checkpoints(fps)
+    finally:
+        unpersist_checkpoints(missing)

@@ -224,6 +224,7 @@ def load_all() -> None:
         text,
         approx,
         multimodal,
+        png_codec,
         custom_pandas,
         merge,
         corpus,

@@ -95,9 +95,16 @@ from ..operators.dedup_index import (
 )
 from ..operators.ingest import (
     apply_embedding_stage,
+    apply_media_stage,
     embedding_nn_probe,
     embedding_nn_probe_growing,
     funnel_decisions,
+)
+from ..operators.multimodal import (
+    MediaFpIndex,
+    extend_media_fp_index,
+    probe_media_fp,
+    repair_media_fp_index,
 )
 from .maintenance import MaintenancePolicy, run_maintenance
 from .exactly_once import (
@@ -134,6 +141,7 @@ class IngestFunnelSink:
         maintenance: MaintenancePolicy | None = None,
         source_budget: int | None = None,
         budget_per_epoch: bool = False,
+        media_index: MediaFpIndex | None = None,
     ) -> None:
         """``ann_index`` + ``embeddings`` (a (vec_id, qe, nq) lookup
         relation, vec_id = doc_id) switch on the embedding-novelty
@@ -202,6 +210,13 @@ class IngestFunnelSink:
         #: epoch numbering, which foreachBatch guarantees.
         self.budget_per_epoch = budget_per_epoch
         self.budget_dir = os.path.join(out_dir, "_budget")
+        #: cross-modal media stage (round 13 — VERDICT #3): when set,
+        #: each epoch's docs additionally probe the persistent media
+        #: fingerprint table (equality-bucketed, seen = probed), the
+        #: decision gains is_media_novel, and the REJECTION rule becomes
+        #: text-dup OR media-dup — the streaming counterpart of
+        #: dedup_cross_modal_media's batch composition.
+        self.media_index = media_index
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch_dir = os.path.join(self.decisions_dir, f"epoch={int(epoch_id)}")
@@ -280,6 +295,13 @@ class IngestFunnelSink:
                     # and a post-extend crash re-appends nothing —
                     # idempotent, no vector ever duplicated.
                     self._repair_ann(prior, int(epoch_id))
+                if self.media_index is not None:
+                    # same repair for the media fp table: recorded docs
+                    # whose fingerprints never landed are re-derived and
+                    # appended; a post-extend crash re-appends nothing
+                    repair_media_fp_index(
+                        self.spark, self.media_index, prior, batch_df
+                    )
                 if self.source_budget is not None:
                     # the budget-state record is derived from the
                     # decision record, so a crash between the two
@@ -295,6 +317,7 @@ class IngestFunnelSink:
         batch_df = batch_df.localCheckpoint(eager=True)
         res = dedup_batch_against_index(self.spark, batch_df, self.index)
         cont = check_batch_contamination(self.spark, batch_df, self.grams_table)
+        mfps = None
         try:
             decisions = funnel_decisions(batch_df, res.novel_ids, cont)
             if self.ann_index is not None:
@@ -313,6 +336,11 @@ class IngestFunnelSink:
                         nprobe=self.nprobe,
                     ),
                 )
+            if self.media_index is not None:
+                mfps, m_novel = probe_media_fp(
+                    self.spark, batch_df, self.media_index
+                )
+                decisions = apply_media_stage(decisions, m_novel)
             if self.source_budget is not None:
                 decisions = self._apply_budget(decisions, batch_df, int(epoch_id))
             write_epoch_record(decisions, epoch_dir)
@@ -329,6 +357,11 @@ class IngestFunnelSink:
                 res.batch_shingles,
                 stamp=int(epoch_id),
             )
+            if mfps is not None:
+                # seen = probed for the media side too: every probed
+                # doc's fingerprint enters the fp table, so the next
+                # epoch's media stage sees all earlier streamed docs
+                extend_media_fp_index(self.spark, self.media_index, mfps)
             if self.grow_ann:
                 # seen = probed for the vector side too: EVERY probed
                 # doc's embedding enters the IVF index (frozen corpus
@@ -347,6 +380,8 @@ class IngestFunnelSink:
         finally:
             for d in (*res.checkpoints, cont, batch_df):
                 unpersist_checkpoints(d)
+            if mfps is not None:
+                unpersist_checkpoints(mfps)
         self._maybe_maintain(int(epoch_id))
 
     def _maybe_maintain(self, epoch_id: int) -> None:

@@ -193,6 +193,129 @@ class WatermarkedFunnelSink:
         finally:
             unpersist_checkpoints(batch_df)
 
+    # -- batch re-admission of accounted late rows (round-13 VERDICT #1
+    # follow-up: the accounting record was auditable but TERMINAL; a
+    # 100 TB ingest wants the late set re-admitted — the
+    # flag-and-timestamp re-sync the reference's own columns imply,
+    # event-table.sql:17-18 `synced_with_posthog` /
+    # `last_local_modified_at`) -------------------------------------------
+    def _backfill_dir(self) -> str:
+        out_dir = os.path.dirname(self.late_dir.rstrip("/"))
+        return os.path.join(out_dir, "_backfill")
+
+    def backfill(self, docs_df: DataFrame) -> int | None:
+        """Re-admit every accounted late row through the unchanged
+        funnel as ONE batch epoch numbered after every committed epoch.
+
+        ``docs_df``: the document relation the funnel's batches were cut
+        from (must still carry the late rows — the accounting record
+        stores only identity + timestamps, the payload source of truth
+        stays the lake). Returns the backfill epoch id, or None when no
+        late rows are pending.
+
+        **Semantics.** Backfilled rows probe the index as it stands —
+        corpus plus every previously probed doc — and pair among
+        themselves by the same-epoch lower-id rule. The merged decision
+        relation therefore equals the monolithic no-watermark run under
+        the EFFECTIVE delivery order (arrival epoch for on-time rows,
+        the backfill epoch for late rows): duplicate pairs identical to
+        any delivery order, survivor selection lexicographic in
+        (effective epoch, doc_id). Budgets are charged by the inner
+        sink's unchanged budget-state machine — a backfilled doc spends
+        tokens exactly like an on-time one.
+
+        **Exactly-once.** The pending id set is PLANNED durably
+        (rename-aside record under ``_backfill/epoch=N``) before the
+        funnel runs, so a crash anywhere re-derives the identical
+        batch: an uncommitted planned epoch is resumed with its planned
+        ids (the inner ledger/fingerprint machinery then proves the
+        replay); a committed one is skipped. The epoch's watermark
+        cummax record is carried forward unchanged (late rows already
+        raised the cummax in their arrival epoch), so streamed epochs
+        may continue after a backfill — with epoch ids the CALLER must
+        keep from colliding (the stream checkpoint and sink state are
+        one recovery unit; run backfill at a quiescent cut).
+        """
+        spark = self.inner.spark
+        bf_dir = self._backfill_dir()
+        committed = self.inner.ledger.committed()
+
+        # 1. resume any planned-but-uncommitted backfill epoch first —
+        #    its batch is the PLANNED id set, not today's pending set
+        planned_epochs: list[int] = []
+        if os.path.isdir(bf_dir):
+            planned_epochs = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(bf_dir)
+                if d.startswith("epoch=")
+            )
+        plans: list[DataFrame] = []
+        try:
+            planned_ids = None
+            for e in planned_epochs:
+                plan = read_epoch_record(
+                    spark, os.path.join(bf_dir, f"epoch={e}")
+                )
+                if plan is None:
+                    continue  # crash before the plan's rename — never ran
+                plans.append(plan)
+                planned_ids = (
+                    plan
+                    if planned_ids is None
+                    else planned_ids.unionByName(plan)
+                )
+                if e not in committed:
+                    self._run_backfill_epoch(docs_df, plan, e)
+
+            # 2. pending = accounted late ids minus every planned id
+            if not os.path.isdir(self.late_dir) or not os.listdir(
+                self.late_dir
+            ):
+                return None
+            pending = self.late_accounting().select("doc_id").distinct()
+            if planned_ids is not None:
+                pending = pending.join(
+                    planned_ids.select("doc_id"), "doc_id", "left_anti"
+                )
+            pending = pending.localCheckpoint(eager=True)
+            plans.append(pending)
+            if not pending.limit(1).count():
+                return None
+            epoch = max(set(committed) | set(planned_epochs), default=-1) + 1
+            # plan first (atomic rename-aside): existence ⇒ this epoch's
+            # batch is THIS id set, on every replay
+            write_epoch_record(
+                pending.select("doc_id"),
+                os.path.join(bf_dir, f"epoch={epoch}"),
+            )
+            self._run_backfill_epoch(docs_df, pending, epoch)
+            return epoch
+        finally:
+            for p in plans:
+                unpersist_checkpoints(p)
+
+    def _run_backfill_epoch(
+        self, docs_df: DataFrame, plan_ids: DataFrame, epoch: int
+    ) -> None:
+        """One planned backfill epoch: carry the cummax forward, then
+        hand the planned rows to the inner sink under the planned id.
+        Idempotent — both writes are rename-aside overwrites and the
+        inner sink owns the commit point."""
+        spark = self.inner.spark
+        prior = self._cummax_at(epoch - 1)
+        ev_type = dict(docs_df.dtypes).get(self.event_col, "timestamp")
+        write_epoch_record(
+            spark.createDataFrame([(prior,)], f"max_event_time {ev_type}"),
+            os.path.join(self.wm_dir, f"epoch={epoch}"),
+        )
+        batch = docs_df.join(
+            plan_ids.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        try:
+            self.inner(batch, epoch)
+        finally:
+            unpersist_checkpoints(batch)
+
     # -- read-backs ----------------------------------------------------------
     def late_accounting(self) -> DataFrame:
         """Every dropped-late row across epochs:

@@ -98,6 +98,20 @@ from .exactly_once import (
 )
 
 
+def _has_committed_parquet(d: str) -> bool:
+    """True when ``d`` holds at least one parquet part file anywhere
+    below it. Distinguishes the one LEGITIMATE empty shape — a stream
+    dir created but no epoch committed yet — from a corrupt or
+    schema-drifted decisions dir, whose read errors must propagate
+    loudly instead of silently zeroing the budget basis (round-13
+    ADVICE)."""
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
 class _Stream(NamedTuple):
     idx: int
     decisions_dir: str
@@ -410,21 +424,15 @@ class PartitionedFunnelStreams:
         # its former owner's dir; slices are disjoint per epoch, so the
         # union counts each admission exactly once). Only the two
         # legitimate "no decisions yet" shapes contribute nothing: dir
-        # absent, or present but holding no parquet (round-13 ADVICE:
-        # real read errors propagate loudly, never silently zero the
-        # budget basis).
-        from pyspark.errors import AnalysisException
-
+        # absent, or present but holding no parquet part files. Any
+        # OTHER read error (corrupt footer, drifted schema) propagates
+        # loudly — swallowing it would silently under-count consumption
+        # and over-admit against the budget (round-13 ADVICE).
         parts = []
         for d in self._all_decisions_dirs():
-            if not os.path.isdir(d):
-                continue
-            try:
-                parts.append(
-                    self.spark.read.option("basePath", d).parquet(d)
-                )
-            except AnalysisException:
-                continue  # dir exists but no committed parquet yet
+            if not os.path.isdir(d) or not _has_committed_parquet(d):
+                continue  # no committed epoch yet — legitimately empty
+            parts.append(self.spark.read.option("basePath", d).parquet(d))
         if not parts:
             return empty
         dec = parts[0]
@@ -519,15 +527,19 @@ class PartitionedFunnelStreams:
     def decisions(self) -> DataFrame:
         """Union of all streams' decision rows across epochs — every
         stream dir that ever existed, so a re-shard never truncates the
-        merged relation."""
-        from pyspark.errors import AnalysisException
-
+        merged relation. Raises a descriptive error when NO stream has
+        committed an epoch yet (round-13 ADVICE: not a bare IndexError),
+        and lets read errors from a non-empty dir propagate."""
         parts = []
         for d in self._all_decisions_dirs():
-            try:
-                parts.append(self.spark.read.option("basePath", d).parquet(d))
-            except AnalysisException:
+            if not os.path.isdir(d) or not _has_committed_parquet(d):
                 continue
+            parts.append(self.spark.read.option("basePath", d).parquet(d))
+        if not parts:
+            raise FileNotFoundError(
+                f"no decisions committed under {self.out_dir!r} — run at "
+                "least one epoch before reading back decisions()"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

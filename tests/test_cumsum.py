@@ -106,3 +106,31 @@ def test_keyed_running_sum_null_key_forms_its_own_group(spark):
     assert sorted(map(tuple, got.collect()), key=by_id) == sorted(
         map(tuple, want.collect()), key=by_id
     )
+
+
+def test_nulls_last_order_is_fast_path_ineligible_and_correct(spark):
+    """Round-13 ADVICE: asc_nulls_last() was excluded from the slice
+    fast path only because approxQuantile happens to throw on a
+    SortOrder expression (swallowed by a blanket except) — correctness
+    must not ride a swallowed engine error. The probe now rejects
+    ' NULLS LAST' explicitly, and the range fallback (which range-
+    partitions on the SAME sort order) still matches the serial
+    window."""
+    from postgresql_transfer_tool_spark.functions.cumsum import (
+        _first_order_boundaries,
+    )
+
+    rows = [(None if i % 7 == 0 else i, (i * 3) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    order = [F.col("id").asc_nulls_last(), F.col("v")]
+    # explicit ineligibility — no reliance on the probe throwing
+    assert _first_order_boundaries(df, order, 16) is None
+    got = running_sum(df, order, F.col("v"), "cum", num_partitions=8)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    key = lambda t: (t[0] is None, t[0], t[1])
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )

@@ -496,3 +496,46 @@ def test_reclaim_dead_breaker_respects_fresh_marker(tmp_path, monkeypatch):
     monkeypatch.setattr(index_base, "pid_alive", swap_then_answer)
     assert _reclaim_dead_breaker(breaker) is False  # fresh marker spared
     assert open(breaker).read() == f"pid={os.getpid()}"
+
+
+def test_reclaim_claims_marker_atomically_restores_live(tmp_path, monkeypatch):
+    """Round-13 ADVICE closure: the stat-identity re-check left a
+    window — between the re-stat and the unlink, a racer could reclaim
+    the stale marker and a new LIVE breaker recreate the path, so the
+    slower reclaimer still deleted a live marker. The reclaim now
+    CLAIMS the marker with an atomic rename first; a claimed file whose
+    identity differs from the one judged stale is a live breaker's
+    marker and is restored, never removed. Simulated by injecting the
+    adversarial interleave into the rename itself."""
+    import subprocess
+    import sys
+
+    import postgresql_transfer_tool_spark.functions.index_base as ib
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    breaker = os.path.join(root, "_writer.lock.breaker")
+
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    open(breaker, "w").write(f"pid={dead.pid}")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if src == breaker:
+            # the racer wins the reclaim AND a new live breaker lands
+            # its marker at the path before our claim executes
+            os.remove(src)
+            with open(src, "w") as f:
+                f.write(f"pid={os.getpid()}")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(ib.os, "rename", racing_rename)
+    assert ib._reclaim_dead_breaker(breaker) is False
+    # the live marker survived intact and no private claim file leaked
+    with open(breaker) as f:
+        assert f.read() == f"pid={os.getpid()}"
+    assert not [
+        p for p in os.listdir(root) if ".reclaim." in p
+    ], "reclaimer-private claim file leaked"

@@ -48,7 +48,12 @@ E1 = [(300, "red orange yellow green blue indigo violet pink black white", 10),
       (302, "north south east west up down left right front back", 70),
       (303, "jan feb mar apr may jun jul aug sep oct", 120)]
 E2 = [(400, "sun moon star cloud rain snow wind fog hail storm", 80),
-      (401, "ca cb cc cd ce cf cg ch ci cj", 95)]
+      (401, "ca cb cc cd ce cf cg ch ci cj", 95),
+      # exact twin of LATE doc 300's text, arriving ON TIME after 300
+      # was dropped — the backfill survivor-order probe (doc 300 must
+      # come back a duplicate OF this doc, not the other way around)
+      (402, "red orange yellow green blue indigo violet pink black white",
+       96)]
 
 
 def _run(spark, tmpdir, epochs, delay_min=30):
@@ -175,5 +180,112 @@ def test_empty_first_epoch_yields_no_watermark(spark, tmp_path):
         assert {200, 201} <= {r.doc_id for r in sink.decisions().collect()}
         # the real watermark engages one epoch later
         assert wsink.watermark_for(2) == _m(70)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def _all_docs(spark):
+    return _batch(spark, E0 + E1 + E2)
+
+
+def test_backfill_readmits_late_rows(spark, tmp_path):
+    """Round-13 VERDICT #2 follow-up: the accounting record is no
+    longer terminal. backfill() re-admits the accounted late set as one
+    epoch after every committed epoch; every delivered doc ends up
+    decided exactly once; a backfilled doc whose twin arrived ON TIME
+    is the duplicate (survivor order = effective delivery order); the
+    index gains the backfilled docs (seen=probed); and a second
+    backfill call is a no-op."""
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "f"), (E0, E1, E2)
+    )
+    try:
+        assert wsink.backfill(_all_docs(spark)) == 3
+        dec = {r.doc_id: r for r in sink.decisions().collect()}
+        all_ids = {i for rows in (E0, E1, E2) for i, _, _ in rows}
+        assert set(dec) == all_ids  # exactly-once coverage, nothing lost
+        by_epoch = {
+            r.doc_id: int(r.epoch)
+            for r in sink.decisions().select("doc_id", "epoch").collect()
+        }
+        assert {i: e for i, e in by_epoch.items() if e == 3} == {
+            300: 3, 301: 3, 400: 3
+        }
+        # survivor order: on-time twin 402 (epoch 2) won; late 300 is dup
+        assert dec[402].is_novel and dec[402].admitted
+        assert not dec[300].is_novel and not dec[300].admitted
+        # novel late rows are admitted and INDEXED on re-admission
+        assert dec[301].admitted and dec[400].admitted
+        indexed = {
+            r.doc_id
+            for r in spark.table(index.shingles_table)
+            .select("doc_id").distinct().collect()
+        }
+        assert {300, 301, 400} <= indexed
+        # accounting stays an immutable audit log
+        assert wsink.late_accounting().count() == 3
+        # idempotence: nothing pending → no new epoch
+        assert wsink.backfill(_all_docs(spark)) is None
+        assert set(sink.ledger.committed()) == {0, 1, 2, 3}
+        # the carried-forward cummax keeps later watermarks derivable
+        assert wsink.watermark_for(4) == _m(90)
+    finally:
+        _drop(spark, index, gtable)
+
+
+def test_backfill_crash_cuts_replay_identically(spark, tmp_path):
+    """The two crash cuts the plan record exists for: (a) plan written,
+    funnel never ran — the retry resumes the SAME epoch with the SAME
+    planned ids; (b) decisions written, commit lost — the retry rides
+    the inner sink's partial-replay repair. Both converge bit-identical
+    to a clean backfill."""
+    clean_idx, clean_g, clean_sink, clean_w = _run(
+        spark, str(tmp_path / "clean"), (E0, E1, E2)
+    )
+    try:
+        clean_w.backfill(_all_docs(spark))
+        want = {tuple(r) for r in clean_sink.decisions().collect()}
+    finally:
+        _drop(spark, clean_idx, clean_g)
+
+    # (a) crash between the plan write and the funnel run
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "a"), (E0, E1, E2)
+    )
+    try:
+        real_run = wsink._run_backfill_epoch
+
+        def boom(docs_df, plan_ids, epoch):
+            raise RuntimeError("crash before the funnel ran")
+
+        wsink._run_backfill_epoch = boom
+        with pytest.raises(RuntimeError, match="crash before"):
+            wsink.backfill(_all_docs(spark))
+        assert os.path.isdir(wsink._backfill_dir())  # plan survived
+        assert 3 not in sink.ledger.committed()
+        wsink._run_backfill_epoch = real_run
+        assert wsink.backfill(_all_docs(spark)) is None  # resumed plan 3
+        assert 3 in sink.ledger.committed()
+        assert {tuple(r) for r in sink.decisions().collect()} == want
+    finally:
+        _drop(spark, index, gtable)
+
+    # (b) crash between the decision record and the epoch commit
+    index, gtable, sink, wsink = _run(
+        spark, str(tmp_path / "b"), (E0, E1, E2)
+    )
+    try:
+        wsink.backfill(_all_docs(spark))
+        # lose the commit marker (the decision record + index stay)
+        commits = [
+            p for p in os.listdir(sink.ledger.path) if "3" in p
+        ]
+        assert commits
+        for p in commits:
+            os.remove(os.path.join(sink.ledger.path, p))
+        assert 3 not in sink.ledger.committed()
+        assert wsink.backfill(_all_docs(spark)) is None  # replay-repair
+        assert 3 in sink.ledger.committed()
+        assert {tuple(r) for r in sink.decisions().collect()} == want
     finally:
         _drop(spark, index, gtable)

@@ -442,3 +442,44 @@ def test_reshard_budget_state_follows_sources(spark, tmp_path, monkeypatch):
         assert got == want
     finally:
         _drop(spark, index, gtable)
+
+
+def test_decisions_before_any_commit_is_descriptive(spark, tmp_path):
+    """Round-13 ADVICE: read-back before the first committed epoch used
+    to fall through to parts[0] and crash with a bare IndexError. It
+    now raises a descriptive error naming the out_dir."""
+    index, gtable = _build(spark, "pfempty")
+    out = str(tmp_path / "pempty")
+    coord = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=2)
+    with pytest.raises(FileNotFoundError, match="no decisions committed"):
+        coord.decisions()
+    _drop(spark, index, gtable)
+
+
+def test_corrupt_decisions_dir_propagates_loudly(spark, tmp_path):
+    """Round-13 ADVICE: the budget rebuild treated ANY AnalysisException
+    as 'dir exists but empty', so a corrupt decisions dir silently
+    vanished from the budget basis (under-counting consumption). A dir
+    that HOLDS parquet part files is now read without a net — corrupt
+    footers propagate; only the genuinely-empty shape is skipped."""
+    index, gtable = _build(spark, "pfcorrupt")
+    out = str(tmp_path / "pcorrupt")
+    coord = PartitionedFunnelStreams(spark, index, gtable, out, n_streams=2)
+    coord(_docs(spark, EPOCH0), 0)
+    coord.decisions().count()  # healthy read-back
+    # corrupt one stream's committed decisions: truncate a part file
+    victim = None
+    for root_, _dirs, files in os.walk(os.path.join(out, "s0", "decisions")):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(root_, f)
+    assert victim is not None
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        st = coord._stream(0)
+        # changed_at > last committed epoch forces the rebuild-from-
+        # decisions path (the cached per-stream state is ownership-stale)
+        coord._budget_state(st, 5, 3).count()
+    assert "IndexError" not in type(ei.value).__name__
+    _drop(spark, index, gtable)
