@@ -55,6 +55,7 @@ from ..functions.index_base import (
 from ..functions.memo import CheckpointMemo
 from .registry import ORACLES, query
 from .similarity import (
+    MAX_CELL_BITS,
     NPROBE,
     N_QUERIES,
     TOP_K,
@@ -64,6 +65,31 @@ from .similarity import (
     centroid_stride,
     top_cells_by_cosine,
 )
+
+#: Hard ceiling on driver-collected centroid rows (round-13 VERDICT #6).
+#: The id-hash sample targets ivf_cells_for(n) ≤ 2^MAX_CELL_BITS rows at
+#: ANY corpus size — cells grow corpus-adaptively only until the clamp,
+#: after which cell POPULATION grows instead, so the driver-side list is
+#: O(1) in n, not O(√n). Binomial noise around the target is ~1/√16384;
+#: 2× the clamp is therefore a broken-sampling alarm, never legitimate
+#: headroom the probe is allowed to consume.
+CENTROID_COLLECT_CEILING = 2 * (1 << MAX_CELL_BITS)
+
+
+def collect_centroids(spark: SparkSession, table: str) -> list:
+    """The ONLY sanctioned driver-side centroid materialization: every
+    probe/extend/retrain path funnels through this bounded collect, so
+    an index whose centroid table somehow outgrew the adaptive clamp
+    fails loudly here instead of OOMing the driver downstream."""
+    rows = spark.table(table).collect()
+    if len(rows) > CENTROID_COLLECT_CEILING:
+        raise RuntimeError(
+            f"centroid table {table} holds {len(rows)} rows — above the "
+            f"{CENTROID_COLLECT_CEILING} collect ceiling (2^MAX_CELL_BITS "
+            "clamp × 2). The sampling stride is broken or the table was "
+            "appended to outside retrain_ann_index; rebuild the index."
+        )
+    return [(r.cid, r.ce, r.ncent) for r in rows]
 
 #: bucket count for the cells table at fixture scale; at 100 TB size it
 #: like any bucketed layout (functions/bucketing.py guidance)
@@ -121,7 +147,7 @@ def build_ann_index(
         .format("parquet")
         .saveAsTable(idx.centroids_table)
     )
-    cent_rows = [(r.cid, r.ce, r.ncent) for r in spark.table(idx.centroids_table).collect()]
+    cent_rows = collect_centroids(spark, idx.centroids_table)
     assigned = vectors.select(
         "vec_id",
         top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
@@ -153,10 +179,7 @@ def extend_ann_index(
 
     _check_format(spark, index, backfill=True)
     with single_writer(spark, index.cells_table, op="extend"):
-        cent_rows = [
-            (r.cid, r.ce, r.ncent)
-            for r in spark.table(index.centroids_table).collect()
-        ]
+        cent_rows = collect_centroids(spark, index.centroids_table)
         assigned = snapshot_before_write(
             new_vectors.select(
                 "vec_id",
@@ -359,9 +382,7 @@ def retrain_ann_index(
             .format("parquet")
             .saveAsTable(tmp_cent)
         )
-        cent_rows = [
-            (r.cid, r.ce, r.ncent) for r in spark.table(tmp_cent).collect()
-        ]
+        cent_rows = collect_centroids(spark, tmp_cent)
         assigned = corpus.select(
             "vec_id",
             top_cells_by_cosine(cent_rows, 1)("qe", "nq")[0].alias("cell"),
@@ -401,10 +422,7 @@ def ann_query_index(
     per epoch and shares it here)."""
     _check_format(spark, index)
     if cent_rows is None:
-        cent_rows = [
-            (r.cid, r.ce, r.ncent)
-            for r in spark.table(index.centroids_table).collect()
-        ]
+        cent_rows = collect_centroids(spark, index.centroids_table)
     probes = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(top_cells_by_cosine(cent_rows, nprobe)("qe", "nq")).alias("cell"),

@@ -677,7 +677,7 @@ def embedding_nn_probe_growing(
     arrived. Cost: the index side is the standard probe (bucketed cells
     never reshuffled); the batch-local side joins two batch-sized
     relations on cell — per-batch work ∝ batch."""
-    from .ann_index import ann_query_index
+    from .ann_index import ann_query_index, collect_centroids
     from .similarity import top_cells_by_cosine
 
     batch_v = embeddings.join(
@@ -688,10 +688,7 @@ def embedding_nn_probe_growing(
     # one bounded centroid collect per epoch, shared between the index
     # probe and the batch-local side (round-11 review: the hot path
     # previously collected the centroids table twice per epoch)
-    cent_rows = [
-        (r.cid, r.ce, r.ncent)
-        for r in spark.table(ann_index.centroids_table).collect()
-    ]
+    cent_rows = collect_centroids(spark, ann_index.centroids_table)
     idx_nn = ann_query_index(
         spark, batch_v, ann_index, nprobe=nprobe, topk=1, cent_rows=cent_rows
     ).select("query_id", "cosine")

@@ -338,3 +338,34 @@ def test_reader_during_retrain_swap_sees_one_consistent_generation(spark):
         stem = index.cells_table.rsplit("_", 1)[0]
         for t in (f"{stem}_tombstones", f"{stem}_stamps"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_centroid_collect_ceiling_guards_driver_memory(spark):
+    """Every probe/extend/retrain path funnels its driver-side centroid
+    materialization through collect_centroids (round-13 VERDICT #6):
+    the adaptive cell clamp makes the list O(1) in corpus size, and a
+    centroid table that somehow outgrew 2× the clamp must fail loudly
+    instead of growing the driver heap with √n."""
+    import pytest as _pytest
+
+    from postgresql_transfer_tool_spark.operators.ann_index import (
+        CENTROID_COLLECT_CEILING,
+        collect_centroids,
+    )
+    from postgresql_transfer_tool_spark.operators.similarity import (
+        MAX_CELL_BITS,
+    )
+
+    assert CENTROID_COLLECT_CEILING == 2 * (1 << MAX_CELL_BITS)
+    name = f"centceil_{uuid.uuid4().hex[:8]}"
+    n = CENTROID_COLLECT_CEILING + 1
+    spark.range(n).select(
+        F.col("id").alias("cid"),
+        F.array(F.lit(1).cast("bigint")).alias("ce"),
+        F.lit(1).cast("bigint").alias("ncent"),
+    ).write.saveAsTable(name)
+    try:
+        with _pytest.raises(RuntimeError, match="collect ceiling"):
+            collect_centroids(spark, name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
