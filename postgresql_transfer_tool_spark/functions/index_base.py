@@ -734,6 +734,43 @@ def record_stamps(
     return stamps
 
 
+def append_stamp_rows(
+    spark: SparkSession, any_index_table: str, rows: DataFrame
+) -> str:
+    """Append pre-formed (id, stamp) ledger rows — the stamp-history
+    carry of an index MERGE (the source index's ids keep their original
+    ingest stamps in the destination, so TTL expiry stays correct
+    across the fold; re-stamping them at merge time would silently
+    extend every merged id's lifetime). Duplicate rows are harmless for
+    the same reason as :func:`record_stamps` replays — expiry reads
+    MAX(stamp) per id."""
+    stamps, path = _side_table(spark, any_index_table, "stamps")
+    out = rows.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("stamp").cast("long").alias("stamp"),
+    )
+    if spark.catalog.tableExists(stamps):
+        out.write.mode("append").format("parquet").saveAsTable(stamps)
+        spark.catalog.refreshTable(stamps)
+    else:
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(stamps)
+        )
+    return stamps
+
+
+def stamp_rows(spark: SparkSession, any_index_table: str) -> DataFrame | None:
+    """The raw (id, stamp) ledger of the index owning
+    ``any_index_table``, or None when no stamp was ever recorded —
+    the read side of :func:`append_stamp_rows`."""
+    stamps = _side_name(any_index_table, "stamps")
+    return spark.table(stamps) if spark.catalog.tableExists(stamps) else None
+
+
 def expired_ids(
     spark: SparkSession, any_index_table: str, before_stamp: int
 ) -> DataFrame:

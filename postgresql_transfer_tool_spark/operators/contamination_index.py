@@ -51,12 +51,14 @@ from ..functions.bucketing import index_table_name, write_bucketed
 from ..functions.index_base import (
     add_tombstones,
     append_bucketed,
+    append_stamp_rows,
     apply_tombstones,
     check_index_format,
     fold_side_tables,
     expired_ids,
     record_stamps,
     single_writer,
+    stamp_rows,
     swap_table,
     tombstones,
     write_index_meta,
@@ -161,6 +163,39 @@ def extend_contamination_index(
         append_bucketed(spark, grams_table, rows, "gram", n_buckets)
     for d in (rows, pre):
         unpersist_checkpoints(d)
+
+
+def merge_contamination_index(
+    spark: SparkSession,
+    dst_grams_table: str,
+    src_grams_table: str,
+    n_buckets: int = N_GRAM_BUCKETS,
+) -> None:
+    """Fold shard-built gram index ``src`` into ``dst`` — metadata only,
+    no document re-tokenized. Attributed (doc_id, gram) rows are a
+    per-document property, so union-of-indexes ≡ index-of-union exactly
+    (oracle-proved by the ``contamination_index_merge`` registry row);
+    held-out sets maintained by separate teams/jobs build independently
+    and fold here. Cross-shard duplicate (doc_id, gram) rows — the same
+    bench doc indexed by both shards — are harmless by the index's own
+    distinct-at-probe contract, so no overlap guard is needed (unlike
+    the dedup index, whose Jaccard verification counts rows).
+
+    ``src``'s retractions are honored at read; its ingest-stamp ledger
+    is carried verbatim so TTL expiry keeps original ingest times."""
+    if dst_grams_table == src_grams_table:
+        raise ValueError("merge_contamination_index: src and dst are the same")
+    _check_format(spark, dst_grams_table, backfill=True)
+    _check_format(spark, src_grams_table)
+    s_tombs = tombstones(spark, src_grams_table)
+    live = apply_tombstones(spark.table(src_grams_table), s_tombs, "doc_id")
+    with single_writer(spark, dst_grams_table, op="merge"):
+        ledger = stamp_rows(spark, src_grams_table)
+        if ledger is not None:
+            append_stamp_rows(
+                spark, dst_grams_table, apply_tombstones(ledger, s_tombs, "id")
+            )
+        append_bucketed(spark, dst_grams_table, live, "gram", n_buckets)
 
 
 def surviving_grams(spark: SparkSession, grams_table: str) -> DataFrame:
@@ -329,6 +364,53 @@ def contamination_incremental_index(spark: SparkSession, sf_dir: str) -> DataFra
         # lazy pre-explode checkpoint hiding in probe's lineage, and the
         # memo must free those blocks too (the r7 ADVICE extras pattern)
         cached = _CONTIDX_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
+    return cached
+
+
+_CONTMRG_MEMO = CheckpointMemo()
+
+
+@query(
+    "contamination_index_merge",
+    oracle=_monolithic_oracle(f"doc_id % {_BENCH_MOD} = 0"),
+)
+def contamination_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel gram-index build + metadata merge ≡ monolithic
+    build: the held-out set (doc_id % 50 == 0) is indexed as TWO
+    disjoint shard indexes — even multiples of 50 and odd multiples —
+    the second folded into the first with
+    :func:`merge_contamination_index` (no re-tokenization), then the
+    training batch probes the merged index. Oracle = the same
+    monolithic decontamination recompute as
+    `contamination_incremental_index`, proving the fold is invisible on
+    the probe surface."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CONTMRG_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        stem = index_table_name(
+            "contmrg", spark.sparkContext.applicationId, sf_dir
+        )
+        bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        dst = build_contamination_index(
+            spark,
+            bench.filter(F.col("doc_id") % (2 * _BENCH_MOD) == 0),
+            tempfile.mkdtemp(prefix=f"{stem}a_"),
+            f"{stem}a",
+        )
+        src = build_contamination_index(
+            spark,
+            bench.filter(F.col("doc_id") % (2 * _BENCH_MOD) != 0),
+            tempfile.mkdtemp(prefix=f"{stem}b_"),
+            f"{stem}b",
+        )
+        merge_contamination_index(spark, dst, src)
+        probe = check_batch_contamination(
+            spark, docs.filter(F.col("doc_id") % _BENCH_MOD != 0), dst
+        )
+        cached = _CONTMRG_MEMO.put(key, probe.localCheckpoint(eager=True), probe)
     return cached
 
 

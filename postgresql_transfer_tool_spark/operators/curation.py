@@ -398,3 +398,263 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint"),
         "curriculum_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 pipeline rows: deterministic global shuffle sharding,
+# leakage-guarded train/test split, weighted interleave scheduling —
+# the three decisions between "curated corpus" and "tensors on GPUs".
+# ---------------------------------------------------------------------------
+
+#: training-output shard count at fixture scale. At 100 TB, size shards
+#: to the target output file size (shard count ≥ cluster parallelism);
+#: every shape below is per-shard parallel, so the count is free.
+N_SHUFFLE_SHARDS = 8
+
+#: held-out fraction of the decontaminated split, in md5 buckets of 100
+_TEST_PCT = 10
+
+
+def _sql_h48(salt: str) -> str:
+    """48-bit engine-portable uniform hash of doc_id, salted — the
+    md5-prefix recipe of _SQL_BUCKET widened to 12 hex digits so
+    ORDER BY hash has no meaningful collision mass (2^-48 per pair)."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 12)"
+        " AS BIGINT)"
+    )
+
+
+def _spark_h48(salt: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+
+
+def _spark_salted_bucket(salt: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 100
+    )
+
+
+@query(
+    "global_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_sql_h48('shuf')} AS hv FROM documents
+    )
+    SELECT doc_id, hv % {N_SHUFFLE_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hv % {N_SHUFFLE_SHARDS}
+                              ORDER BY hv, doc_id) AS pos
+    FROM h
+    """,
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data serialization:
+    every document gets a (shard, pos) address under a salted-hash
+    permutation — the writer's manifest for "shuffle 100 TB once,
+    bit-reproducibly" (same rows, same order, any engine, any
+    parallelism, any re-run; the property RNG-based shuffles lose the
+    moment a partition count changes).
+
+    No global sort anywhere: shard = h % N is map-side; the within-
+    shard position is the KEYED two-phase prefix sum of 1 over the
+    (h, doc_id) order (functions/cumsum.keyed_running_sum), so the
+    biggest single task sees ~|corpus|/parallelism rows — a shard is
+    NOT ordered by one task, which is what makes the shape survive
+    shard counts far below parallelism."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _spark_h48("shuf").alias("hv")
+    )
+    sharded = docs.withColumn("shard", F.col("hv") % N_SHUFFLE_SHARDS)
+    return keyed_running_sum(
+        sharded,
+        ["shard"],
+        [F.col("hv"), F.col("doc_id")],
+        F.lit(1).cast("bigint"),
+        "pos",
+    ).select("doc_id", "shard", "pos")
+
+
+@query(
+    "training_mix_schedule",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_sql_h48('mix')} AS hv,
+             (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 25 AS w
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, w,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               AS src_rank
+      FROM h
+    )
+    SELECT doc_id, source, src_rank,
+           (CAST(src_rank AS DOUBLE) - 0.5) / w AS sched_pos
+    FROM r
+    """,
+)
+def training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interleave schedule: each document gets a continuous
+    schedule position such that reading in sched_pos order delivers
+    every source at its mix weight CONTINUOUSLY — after any prefix of
+    the stream, source s has contributed ≈ w_s-proportional docs (error
+    < 1 per source; the low-discrepancy property of rank/weight
+    interleaving). This is the dataloader-facing form of
+    `domain_mix_weights`: weights decide HOW MUCH of each domain,
+    the schedule decides WHERE in the stream each doc lands — no
+    epoch-boundary domain clumping.
+
+    Scale: within-source shuffle order is the salted portable hash
+    (map-side); src_rank is the keyed two-phase prefix sum over the
+    skewed low-cardinality `source` key (no one-task-per-source
+    window); sched_pos is a map-side IEEE division, bit-identical
+    across engines. Consumers sort by sched_pos per output shard —
+    composing with `global_shuffle_shards`' addressing — so no global
+    sort exists here either."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _spark_h48("mix").alias("hv"),
+        ((F.substring("source", 4, 10).cast("bigint") % 4 + 1) * 25).alias(
+            "w"
+        ),
+    )
+    ranked = keyed_running_sum(
+        docs,
+        ["source"],
+        [F.col("hv"), F.col("doc_id")],
+        F.lit(1).cast("bigint"),
+        "src_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        ((F.col("src_rank").cast("double") - F.lit(0.5)) / F.col("w")).alias(
+            "sched_pos"
+        ),
+    )
+
+
+def _split_oracle() -> str:
+    from .corpus import _NGRAM, _SQL_TOKS
+
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bkt
+      FROM documents
+    ), t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      WHERE len({_SQL_TOKS}) >= {_NGRAM}
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {_NGRAM - 1}),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4] || ' ' || toks[i+5])) AS grams
+      FROM t
+    ), test_g AS (
+      SELECT DISTINCT unnest(g.grams) AS gram
+      FROM g JOIN b USING (doc_id) WHERE b.bkt < {_TEST_PCT}
+    ), train_g AS (
+      SELECT g.doc_id, unnest(g.grams) AS gram
+      FROM g JOIN b USING (doc_id) WHERE b.bkt >= {_TEST_PCT}
+    ), shared AS (
+      SELECT t.doc_id, COUNT(s.gram) AS n_shared
+      FROM train_g t LEFT JOIN test_g s ON t.gram = s.gram
+      GROUP BY t.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.bkt < {_TEST_PCT} THEN 'test'
+                WHEN COALESCE(sh.n_shared, 0) > 0 THEN 'quarantined'
+                ELSE 'train' END AS split,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared
+    FROM b LEFT JOIN shared sh ON b.doc_id = sh.doc_id
+    """
+
+
+@query("corpus_split_decontaminated", oracle=_split_oracle())
+def corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/test split: a salted portable-hash bucket
+    holds out ~10% of documents as the evaluation split, then every
+    TRAIN document sharing any word-5-gram with any TEST document is
+    quarantined (split = 'quarantined') — the Brown et al. GPT-3
+    appendix-C decontamination applied at split time, so the eval set
+    is clean BY CONSTRUCTION rather than audited after the fact.
+    Reproducible: the split is a pure function of doc_id (backfills and
+    re-runs produce the identical partition; no RNG).
+
+    Scale: the test-gram relation is ~10% of the corpus gram
+    universe — corpus-sized, so unlike the benchmark-decontamination
+    rows it is NOT broadcast (no hint; the gram join shuffles both
+    sides on gram, AQE picks the strategy). At production scale the
+    same rule runs against the persisted gram index instead
+    (operators/contamination_index.py) — this row is the one-shot
+    split-time form."""
+    from .corpus import _NGRAM, _spark_tokens_materialized
+
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(0, size(toks)-{_NGRAM}),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],"
+        " toks[i+4])))"
+    )
+    g = (
+        _spark_tokens_materialized(spark, sf_dir)
+        .filter(F.size("toks") >= _NGRAM)
+        .select(
+            "doc_id",
+            grams_expr.alias("grams"),
+            _spark_salted_bucket("split").alias("bkt"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    test_grams = (
+        g.filter(F.col("bkt") < _TEST_PCT)
+        .select(F.explode("grams").alias("bgram"))
+        .distinct()
+    )
+    train_grams = g.filter(F.col("bkt") >= _TEST_PCT).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    shared = (
+        train_grams.join(
+            test_grams, train_grams.gram == test_grams.bgram, "left"
+        )
+        .groupBy("doc_id")
+        .agg(F.count("bgram").alias("n_shared"))
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _spark_salted_bucket("split").alias("bkt")
+    )
+    return base.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("bkt") < _TEST_PCT, "test")
+        .when(F.coalesce("n_shared", F.lit(0)) > 0, "quarantined")
+        .otherwise("train")
+        .alias("split"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias(
+            "n_shared"
+        ),
+    )

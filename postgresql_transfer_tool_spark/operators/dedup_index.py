@@ -525,6 +525,70 @@ def append_signature_rows(
     append_bucketed(spark, index.shingles_table, shingle_rows, "doc_id", n_buckets)
 
 
+def merge_dedup_index(
+    spark: SparkSession,
+    dst: DedupIndex,
+    src: DedupIndex,
+    n_buckets: int = N_INDEX_BUCKETS,
+    assume_disjoint: bool = True,
+) -> None:
+    """Fold shard-built index ``src`` into ``dst`` — metadata only, no
+    document is re-shingled. A MinHash-LSH index merges EXACTLY because
+    its per-document state (band keys, shingle fingerprints) does not
+    depend on the rest of the corpus: union-of-indexes ≡
+    index-of-union, bit for bit (oracle-proved by the
+    ``dedup_index_merge`` registry row). This is the 100 TB build
+    posture: shard the corpus across independent jobs, build each
+    shard's index in parallel, then fold the metadata — the merge moves
+    O(src index) rows and never touches raw text. (The IVF family has
+    no such identity — a vector's cell depends on the trained
+    centroids, so the ANN analog of "merge" is re-assignment into the
+    destination's frozen centroid space, i.e. ``extend_ann_index``.)
+
+    ``src``'s retractions are honored at read (tombstone anti-join):
+    deleted docs are not resurrected into ``dst``. ``src``'s ingest
+    stamps are carried verbatim (functions/index_base.append_stamp_rows)
+    so TTL expiry keeps the ORIGINAL ingest times across the fold.
+    ``src`` itself is left untouched — tearing it down is the caller's
+    call (typically DROP after a verified merge).
+
+    ``assume_disjoint``: shard builds partition the document space, so
+    by default src rows append as-is. With overlapping corpora pass
+    False — src docs already present in dst are skipped wholesale
+    (anti-join on dst's distinct indexed ids; one corpus-sized join,
+    still far cheaper than re-shingling) to keep per-doc shingle counts
+    exact for Jaccard verification.
+
+    Single-writer on ``dst`` for the whole read-snapshot → append
+    sequence; the src reads are lazy but reference only src tables, so
+    the torn-extend hazard (reading your own mid-merge writes) does not
+    arise."""
+    if dst.bands_table == src.bands_table:
+        raise ValueError("merge_dedup_index: src and dst are the same index")
+    _check_format(spark, dst, backfill=True)
+    _check_format(spark, src)
+    s_tombs = tombstones(spark, src.bands_table)
+    s_bands = apply_tombstones(spark.table(src.bands_table), s_tombs, "doc_id")
+    s_sh = apply_tombstones(spark.table(src.shingles_table), s_tombs, "doc_id")
+    with single_writer(spark, dst.bands_table, op="merge"):
+        if not assume_disjoint:
+            seen = spark.table(dst.shingles_table).select("doc_id").distinct()
+            s_bands = snapshot_before_write(
+                s_bands.join(seen, "doc_id", "left_anti")
+            )
+            s_sh = snapshot_before_write(s_sh.join(seen, "doc_id", "left_anti"))
+        from ..functions.index_base import append_stamp_rows, stamp_rows
+
+        ledger = stamp_rows(spark, src.bands_table)
+        if ledger is not None:
+            live = apply_tombstones(ledger, s_tombs, "id")
+            append_stamp_rows(spark, dst.bands_table, live)
+        append_signature_rows(spark, dst, s_bands, s_sh, n_buckets)
+    if not assume_disjoint:
+        for d in (s_bands, s_sh):
+            unpersist_checkpoints(d)
+
+
 # ---------------------------------------------------------------------------
 # Driver surface: split the documents fixture into a historical corpus
 # (doc_id % 4 != 0) and an incoming batch (% 4 == 0); index the corpus
@@ -641,6 +705,52 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs.filter(F.col("doc_id") % BATCH_MOD == 0), index
         )
         cached = _DDIDX_MEMO.put(
+            key, res.matched.localCheckpoint(eager=True), *res.checkpoints
+        )
+    return cached
+
+
+#: merge row memo — same lifecycle as _DDIDX_MEMO
+_DDMRG_MEMO = CheckpointMemo()
+
+
+@query("dedup_index_merge", oracle=_incremental_oracle())
+def dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel build + metadata merge ≡ monolithic build. The
+    corpus (doc_id % 4 != 0) is built as TWO independent shard indexes
+    — odd ids (% 2 == 1) and % 4 == 2, a disjoint partition of the
+    corpus — the second is folded into the first with
+    :func:`merge_dedup_index` (no re-shingling), and the batch
+    (% 4 == 0) probes the merged index. The oracle is the SAME
+    monolithic full-recompute as `dedup_incremental_index`, so the
+    driver proves union-of-indexes ≡ index-of-union on the probe
+    surface — the federated build story a 100 TB corpus needs (shards
+    build in parallel on separate jobs; the fold moves only index
+    metadata)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DDMRG_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        stem = index_table_name("ddmrg", spark.sparkContext.applicationId, sf_dir)
+        dst = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            tempfile.mkdtemp(prefix=f"{stem}a_"),
+            f"{stem}a",
+        )
+        src = build_dedup_index(
+            spark,
+            docs.filter(F.col("doc_id") % BATCH_MOD == 2),
+            tempfile.mkdtemp(prefix=f"{stem}b_"),
+            f"{stem}b",
+        )
+        merge_dedup_index(spark, dst, src)
+        res = dedup_batch_against_index(
+            spark, docs.filter(F.col("doc_id") % BATCH_MOD == 0), dst
+        )
+        cached = _DDMRG_MEMO.put(
             key, res.matched.localCheckpoint(eager=True), *res.checkpoints
         )
     return cached

@@ -1,0 +1,203 @@
+"""Shard-built index merge (round 14): union-of-indexes ≡
+index-of-union for the metadata-mergeable families.
+
+Per-document index state (LSH band keys / shingle fingerprints,
+attributed grams) does not depend on the rest of the corpus, so folding
+shard-built indexes must be EXACTLY invisible on the probe surface —
+pinned here against monolithic single-build ground truth, plus the
+lifecycle interactions a fold must not break: source-side retractions
+are honored (no resurrection), ingest stamps carry verbatim (TTL keeps
+original times), overlapping corpora don't double-count shingles.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_transfer_tool_spark.functions.index_base import (
+    expired_ids,
+    stamp_rows,
+)
+from postgresql_transfer_tool_spark.functions.memo import unpersist_checkpoints
+from postgresql_transfer_tool_spark.operators.contamination_index import (
+    build_contamination_index,
+    check_batch_contamination,
+    delete_from_contamination_index,
+    merge_contamination_index,
+)
+from postgresql_transfer_tool_spark.operators.dedup_index import (
+    DedupIndex,
+    build_dedup_index,
+    dedup_batch_against_index,
+    delete_from_dedup_index,
+    merge_dedup_index,
+)
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _text(seed: int, n: int = 50) -> str:
+    return " ".join(
+        f"{WORDS[(seed * 7 + i * 3) % len(WORDS)]}{seed}" for i in range(n)
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+#: two disjoint corpus shards plus a probe batch engineered to match
+#: documents from BOTH shards (so a merge that lost either side fails)
+SHARD_A = [(101, _text(1)), (102, _text(2)), (103, _text(3))]
+SHARD_B = [(201, _text(4)), (202, _text(5)), (203, _text(6))]
+BATCH = [
+    (901, _text(1)),   # dups shard A's 101
+    (902, _text(5)),   # dups shard B's 202
+    (903, _text(30)),  # novel
+]
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in df.collect()}
+
+
+def _probe_pairs(spark, index):
+    res = dedup_batch_against_index(spark, _docs(spark, BATCH), index)
+    got = _pairs(res.matched)
+    for d in res.checkpoints:
+        unpersist_checkpoints(d)
+    return got
+
+
+def _build(spark, rows, tag, stamp=None):
+    name = f"mrg{tag}_{uuid.uuid4().hex[:8]}"
+    return build_dedup_index(
+        spark, _docs(spark, rows), tempfile.mkdtemp(prefix=name), name,
+        stamp=stamp,
+    )
+
+
+def test_dedup_merge_equals_monolithic(spark):
+    dst = _build(spark, SHARD_A, "a")
+    src = _build(spark, SHARD_B, "b")
+    mono = _build(spark, SHARD_A + SHARD_B, "m")
+
+    merge_dedup_index(spark, dst, src)
+    got, want = _probe_pairs(spark, dst), _probe_pairs(spark, mono)
+    assert got == want
+    # both shards' docs must be reachable through the merged index
+    assert (101, 901) in got and (202, 902) in got
+
+
+def test_dedup_merge_honors_src_tombstones(spark):
+    dst = _build(spark, SHARD_A, "a")
+    src = _build(spark, SHARD_B, "b")
+    # retract 202 from src BEFORE the fold — the merge must not
+    # resurrect it into dst
+    delete_from_dedup_index(
+        spark, src, spark.createDataFrame([(202,)], "doc_id bigint")
+    )
+    merge_dedup_index(spark, dst, src)
+    got = _probe_pairs(spark, dst)
+    assert not any(202 in p for p in got)
+    assert any(101 in p for p in got)  # the rest of the fold is intact
+
+
+def test_dedup_merge_carries_stamps(spark):
+    dst = _build(spark, SHARD_A, "a", stamp=5)
+    src = _build(spark, SHARD_B, "b", stamp=1)
+    merge_dedup_index(spark, dst, src)
+    ledger = stamp_rows(spark, dst.bands_table)
+    assert ledger is not None
+    by_id = {r.id: r.stamp for r in ledger.collect()}
+    assert by_id[201] == 1 and by_id[101] == 5  # original times, not re-stamped
+    old = {r.id for r in expired_ids(spark, dst.bands_table, 3).collect()}
+    assert old == {201, 202, 203}  # TTL sees src's ids at src's times
+
+
+def test_dedup_merge_overlap_guard(spark):
+    overlap = SHARD_B + [(101, _text(1))]  # 101 lives in BOTH shards
+    dst = _build(spark, SHARD_A, "a")
+    src = _build(spark, overlap, "b")
+    mono = _build(spark, SHARD_A + SHARD_B, "m")
+    merge_dedup_index(spark, dst, src, assume_disjoint=False)
+    # 101's shingle rows must not double (Jaccard counts rows)
+    n = (
+        spark.table(dst.shingles_table)
+        .filter(F.col("doc_id") == 101)
+        .count()
+    )
+    n_mono = (
+        spark.table(mono.shingles_table)
+        .filter(F.col("doc_id") == 101)
+        .count()
+    )
+    assert n == n_mono
+    assert _probe_pairs(spark, dst) == _probe_pairs(spark, mono)
+
+
+def test_dedup_merge_self_raises(spark):
+    dst = _build(spark, SHARD_A, "a")
+    with pytest.raises(ValueError):
+        merge_dedup_index(spark, dst, DedupIndex(dst.bands_table, dst.shingles_table))
+
+
+def _cont_stats(spark, table, batch_rows):
+    probe = check_batch_contamination(spark, _docs(spark, batch_rows), table)
+    out = {r.doc_id: (r.n_grams, r.n_shared, r.is_contaminated)
+           for r in probe.collect()}
+    unpersist_checkpoints(probe)
+    return out
+
+
+def test_contamination_merge_equals_monolithic(spark):
+    tag = uuid.uuid4().hex[:8]
+    bench_a = [(11, _text(1)), (12, _text(2))]
+    bench_b = [(21, _text(3)), (22, _text(4))]
+    train = [(91, _text(1)), (92, _text(3)), (93, _text(40))]
+    dst = build_contamination_index(
+        spark, _docs(spark, bench_a), tempfile.mkdtemp(), f"cmrga{tag}"
+    )
+    src = build_contamination_index(
+        spark, _docs(spark, bench_b), tempfile.mkdtemp(), f"cmrgb{tag}",
+        stamp=2,
+    )
+    mono = build_contamination_index(
+        spark, _docs(spark, bench_a + bench_b), tempfile.mkdtemp(),
+        f"cmrgm{tag}",
+    )
+    merge_contamination_index(spark, dst, src)
+    got, want = _cont_stats(spark, dst, train), _cont_stats(spark, mono, train)
+    assert got == want
+    assert got[91][2] and got[92][2] and not got[93][2]
+    # src's stamp ledger crossed over verbatim
+    ledger = stamp_rows(spark, dst)
+    assert {r.id for r in ledger.collect()} == {21, 22}
+
+
+def test_contamination_merge_honors_src_tombstones(spark):
+    tag = uuid.uuid4().hex[:8]
+    bench_a = [(11, _text(1))]
+    bench_b = [(21, _text(3)), (22, _text(4))]
+    train = [(92, _text(3)), (94, _text(4))]
+    dst = build_contamination_index(
+        spark, _docs(spark, bench_a), tempfile.mkdtemp(), f"cmrgc{tag}"
+    )
+    src = build_contamination_index(
+        spark, _docs(spark, bench_b), tempfile.mkdtemp(), f"cmrgd{tag}"
+    )
+    delete_from_contamination_index(
+        spark, src, spark.createDataFrame([(21,)], "doc_id bigint")
+    )
+    merge_contamination_index(spark, dst, src)
+    got = _cont_stats(spark, dst, train)
+    assert not got[92][2]  # 21's grams were retracted pre-fold
+    assert got[94][2]      # 22's grams survived the fold

@@ -68,6 +68,11 @@ AUDIT = [
     "streaming_funnel_late_data",
     "streaming_funnel_late_backfill",
     "funnel_source_adaptive_budget",
+    "dedup_index_merge",
+    "contamination_index_merge",
+    "global_shuffle_shards",
+    "training_mix_schedule",
+    "corpus_split_decontaminated",
     "heavy_hitters_cms",
     "cohort_retention",
     "active_users_rolling",
