@@ -60,16 +60,24 @@ def pk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         notnull = reduce(
             Column.__and__, [F.col(c).isNotNull() for c in pk]
         )
-        dups = (
-            df.filter(notnull)
-            .groupBy(*pk)
-            .count()
-            .filter(F.col("count") > 1)
-            .agg(F.count("*").alias("duplicate_keys"))
-        )
-        nulls = df.filter(~notnull).agg(F.count("*").alias("null_keys"))
+        # ONE groupBy pass per table (guide §1.2): grouping on the PK
+        # puts null-key rows in their own groups, so duplicate groups
+        # (count>1, keys non-null) and null-key ROWS (sum of counts of
+        # null-key groups) both fall out of a single scan+aggregate —
+        # the previous shape scanned each table twice (dup branch +
+        # null branch) and cross-joined the two one-row results.
         out.append(
-            dups.crossJoin(nulls).select(
+            df.groupBy(*pk)
+            .count()
+            .agg(
+                F.count_if((F.col("count") > 1) & notnull).alias(
+                    "duplicate_keys"
+                ),
+                F.coalesce(
+                    F.sum(F.when(~notnull, F.col("count"))), F.lit(0)
+                ).alias("null_keys"),
+            )
+            .select(
                 F.lit(t).alias("table_name"), "duplicate_keys", "null_keys"
             )
         )

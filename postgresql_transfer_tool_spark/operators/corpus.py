@@ -153,7 +153,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _spark_tokens_materialized(spark, sf_dir)
     tok = toks.select("doc_id", F.explode("toks").alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf: tf holds exactly one row per (doc_id, w), so
+    # COUNT(*) per w over tf == COUNT(DISTINCT doc_id) over the raw
+    # token stream — but it re-aggregates the already-reduced tf rows
+    # (identical subtree, so the planner reuses tf's exchange) instead
+    # of re-exploding the token stream and shuffling raw (w, doc_id)
+    # pairs a second time (guide §2.3 "aggregate before you shuffle").
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
     )
@@ -320,28 +326,31 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unigram) table is vocabulary-sized and broadcasts. Two shuffles of
     the token stream total; no Python in the row path.
     Reference analog: none (driver-mandated extension surface, X4)."""
-    # checkpoint the repartitioned doc relation: the bigram stream is
-    # derived from it in four plan branches (bg, c12, c1, scored) — the
-    # cut stops each branch re-running the scan+repartition, while the
-    # materialization stays doc-sized (pre-explode).
-    docs = (
+    # checkpoint the bigram ARRAYS pre-explode (the corpus_ngram_topk /
+    # dedup.py shingle discipline): exploding the transform() expression
+    # directly re-evaluates the whole array build once per OUTPUT bigram
+    # (Generate codegen — O(len²) regex+concat work per document); over
+    # a checkpointed array column the explode is a plain read, and the
+    # one materialization serves both remaining branches (c1 and the
+    # scored window pass).
+    bgarr = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
         )
         .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], chr(31), toks[i]))"
+            ).alias("bgs"),
+        )
         .localCheckpoint(eager=False)
     )
-    bg = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, size(toks) - 1),"
-                   " i -> concat(toks[i-1], chr(31), toks[i]))")
-        ).alias("bg"),
-    )
-    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    bg = bgarr.select("doc_id", "source", F.explode("bgs").alias("bg"))
     c1 = bg.groupBy(F.split_part("bg", F.lit(_US), F.lit(1)).alias("w1")).agg(
         F.count("*").alias("c1")
     )
@@ -355,8 +364,16 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("decimal(11,10)")
     )
+    # c12 as a whole-partition count window over the bigram key instead
+    # of groupBy(bg) + join back (guide §2.4 "share one exchange"): the
+    # join form shuffled the RAW bigram stream for the sort-merge probe
+    # AND the partial-aggregated count table, and re-ran the explode a
+    # third time for the probe branch; the window form shuffles the
+    # stream exactly once on hash(bg) and counts within each key group
+    # in place — identical c12 values, one fewer exchange and one fewer
+    # explode pass over the token stream.
     scored = (
-        bg.join(c12, "bg")
+        bg.withColumn("c12", F.count(F.lit(1)).over(Window.partitionBy("bg")))
         .join(
             F.broadcast(c1),
             F.split_part("bg", F.lit(_US), F.lit(1)) == F.col("w1"),

@@ -114,10 +114,14 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
     )
+    # (-n_tokens ASC, doc_id) == (n_tokens DESC, doc_id): n_tokens is a
+    # non-null int, so the negated-ascending form is the identical total
+    # order but qualifies for the cumsum content-derived fast path —
+    # drops the repartitionByRange full-data exchange (guide §2.4).
     return (
         running_sum(
-            scored,
-            [F.col("n_tokens").desc(), F.col("doc_id")],
+            scored.withColumn("_negt", -F.col("n_tokens")),
+            [F.col("_negt"), F.col("doc_id")],
             F.col("n_tokens").cast("bigint"),
             "cum_tokens",
         )
@@ -392,12 +396,16 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # (-avg_quality ASC, …) == (avg_quality DESC, …): the score is a
+    # non-null, non-NaN double (decimal sum / count), so negation gives
+    # the identical total order while qualifying for the cumsum fast
+    # path — no repartitionByRange exchange over the pack relation.
     return running_sum(
-        pq,
-        [F.col("avg_quality").desc(), F.col("source"), F.col("pack_id")],
+        pq.withColumn("_negq", -F.col("avg_quality")),
+        [F.col("_negq"), F.col("source"), F.col("pack_id")],
         F.lit(1).cast("bigint"),
         "curriculum_rank",
-    )
+    ).drop("_negq")
 
 
 # ---------------------------------------------------------------------------

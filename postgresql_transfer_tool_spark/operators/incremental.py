@@ -504,7 +504,14 @@ def interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
     dl = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("delta"))
-    c = running_sum(dl, [F.col("event_type"), F.col("t")], F.col("delta"), "conc")
+    # the cumsum relation feeds BOTH the per-type peak aggregate and the
+    # peak-instant join below — checkpoint it so the two-phase window +
+    # offsets subplan materializes once instead of twice (guide §5:
+    # cut lineage when an intermediate is reused; the relation is
+    # delta-point-sized, bounded by 2× the distinct event timestamps)
+    c = running_sum(
+        dl, [F.col("event_type"), F.col("t")], F.col("delta"), "conc"
+    ).localCheckpoint(eager=False)
     mx = c.groupBy("event_type").agg(F.max("conc").alias("peak"))
     return (
         c.join(F.broadcast(mx), "event_type")

@@ -50,15 +50,27 @@ def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for fk in FIXTURE_FOREIGN_KEYS:
         col, ref_col = fk.columns[0], fk.ref_columns[0]
-        child = load_table(spark, sf_dir, fk.table).select(col).filter(
-            F.col(col).isNotNull()
+        # Aggregate child rows to (key, row-count) BEFORE the anti-join
+        # (guide §2.3): the shuffle then carries one row per DISTINCT
+        # child key instead of one per child row (map-side partials do
+        # the reduction), and the anti-join probes distinct keys. The
+        # orphan ROW count is recovered as the sum of counts of the
+        # surviving keys — identical to COUNT(*) over anti-joined rows.
+        child = (
+            load_table(spark, sf_dir, fk.table)
+            .select(col)
+            .filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count("*").alias("_rows"))
         )
         parent = load_table(spark, sf_dir, fk.ref_table).select(ref_col)
         orphans = child.join(parent, child[col] == parent[ref_col], "left_anti")
         out.append(
             orphans.agg(
                 F.lit(f"{fk.table}.{col}").alias("fk_edge"),
-                F.count("*").alias("orphan_count"),
+                F.coalesce(F.sum("_rows"), F.lit(0)).cast("bigint").alias(
+                    "orphan_count"
+                ),
             )
         )
     return reduce(DataFrame.unionByName, out)

@@ -223,12 +223,19 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over (quality desc, doc_id) — non-sampled docs contribute 0 tokens,
     # so at every sampled row the running sum equals the oracle's cumsum
     # over sampled rows only; no serial WindowExec task at any scale.
+    # The order is expressed as (-quality ASC, doc_id): quality is a
+    # non-null exact decimal, so negation is order-reversing and the
+    # total order is identical to (quality DESC, doc_id) — but the
+    # ascending-numeric form is eligible for the cumsum's content-
+    # derived fast path (guide §2.4), which replaces the
+    # repartitionByRange fallback's full-data range exchange with a
+    # deterministic slice expression: one fewer corpus-sized shuffle.
     flagged = running_sum(
-        staged,
-        [F.col("quality").desc(), F.col("doc_id")],
+        staged.withColumn("_negq", -F.col("quality")),
+        [F.col("_negq"), F.col("doc_id")],
         F.when(F.col("is_sampled"), F.col("ntoks")).otherwise(0).cast("bigint"),
         "cum_tokens",
-    ).withColumn(
+    ).drop("_negq").withColumn(
         "is_budgeted",
         F.col("is_sampled") & (F.col("cum_tokens") <= _PIPE_BUDGET),
     )

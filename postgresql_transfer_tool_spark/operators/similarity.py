@@ -905,13 +905,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    ew = Window.partitionBy("vec_id", "m").orderBy(F.col("dist"), F.col("k"))
+    # Per-(vector, subspace) argmin as MIN(struct(dist, k)) — struct
+    # ordering is lexicographic, so the minimum is exactly the
+    # row_number()-over-(dist, k) winner the previous window form kept
+    # (rk=1), but as an ordinary aggregate it partial-aggregates
+    # MAP-SIDE: the broadcast join emits all PQ_K candidate rows per
+    # (vec_id, m) on one task, the partial min collapses them to one
+    # row before the exchange, and no per-group sort runs at all
+    # (guide §2.3 "aggregate before you shuffle" — the window form
+    # shuffled n·PQ_M·PQ_K rows and sorted them per group).
     enc = (
         sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "k", l2.alias("dist"))
-        .withColumn("erk", F.row_number().over(ew))
-        .filter(F.col("erk") == 1)
-        .select("vec_id", "m", F.col("k").alias("code"))
+        .select("vec_id", "m", F.struct(l2.alias("dist"), "k").alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk").alias("dk"))
+        .select("vec_id", "m", F.col("dk.k").alias("code"))
     )
     pd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: x * y),

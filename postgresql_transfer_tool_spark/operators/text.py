@@ -285,11 +285,18 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.trim("text"), r"\s+")
     )
     n = F.size("toks")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda w: F.size(F.filter("toks", lambda x: x == w)),
-        )
+    # most-frequent-word count as the longest run of the SORTED token
+    # array (one aggregate() fold): O(n log n) per document instead of
+    # the O(distinct × n) nested rescan of transform+filter — same
+    # exact count, and the map-side cost stays bounded for long
+    # documents at 100 TB (guide §1.2 step 2: per-task work).
+    top_cnt = F.expr(
+        "aggregate(array_sort(toks),"
+        " struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),"
+        " (acc, x) -> struct(x AS prev,"
+        "   IF(x = acc.prev, acc.run + 1, 1) AS run,"
+        "   GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1)) AS best),"
+        " acc -> acc.best)"
     )
     three_grams = F.expr(
         "transform(sequence(0, size(toks)-3),"

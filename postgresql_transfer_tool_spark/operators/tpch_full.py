@@ -73,10 +73,18 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2: cheapest EUROPE supplier per selected part, via the classic
-    correlated scalar-MIN subquery (Catalyst decorrelates it into an
-    aggregate + join; supplycost proxy = MIN lineitem price per
-    (part, supplier) since the fixture has no partsupp)."""
+    """Q2: cheapest EUROPE supplier per selected part. The oracle keeps
+    the classic correlated scalar-MIN subquery; the engine evaluates the
+    equivalent per-part window minimum instead: Spark inlines the ``ps``
+    CTE into BOTH the outer block and the decorrelated subquery, so the
+    correlated form aggregated lineitem TWICE (two full scans). Here the
+    EUROPE-supplier cost relation is built once and the per-part minimum
+    is MIN() OVER (PARTITION BY part) on that same relation — one
+    lineitem aggregation, one window shuffle on the (part, supplier)
+    grain, identical rows (the subquery's min ranges over exactly the
+    EUROPE rows of the same part; ties at the min survive in both
+    forms). Supplycost proxy = MIN lineitem price per (part, supplier)
+    since the fixture has no partsupp."""
     _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     return spark.sql(
         """
@@ -84,21 +92,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT l_partkey, l_suppkey,
                  MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
           FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        euro AS (
+          SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+                 ps.l_partkey, ps.supplycost, s_acctbal, s_name, n_name
+          FROM ps, supplier, nation, region
+          WHERE s_suppkey = ps.l_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE'
+        ),
+        best AS (
+          SELECT *, MIN(supplycost) OVER (PARTITION BY l_partkey) AS min_cost
+          FROM euro
         )
-        SELECT /*+ BROADCAST(nation), BROADCAST(region) */
-               s_acctbal, s_name, n_name, p_partkey, p_name,
-               CAST(ps.supplycost AS DOUBLE) AS supplycost
-        FROM part, ps, supplier, nation, region
-        WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
-          AND p_size IN (5, 15, 25) AND p_type = 'STANDARD'
-          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'EUROPE'
-          AND ps.supplycost = (
-            SELECT /*+ BROADCAST(n2), BROADCAST(r2) */ MIN(ps2.supplycost)
-            FROM ps ps2, supplier s2, nation n2, region r2
-            WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
-              AND s2.s_nationkey = n2.n_nationkey
-              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(supplycost AS DOUBLE) AS supplycost
+        FROM part JOIN best ON p_partkey = l_partkey
+        WHERE p_size IN (5, 15, 25) AND p_type = 'STANDARD'
+          AND supplycost = min_cost
         """
     )
 

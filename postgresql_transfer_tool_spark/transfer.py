@@ -251,8 +251,27 @@ class TransferPipeline:
                 res.pk_violations = audit_primary_key(tdf, info.primary_key)
             for cols in info.unique:
                 res.unique_violations[", ".join(cols)] = audit_unique(tdf, cols)
-            for check in info.checks:
-                res.check_violations[check] = audit_check(tdf, check)
+            # ALL check constraints in ONE aggregation pass over the
+            # table (guide §1.2 "don't compute things twice" / §2.3
+            # partial aggregation): each check is a count_if over the
+            # same scan, so k checks cost one scan instead of k. Falls
+            # back to the per-check audit on any expression error so a
+            # malformed check stays isolated to itself.
+            if info.checks:
+                try:
+                    row = tdf.agg(
+                        *[
+                            F.count_if(
+                                ~F.coalesce(F.expr(check), F.lit(True))
+                            ).alias(f"_c{i}")
+                            for i, check in enumerate(info.checks)
+                        ]
+                    ).collect()[0]
+                    for i, check in enumerate(info.checks):
+                        res.check_violations[check] = int(row[f"_c{i}"])
+                except Exception:
+                    for check in info.checks:
+                        res.check_violations[check] = audit_check(tdf, check)
             for fk in info.foreign_keys:
                 if fk.ref_table not in report.results or (
                     report.results[fk.ref_table].status != "copied"
@@ -338,13 +357,25 @@ def audit_check(tdf, check: str) -> int:
 
 
 def audit_fk_orphans(child_df, parent_df, fk) -> int:
-    """C4 — orphan count for one FK edge as a distributed anti-join."""
+    """C4 — orphan count for one FK edge as a distributed anti-join.
+
+    The child side is reduced to (key, row-count) before the join
+    (guide §2.3): the anti-join shuffle carries one row per distinct
+    child key, not one per child row, and the orphan ROW count is the
+    sum of counts over surviving keys — identical to counting
+    anti-joined rows."""
     parent = parent_df.select(*fk.ref_columns)
-    child = child_df.select(*fk.columns).na.drop()
+    child = (
+        child_df.select(*fk.columns)
+        .na.drop()
+        .groupBy(*fk.columns)
+        .agg(F.count("*").alias("_rows"))
+    )
+    orphans = child.join(
+        parent,
+        [child[c] == parent[r] for c, r in zip(fk.columns, fk.ref_columns)],
+        "left_anti",
+    )
     return int(
-        child.join(
-            parent,
-            [child[c] == parent[r] for c, r in zip(fk.columns, fk.ref_columns)],
-            "left_anti",
-        ).count()
+        orphans.agg(F.coalesce(F.sum("_rows"), F.lit(0)).alias("n")).collect()[0]["n"]
     )
