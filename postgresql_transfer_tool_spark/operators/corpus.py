@@ -226,11 +226,16 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the gram relation feeds both the bench and train
     # branches — materialize once instead of re-running the CPU-heavy
     # tokenize+5-gram expression per branch (same pattern as dedup.py).
+    # The balance repartition runs BEFORE the gram build (r14, guide
+    # §2.3): the round-robin exchange then carries the token arrays,
+    # not the ~5×-heavier distinct-5-gram arrays, and the CPU-heavy
+    # gram expression still evaluates spread across the full core
+    # budget (sized from the session, not the r13 hard-coded 32).
     g = (
         _spark_tokens_materialized(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.size("toks") >= _NGRAM)
         .select("doc_id", grams_expr.alias("grams"))
-        .repartition(32)
         .localCheckpoint(eager=True)
     )
     bench = (

@@ -627,15 +627,19 @@ def corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],"
         " toks[i+4])))"
     )
+    # Balance repartition BEFORE the gram build (r14, guide §2.3): the
+    # round-robin exchange carries token arrays instead of the heavier
+    # distinct-gram arrays; width from the session's core budget, not
+    # the r13 hard-coded 32 (scale-adaptive settings rule).
     g = (
         _spark_tokens_materialized(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.size("toks") >= _NGRAM)
         .select(
             "doc_id",
             grams_expr.alias("grams"),
             _spark_salted_bucket("split").alias("bkt"),
         )
-        .repartition(32)
         .localCheckpoint(eager=True)
     )
     test_grams = (

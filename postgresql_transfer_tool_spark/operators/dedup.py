@@ -932,36 +932,45 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bucket argument as the banded MinHash-LSH pipeline, with no
     O(n²) anywhere. Jaccard over fingerprint sets is exact on the kept
     fingerprints (division-only double, bit-portable)."""
-    # Same double-checkpoint as _spark_shingles_materialized: cut lineage
-    # BEFORE the explode (CollapseProject would re-evaluate the md5-heavy
-    # fps array per output element — O(grams²) per doc) and AFTER it (the
-    # relation feeds df-counts, both self-join sides, and per-doc sizes).
+    # Lineage cut BEFORE the explode (CollapseProject would re-evaluate
+    # the md5-heavy fps array per output element — O(grams²) per doc).
     pre = (
         winnow_fps_df(spark, sf_dir)
         .select("doc_id", "fps")
         .localCheckpoint(eager=False)
     )
-    fp = pre.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint(
-        eager=False
+    fp = pre.select("doc_id", F.explode("fps").alias("fp"))
+    # ONE shuffle of the (doc_id, fp) stream now does BOTH the df cap
+    # and the pairing (r14, guide §2.3/§2.4): group each fingerprint
+    # into its sorted member list (df == list length, row-multiplicity
+    # preserved), drop over-cap boilerplate buckets, and generate the
+    # a<b member pairs IN-ARRAY. The r13 shape shuffled the stream for
+    # the df count, again for the cap join, and twice more for the
+    # self-join sides (14 exchanges); every pair the self-join's
+    # bucket-bounded O(cap²) work produced — including multiplicity
+    # products when a doc repeats a fingerprint — falls out of the
+    # position-pair expansion of the same sorted multiset.
+    bucket = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= WINNOW_DF_CAP)
+        .localCheckpoint(eager=False)  # feeds pair gen AND per-doc sizes
     )
-    df_counts = fp.groupBy("fp").agg(F.count("*").alias("df"))
-    # Checkpoint the capped relation too: it feeds both self-join sides
-    # and the per-doc size aggregate — without the cut, the df-cap
-    # shuffle join re-runs once per consumer branch.
-    kept = fp.join(
-        df_counts.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"
-    ).localCheckpoint(eager=False)
-    sz = kept.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
-    a, b = kept.alias("a"), kept.alias("b")
+    sz = (
+        bucket.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fps"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

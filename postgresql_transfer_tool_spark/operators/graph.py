@@ -134,31 +134,47 @@ def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     pagerank_copurchase for the spec and scale argument. Returns
     (v, r) with r in PR_SCALE fixed-point units.
 
-    Only the REUSED relations (edge+degree table, node list) are
-    checkpointed; intermediate ranks are not — each is consumed exactly
-    once by the next iteration, so for a fixed small iteration count
-    one deep plan beats per-iteration materialization by ~3× in job
-    overhead (measured at sf0.1). Past ~10 iterations, checkpoint
-    ranks every few iterations to bound plan depth."""
+    Only the REUSED relation (edge+degree table) is checkpointed;
+    intermediate ranks are not — each is consumed exactly once by the
+    next iteration, so for a fixed small iteration count one deep plan
+    beats per-iteration materialization by ~3× in job overhead
+    (measured at sf0.1). Past ~10 iterations, checkpoint ranks every
+    few iterations to bound plan depth.
+
+    The per-iteration rank update is the incoming-sum aggregate ALONE:
+    on a symmetric edge list every node has in-edges (in-neighbor set =
+    out-neighbor set), so groupBy(dst) already emits one row per node
+    and the classic dangling-node left-join against the node list is a
+    no-op — dropping it removes one SortMergeJoin + two exchanges per
+    iteration (guide §2.4), with rows identical to the oracle's LEFT
+    JOIN form. The iteration's rank relation comes out of the
+    aggregation hash-partitioned on the node id, so the next
+    iteration's join reuses that partitioning instead of re-shuffling
+    the rank side."""
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("src").alias("v")).localCheckpoint(eager=False)
-    ranks = nodes.select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    # No checkpoint on ed (r14): the checkpoint materialized a fresh
+    # edge+degree copy per CALL and — because an ExistingRDD forgets
+    # its partitioning — every iteration re-shuffled it by src. As a
+    # plain subtree the iterations' exchanges canonicalize identically
+    # and AQE's stage reuse computes the src-shuffle ONCE per query
+    # (guide §2.4 "share one exchange"); `edges` itself is still the
+    # session-memoized checkpoint, so nothing upstream recomputes.
+    ed = edges.join(deg, "src")
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("r")
+    )
     for _ in range(iters):
-        inc = (
+        ranks = (
             ed.join(ranks, ed.src == ranks.v)
             .select("dst", F.expr("r div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
-        )
-        ranks = nodes.join(inc, nodes.v == inc.dst, "left").select(
-            "v",
-            (
-                F.lit(PR_BASE)
-                + F.coalesce(
-                    F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
-                )
-            ).alias("r"),
+            .select(
+                F.col("dst").alias("v"),
+                (F.lit(PR_BASE) + F.expr("(85 * inc) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
         )
     return ranks
 
@@ -319,21 +335,33 @@ def bfs_over_edges(
         "hop", F.lit(0).cast("int")
     )
     if not checkpoint_levels:
+        # min-hop formulation (r14): level k = distinct walk-endpoints
+        # of length exactly k (NO per-level anti-join pruning), then one
+        # MIN(hop) aggregate picks each node's first appearance. A node
+        # with min-hop m has a length-m walk from the root, so it enters
+        # at level m and the MIN is exact — identical rows to the
+        # pruned-frontier form. The pruning anti-joins made level k
+        # reference ALL prior levels (plan subtrees ~3^depth, the
+        # documented blowup that forced the checkpoint flip); here level
+        # k references only level k-1, so the static plan is O(depth²)
+        # subtree copies and the duplicated distinct-exchanges dedupe at
+        # runtime via ReuseExchange (guide §2.4). The trade: unpruned
+        # frontiers revisit already-reached nodes (bounded by |V| via
+        # the distinct), the right trade at small fixed depth where the
+        # frontier saturates anyway.
+        frontier = root.select("v")
         levels = [root]
         for k in range(1, depth + 1):
-            frontier = levels[-1]
-            nxt = (
+            frontier = (
                 edges.join(frontier, edges.src == frontier.v)
                 .select(F.col("dst").alias("v"))
                 .distinct()
             )
-            for lvl in levels:
-                nxt = nxt.join(lvl, "v", "left_anti")
-            levels.append(nxt.withColumn("hop", F.lit(k).cast("int")))
+            levels.append(frontier.withColumn("hop", F.lit(k).cast("int")))
         reached = levels[0]
         for lvl in levels[1:]:
             reached = reached.union(lvl)
-        return reached
+        return reached.groupBy("v").agg(F.min("hop").alias("hop"))
 
     from ..functions.memo import unpersist_checkpoints
 

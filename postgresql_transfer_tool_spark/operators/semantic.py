@@ -354,7 +354,14 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.vec_id, r.qe)
         for r in q.filter(centroid_sample_filter(stride)).collect()
     ]
-    a0 = assign(cent0_rows).localCheckpoint(eager=True)
+    # a0 is consumed by exactly ONE downstream aggregation (the per-dim
+    # member sums) — no checkpoint (the r13 eager checkpoint
+    # materialized the full (vec_id, qe, cid, d2) relation to the block
+    # manager for a single-consumer plan; guide §5: persist only reused
+    # intermediates), and only (cid, qe) flow into the posexplode
+    # (vec_id/d2 are dead in this pass — project before the opaque
+    # explode, guide §2.3).
+    a0 = assign(cent0_rows).select("cid", "qe")
     # recompute: per-dim member sums via posexplode (map-side combinable)
     sums = (
         a0.select("cid", F.posexplode("qe").alias("d", "v"))

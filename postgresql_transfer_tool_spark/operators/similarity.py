@@ -285,40 +285,60 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1:1 map of the embeddings table, and footer num_rows is exact —
     # same bits at every SF, no extra scan (VERDICT r3 #8)
     bits = lsh_bits_for(table_row_count(sf_dir, "embeddings"))
-    bucketed = q.select(
-        "vec_id", "qe", "nq", _band_sigs_udf(bits)("qe").alias("sigs")
-    ).select(
-        "vec_id", "qe", "nq",
-        F.posexplode("sigs").alias("band", "sig"),
+    # r14 (guide §8): decide candidate pairs on ID-ONLY rows, fetch
+    # vectors once per surviving pair. The r13 shape shuffled each
+    # vector's qe payload BANDS times into the cap window, then
+    # sort-merge-joined payload-bearing rows and computed the 64-dim
+    # dot per (pair, band) only to MIN identical values. Here the
+    # bucket/cap/pair machinery sees (vec_id, band, sig) rows only; the
+    # self-join reuses the cap window's (band, sig) hash partitioning
+    # (no extra exchange), the cosine is computed once per pair, and qe
+    # crosses the network only in the two pair→vector attach joins
+    # (which AQE broadcast-converts while the pair relation is small).
+    ids = (
+        q.select("vec_id", _band_sigs_udf(bits)("qe").alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
     )
     cap_w = Window.partitionBy("band", "sig").orderBy("vec_id")
-    bucketed = (
-        bucketed.withColumn("rn", F.row_number().over(cap_w))
+    ids = (
+        ids.withColumn("rn", F.row_number().over(cap_w))
         .filter(F.col("rn") <= BUCKET_CAP)
         .drop("rn")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), "band", "sig",
-        F.col("qe").alias("qa"), F.col("nq").alias("na"),
+    a = ids.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = ids.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("band").alias("band_b"),
-        F.col("sig").alias("sig_b"), F.col("qe").alias("qb"), F.col("nq").alias("nb"),
-    )
-    dot = _spark_dot("qa", "qb")
-    cosine = dot.cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("band") == F.col("band_b"))
             & (F.col("sig") == F.col("sig_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .groupBy("vec_a", "vec_b")
-        .agg(F.count("*").alias("n_bands"), F.min("cosine").alias("cosine"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+    qa = q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    dot = _spark_dot("qa", "qb")
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", "n_bands", cosine.alias("cosine"))
     )
 
 

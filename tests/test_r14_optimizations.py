@@ -156,3 +156,110 @@ def test_combined_check_audit_matches_per_check(spark):
     ).collect()[0]
     combined = [int(row[f"_c{i}"]) for i in range(len(checks))]
     assert combined == [audit_check(df, c) for c in checks] == [1, 1]
+
+
+def test_winnowing_inarray_pairs_match_selfjoin_multiplicity(spark):
+    # dedup_winnowing_overlap: the in-bucket position-pair expansion of
+    # the sorted member multiset must reproduce the fp self-join's pair
+    # multiplicity EXACTLY — including a doc repeating a fingerprint
+    # (multiplicity product) and the strict a<b same-doc exclusion.
+    rows = [
+        (1, 100), (1, 100), (2, 100), (3, 100),  # doc 1 repeats fp 100
+        (1, 200), (2, 200),
+        (9, 300),                                # singleton bucket
+    ]
+    fp = spark.createDataFrame(rows, "doc_id int, fp int")
+    bucket = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= 10)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    arr = (
+        bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    join = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    got = sorted(map(tuple, arr.collect()))
+    want = sorted(map(tuple, join.collect()))
+    assert got == want
+    assert (1, 2, 3) in got  # 2×(fp100) + 1×(fp200) for the repeat doc
+
+
+def test_pagerank_symmetric_incoming_covers_all_nodes(spark):
+    # pagerank_over_edges (r14): dropping the node-list left-join is
+    # sound because a symmetric edge list gives every node in-edges —
+    # the incoming-sum aggregate must emit exactly the node set, and
+    # ranks must match the explicit left-join form on a graph with a
+    # leaf (degree-1) node.
+    from postgresql_transfer_tool_spark.operators.graph import (
+        PR_BASE,
+        PR_SCALE,
+        pagerank_over_edges,
+    )
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 3), (3, 1)]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.v: r.r for r in pagerank_over_edges(edges, iters=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src")
+    nodes = deg.select(F.col("src").alias("v"))
+    ranks = nodes.select("v", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(2):
+        inc = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
+        )
+        ranks = nodes.join(inc, nodes.v == inc.dst, "left").select(
+            "v",
+            (
+                F.lit(PR_BASE)
+                + F.coalesce(
+                    F.expr("(85 * inc) div 100"), F.lit(0).cast("bigint")
+                )
+            ).alias("r"),
+        )
+    want = {r.v: r.r for r in ranks.collect()}
+    assert got == want
+
+
+def test_bfs_minhop_union_equals_pruned_frontier_on_cycle(spark):
+    # bfs_over_edges plan-subtree path (r14): the min-hop union form
+    # must equal the pruned-frontier form on a graph with cycles and
+    # multiple path lengths to the same node (walk at k=3 revisits the
+    # k=1 node; MIN must keep the first appearance).
+    from postgresql_transfer_tool_spark.operators.graph import bfs_over_edges
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        (r.v, r.hop)
+        for r in bfs_over_edges(edges, 3, checkpoint_levels=False).collect()
+    }
+    want = {
+        (r.v, r.hop)
+        for r in bfs_over_edges(edges, 3, checkpoint_levels=True).collect()
+    }
+    assert got == want == {(1, 0), (2, 1), (3, 1), (4, 2)}
