@@ -615,9 +615,13 @@ def inverted_index_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # dw is already DISTINCT (doc_id, w), so the document frequency is a
+    # plain COUNT — countDistinct would re-plan the distinct as an extra
+    # (w, doc_id) aggregation + exchange before the per-w count (r14,
+    # guide §2.4: a distinct on data that is already unique).
     top2 = (
         dw.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("doc_id").alias("df"))
         .orderBy(F.col("df").desc(), F.col("w"))
         .limit(2)
     )
@@ -795,7 +799,20 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("w") == F.col(f"term_{x}"), 1).otherwise(0)
                 ).alias(f"tf_{x}")
                 for x in ("a", "b", "c")
-            ]
+            ],
+            # The broadcast query relation t is ONE row, so its term/df
+            # columns are constant within every group: carrying them
+            # through the aggregate (partial-agg friendly first()) lets
+            # the scorer read them here instead of re-computing the
+            # whole df-ranking subtree (explode + 2-exchange distinct
+            # agg + TakeOrdered) for a second broadcast of t — the plan
+            # previously built that subtree twice (guide §7.2,
+            # duplicated subtrees).
+            *[
+                F.first(c).alias(c)
+                for x in ("a", "b", "c")
+                for c in (f"term_{x}", f"df_{x}")
+            ],
         )
     )
     k1, k1p1 = float(_BM25_K1), float(_BM25_K1P1)
@@ -817,7 +834,6 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(t))
         .select(
             "doc_id", "term_a", "term_b", "term_c",
             "tf_a", "tf_b", "tf_c", "dl",
@@ -887,14 +903,37 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams_expr).alias("gram"))
         .localCheckpoint(eager=False)
     )
-    gdf = e.groupBy("gram").agg(F.count("*").alias("df"))
-    per = (
-        e.join(gdf, "gram")
+    # r14 (guide §2.3): the old shape shuffled the RAW gram-string
+    # stream a second time as the probe side of an e⨝gdf SMJ (the
+    # df-agg's partial-aggregated exchange can't be reused for raw
+    # rows). A df==1 gram has exactly ONE member doc, so MIN(doc_id)
+    # inside the df aggregate identifies it — per-doc unique counts
+    # then roll up from an int-only projection (no gram strings, no
+    # join), and n_grams comes straight off e with a map-side partial
+    # count. Both rollups hash-partition on doc_id with the same width,
+    # so their join needs no further exchange. All aggregates stay
+    # streaming (no collect_list) — a boilerplate gram shared by
+    # millions of docs still reduces map-side, skew-safe.
+    gdf = e.groupBy("gram").agg(
+        F.count("*").alias("df"), F.min("doc_id").alias("d0")
+    )
+    n1 = (
+        gdf.filter(F.col("df") == 1)
+        .select(F.col("d0").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+        .agg(F.count("*").alias("n_unique_nn"))
+    )
+    ng = (
+        e.select("doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    per = ng.join(n1, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_unique_nn"), F.lit(0).cast("bigint")).alias(
+            "n_unique"
+        ),
     )
     novelty = (
         F.col("n_unique").cast("double") / F.col("n_grams")

@@ -298,11 +298,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — no separate candidate pass. (Still quadratic in co-shingled
     docs by nature; the scale path is dedup_minhash_lsh.)"""
     sh = _spark_shingles_materialized(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("da"), "s")
-    b = sh.select(F.col("doc_id").alias("db_r"), F.col("s").alias("s_r"))
+    # Materialized once: the per-doc size relation feeds BOTH attach
+    # joins below; without the cut the planner re-aggregated the whole
+    # shingle stream per attach side (r13 plan: two identical counts
+    # subtrees, no exchange reuse).
+    counts = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # r14 (guide §2.3/§2.4, the winnowing idiom): ONE shuffle of the
+    # (doc_id, s) stream groups each shingle's sorted member multiset;
+    # a<b member pairs then expand from the array — the r13 self-join
+    # shuffled the raw stream TWICE on s and sorted both sides. The
+    # expansion is two chained Generates (posexplode anchor, then
+    # explode of the tail slice) so per-row memory stays O(bucket), the
+    # same bound the SMJ's buffered right-hand group had — no k² array
+    # is ever materialized in one row. Pair multiplicity (dup shingles
+    # within a doc) falls out of the position pairs exactly as the join
+    # produced it; the strict da<db filter drops same-doc pairs.
+    bucket = sh.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    anchor = bucket.select("ds", F.posexplode("ds").alias("i", "da"))
     inter = (
-        a.join(b, (F.col("s") == F.col("s_r")) & (F.col("da") < F.col("db_r")))
+        anchor.select(
+            "da",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds") - F.col("i") - 1)
+            ).alias("db_r"),
+        )
+        .filter(F.col("da") < F.col("db_r"))
         .groupBy("da", "db_r")
         .agg(F.count("*").alias("i"))
     )

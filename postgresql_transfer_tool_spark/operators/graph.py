@@ -88,17 +88,58 @@ def cap_baskets(op: DataFrame, max_basket_size: int) -> DataFrame:
     )
 
 
+#: a<b part pairs expanded IN-ARRAY from one order's sorted distinct
+#: part list (the dedup_winnowing_overlap idiom, r14): elements are
+#: strictly ascending, so every emitted struct already satisfies
+#: pa < pb with no post-filter, and per-order pair multiplicity is
+#: exactly 1 — the COUNT semantics of the distinct-incidence self-join.
+_BASKET_PAIRS = (
+    "flatten(transform(ps, (x, i) ->"
+    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+    " y -> struct(x AS pa, y AS pb))))"
+)
+
+
+def _baskets(
+    spark: SparkSession, sf_dir: str, max_basket_size: int | None = None
+) -> DataFrame:
+    """Per-order sorted distinct part array in ONE shuffle on the order
+    key (r14, guide §2.3/§2.4): collect_set performs the op-distinct
+    INSIDE the aggregate (partial map-side), replacing the r13 chain of
+    distinct exchange + self-join reshuffles; the basket cap becomes a
+    slice of the sorted array — same rows as the oracle's QUALIFY
+    row_number ≤ cap over part-key order — instead of a window pass."""
+    ps = F.sort_array(F.collect_set("l_partkey"))
+    if max_basket_size is not None:
+        ps = F.slice(ps, 1, max_basket_size)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(ps.alias("ps"))
+    )
+
+
 def edges_from_incidence(op: DataFrame) -> DataFrame:
     """Symmetric distinct co-purchase edges (src, dst) from an
     (l_orderkey, l_partkey) incidence relation, checkpointed: PageRank
     re-reads them every iteration and BFS every level, so one
-    materialization replaces PR_ITERS+1 scans of the lineitem base."""
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    materialization replaces PR_ITERS+1 scans of the lineitem base.
+
+    r14 shape (guide §2.3/§2.4): one shuffle on the order key builds
+    sorted distinct baskets, a<b pairs expand in-array, and the
+    symmetric closure is a column swap — the r13 self-join's two extra
+    order-key exchanges and its per-bucket O(k²) join rows are gone;
+    the edge distinct is the only other exchange."""
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    half = (
+        baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("p"))
+        .select(F.col("p.pa").alias("src"), F.col("p.pb").alias("dst"))
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -406,15 +447,19 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT boundary is deterministic. The orderBy+limit lowers to
     TakeOrderedAndProject (per-partition top-k, then a k-row merge on
     the driver) — no global sort at any scale."""
-    return _pairs_topk(_incidence(spark, sf_dir))
+    return _pairs_topk(_baskets(spark, sf_dir))
 
 
-def _pairs_topk(op: DataFrame) -> DataFrame:
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+def _pairs_topk(baskets: DataFrame) -> DataFrame:
+    """Frequent a<b part pairs from per-order basket arrays (r14): the
+    r13 form shuffled the distinct incidence, reshuffled both self-join
+    sides on the order key and aggregated the join's O(k²) output rows
+    (5 exchanges, 1 SMJ); here the pair instances expand in-array from
+    the already-grouped basket, so only the basket exchange and the
+    (pa, pb) count exchange remain."""
     return (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "pa", "pb")
@@ -454,4 +499,4 @@ def copurchase_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     is mirrored exactly in the oracle's QUALIFY row_number filter, so
     the driver verifies the capped semantics themselves (VERDICT r6
     "Next round" #3)."""
-    return _pairs_topk(_incidence(spark, sf_dir, max_basket_size=BASKET_CAP))
+    return _pairs_topk(_baskets(spark, sf_dir, max_basket_size=BASKET_CAP))

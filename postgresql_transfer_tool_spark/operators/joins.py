@@ -422,12 +422,28 @@ def trigram_similarity_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).localCheckpoint(eager=False)
     tg = tg_arr.select("s", F.explode("gs").alias("g"))
-    cnt = tg.groupBy("s").agg(F.count("*").alias("n"))
+    # Materialized once — both Jaccard attach joins read it (the
+    # dedup_ngram_jaccard duplicate-subtree fix, r14).
+    cnt = (
+        tg.groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # r14 (guide §2.3/§2.4): ONE shuffle on the trigram key groups each
+    # trigram's sorted member names; a<b pairs expand from the array
+    # via two chained Generates (per-row memory stays O(bucket), as the
+    # SMJ's buffered group did) — the r13 self-join shuffled the raw
+    # (s, g) stream twice and sorted both sides. Members are distinct
+    # per trigram (per-name trigram sets are array_distinct), so pair
+    # multiplicity is 1, identical to the join.
+    bucket = tg.groupBy("g").agg(F.sort_array(F.collect_list("s")).alias("ms"))
+    anchor = bucket.select("ms", F.posexplode("ms").alias("ix", "sa"))
     inter = (
-        tg.select(F.col("s").alias("sa"), "g")
-        .join(
-            tg.select(F.col("s").alias("sb"), F.col("g").alias("g_r")),
-            (F.col("g") == F.col("g_r")) & (F.col("sa") < F.col("sb")),
+        anchor.select(
+            "sa",
+            F.explode(
+                F.slice("ms", F.col("ix") + 2, F.size("ms") - F.col("ix") - 1)
+            ).alias("sb"),
         )
         .groupBy("sa", "sb")
         .agg(F.count("*").alias("i"))

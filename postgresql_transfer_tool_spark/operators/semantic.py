@@ -170,13 +170,26 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast assign + cell-local pairing) is identical.
     """
     q, assigned = _assigned_cells(spark, sf_dir)
+    # Cell-local a<b pairs expanded IN-ARRAY from each cell's sorted
+    # member list (r14, guide §2.3/§2.4 — the winnowing idiom): one
+    # exchange of the id-only assignment replaces the r13 self-join's
+    # two cluster_id shuffles + SMJ. Safe to concentrate per-row: cell
+    # population is bounded ~TARGET_CELL by the corpus-adaptive centroid
+    # count, so the expanded array is O(TARGET_CELL²) structs, not
+    # corpus-quadratic. Members are distinct within a cell (top-probe
+    # cells per vector are distinct), so pair multiplicity per shared
+    # cell is exactly 1, as in the join form.
+    members = assigned.groupBy("cluster_id").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vs")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     cand = (
-        assigned.select(F.col("vec_id").alias("doc_a"), "cluster_id")
-        .join(
-            assigned.select(F.col("vec_id").alias("doc_b"), "cluster_id"),
-            "cluster_id",
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        members.select("cluster_id", F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "cluster_id")
         .groupBy("doc_a", "doc_b")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
