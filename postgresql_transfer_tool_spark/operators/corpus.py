@@ -784,7 +784,14 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("arr")[i - 1]["df"].alias(f"df_{name}"),
             )
         ]
-    )
+        # ONE row; materialized so the two broadcasts below (postings
+        # filter + score attach) share a single computation of the
+        # df-ranking subtree — the r13 plan built the whole explode +
+        # distinct-agg + TakeOrdered chain twice (guide §7.2, duplicated
+        # subtrees). Cheaper than carrying the constants through the
+        # per-doc aggregate, which widened every hits row on the doc_id
+        # exchange (measured +10% at sf0.1).
+    ).localCheckpoint(eager=False)
     hits = (
         tok.crossJoin(F.broadcast(t))
         .filter(
@@ -799,20 +806,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("w") == F.col(f"term_{x}"), 1).otherwise(0)
                 ).alias(f"tf_{x}")
                 for x in ("a", "b", "c")
-            ],
-            # The broadcast query relation t is ONE row, so its term/df
-            # columns are constant within every group: carrying them
-            # through the aggregate (partial-agg friendly first()) lets
-            # the scorer read them here instead of re-computing the
-            # whole df-ranking subtree (explode + 2-exchange distinct
-            # agg + TakeOrdered) for a second broadcast of t — the plan
-            # previously built that subtree twice (guide §7.2,
-            # duplicated subtrees).
-            *[
-                F.first(c).alias(c)
-                for x in ("a", "b", "c")
-                for c in (f"term_{x}", f"df_{x}")
-            ],
+            ]
         )
     )
     k1, k1p1 = float(_BM25_K1), float(_BM25_K1P1)
@@ -834,6 +828,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
         .select(
             "doc_id", "term_a", "term_b", "term_c",
             "tf_a", "tf_b", "tf_c", "dl",

@@ -56,28 +56,60 @@ _COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     """,
 )
 def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of ``orders`` in ONE scan: the Spark side
-    computes all columns' stats in a single aggregation (the oracle's
-    UNION ALL re-scans per column — fine for DuckDB, wrong at scale)
-    and unpivots with stack(). min/max stringify so one long-form
-    relation carries mixed column types."""
+    """Per-column profile of ``orders`` in two cheap passes (the
+    oracle's UNION ALL re-scans per column — fine for DuckDB, wrong at
+    scale): a keyless counts/min/max aggregate and a long-form exact-NDV
+    chain, joined on the column name. min/max stringify so one
+    long-form relation carries mixed column types."""
+    # r14 (guide §1.2/§2.3): the one-agg form planned the 4-way exact
+    # multi-countDistinct as an Expand(×5 rows) feeding SortAggregates
+    # (string min/max buffers are not hash-aggregable), i.e. two full
+    # sorts of a 5× row stream on a 5-part key. Split instead into
+    # (a) a keyless pass for counts/min/max — no Expand, no sort
+    # (zero grouping keys need no ordering) — and (b) the exact NDVs
+    # via a long-form (col, value) HashAggregate chain: stack each
+    # column to its string image (injective for bigint, identity for
+    # varchar, so COUNT DISTINCT is unchanged), reduce to distinct
+    # pairs map-side, count per column. Every aggregate is hash-based
+    # and partial; the only full-row exchange carries 2 narrow columns.
     aggs = []
     for c in _COLS:
         aggs += [
             F.count("*").alias(f"n_{c}"),
             (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
-            F.countDistinct(c).alias(f"ndv_{c}"),
             F.min(c).cast("string").alias(f"min_{c}"),
             F.max(c).cast("string").alias(f"max_{c}"),
         ]
     one = load_table(spark, sf_dir, "orders").agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', n_{c}, nulls_{c}, ndv_{c}, min_{c}, max_{c}" for c in _COLS
+        f"'{c}', n_{c}, nulls_{c}, min_{c}, max_{c}" for c in _COLS
     )
-    return one.select(
+    wide = one.select(
         F.expr(
             f"stack({len(_COLS)}, {stack_args})"
-            " AS (col, n_rows, n_nulls, ndv, min_v, max_v)"
+            " AS (col, n_rows, n_nulls, min_v, max_v)"
+        )
+    )
+    val_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _COLS
+    )
+    ndv = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.expr(f"stack({len(_COLS)}, {val_args}) AS (col, v)"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("col")
+        .agg(F.count("*").alias("ndv"))
+    )
+    return (
+        wide.join(ndv, "col", "left")
+        .select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            F.coalesce(F.col("ndv"), F.lit(0).cast("bigint")).alias("ndv"),
+            "min_v",
+            "max_v",
         )
     )
 
