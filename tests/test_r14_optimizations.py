@@ -263,3 +263,225 @@ def test_bfs_minhop_union_equals_pruned_frontier_on_cycle(spark):
         for r in bfs_over_edges(edges, 3, checkpoint_levels=True).collect()
     }
     assert got == want == {(1, 0), (2, 1), (3, 1), (4, 2)}
+
+
+def test_basket_pairs_match_incidence_selfjoin(spark):
+    # copurchase_pairs_topk/capped (r14): per-order collect_set baskets
+    # + in-array a<b expansion must reproduce the distinct-incidence
+    # self-join's per-pair order counts, including raw duplicate
+    # (order, part) rows (collect_set dedups them like DISTINCT did)
+    # and the basket cap as slice-of-sorted-set vs row_number.
+    from pyspark.sql.window import Window as W
+
+    rows = [
+        (1, 10), (1, 10), (1, 20), (1, 30),   # dup (1,10) row
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 30), (3, 40),
+        (4, 99),                              # singleton basket
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS pa, y AS pb))))"
+    )
+    for cap in (None, 3):
+        ps = F.sort_array(F.collect_set("l_partkey"))
+        if cap is not None:
+            ps = F.slice(ps, 1, cap)
+        got = (
+            li.groupBy("l_orderkey")
+            .agg(ps.alias("ps"))
+            .select(F.explode(pair_expr).alias("p"))
+            .select("p.pa", "p.pb")
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        op = li.distinct()
+        if cap is not None:
+            w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+            op = (
+                op.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap)
+                .drop("_rn")
+            )
+        a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+        b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        want = (
+            a.join(b, "ok")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count("*").alias("n_orders"))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"cap={cap}"
+
+
+def test_basket_edges_match_incidence_selfjoin(spark):
+    # edges_from_incidence (r14): basket-built symmetric distinct edges
+    # must equal the r13 order-key self-join + distinct form.
+    from postgresql_transfer_tool_spark.operators.graph import (
+        edges_from_incidence,
+    )
+
+    rows = [(1, 10), (1, 20), (1, 30), (2, 20), (2, 30), (3, 40)]
+    op = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+    got = {(r.src, r.dst) for r in edges_from_incidence(op).collect()}
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    want = {
+        (r.src, r.dst)
+        for r in a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert (10, 20) in got and (20, 10) in got  # symmetric closure
+
+
+def test_cell_member_pairs_match_assignment_selfjoin(spark):
+    # dedup_semantic_clusters (r14): in-cell sorted-member pair
+    # expansion + MIN(cluster_id) must equal the assignment self-join —
+    # a pair sharing BOTH probe cells dedups to one row with the lower
+    # cell id, exactly as the join's groupBy did.
+    rows = [
+        (1, 100), (2, 100), (3, 100),
+        (1, 200), (2, 200),            # pair (1,2) shares cells 100 AND 200
+        (9, 300),
+    ]
+    assigned = spark.createDataFrame(rows, "vec_id int, cluster_id int")
+    pair_expr = F.expr(
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    got = (
+        assigned.groupBy("cluster_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
+        .select("cluster_id", F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "cluster_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    want = (
+        assigned.select(F.col("vec_id").alias("doc_a"), "cluster_id")
+        .join(
+            assigned.select(F.col("vec_id").alias("doc_b"), "cluster_id"),
+            "cluster_id",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert (1, 2, 100) in got_rows  # shared-both-cells pair, lower cell kept
+
+
+def test_two_step_explode_pairs_match_selfjoin_with_dups(spark):
+    # dedup_ngram_jaccard (r14): posexplode anchor + tail-slice explode
+    # (never a flattened k² array) must reproduce the key self-join's
+    # pair multiplicity, including duplicate keys within one doc.
+    rows = [
+        (1, "s1"), (1, "s1"), (2, "s1"), (3, "s1"),  # doc 1 repeats s1
+        (1, "s2"), (2, "s2"),
+        (7, "s3"),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id int, s string")
+    bucket = sh.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    anchor = bucket.select("ds", F.posexplode("ds").alias("i", "da"))
+    got = (
+        anchor.select(
+            "da",
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds") - F.col("i") - 1)
+            ).alias("db"),
+        )
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("s_r"))
+    want = (
+        a.join(b, (F.col("s") == F.col("s_r")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert (1, 2, 3) in got_rows  # 2×(s1 multiplicity) + 1×(s2)
+
+
+def test_min_docid_unique_gram_rollup_matches_join_form(spark):
+    # text_ngram_novelty (r14): resolving each df==1 gram's single
+    # member via MIN(doc_id) inside the df aggregate must match the
+    # join-back form's per-doc (n_grams, n_unique) — including a doc
+    # whose grams are ALL shared (n_unique must be 0, not missing).
+    rows = [
+        (1, "g1"), (1, "g2"), (1, "g3"),
+        (2, "g1"), (2, "g2"),            # doc 2: zero unique grams
+        (3, "g4"),
+    ]
+    e = spark.createDataFrame(rows, "doc_id int, gram string")
+    gdf = e.groupBy("gram").agg(
+        F.count("*").alias("df"), F.min("doc_id").alias("d0")
+    )
+    n1 = (
+        gdf.filter(F.col("df") == 1)
+        .select(F.col("d0").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_unique_nn"))
+    )
+    ng = e.select("doc_id").groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    got = (
+        ng.join(n1, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_unique_nn"), F.lit(0).cast("bigint")).alias(
+                "n_unique"
+            ),
+        )
+    )
+    dfc = e.groupBy("gram").agg(F.count("*").alias("df"))
+    want = (
+        e.join(dfc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert (2, 2, 0) in got_rows  # all-shared doc present with 0
+
+
+def test_longform_string_ndv_matches_countdistinct(spark):
+    # analyze_table_stats (r14): the stacked (col, CAST(v AS STRING))
+    # distinct chain must equal exact countDistinct per column —
+    # including NULL handling and an ALL-NULL column (ndv 0 via the
+    # left join's coalesce).
+    rows = [(1, "a", None), (1, "b", None), (2, None, None), (None, "a", None)]
+    df = spark.createDataFrame(rows, "x int, y string, z int")
+    cols = ("x", "y", "z")
+    val_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    ndv = (
+        df.select(F.expr(f"stack({len(cols)}, {val_args}) AS (col, v)"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("col")
+        .agg(F.count("*").alias("ndv"))
+    )
+    got = {r.col: r.ndv for r in ndv.collect()}
+    want_row = df.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).collect()[0]
+    want = {c: want_row[c] for c in cols if want_row[c] != 0}
+    assert got == want == {"x": 2, "y": 2}  # z all-null: absent -> coalesce 0
