@@ -401,6 +401,10 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
       the query-vector relation is ``vec_id < N_QUERIES`` (keyset
       filter-to-constant, ≤ N_QUERIES rows at any scale); the
       ``localCheckpoint`` barrier renders it as an opaque LogicalRDD.
+    - bm25_ranked_retrieval: the query-term relation is ONE row by
+      construction (a single agg over the df top-7 TakeOrdered); r14
+      checkpoints it so both broadcasts share one df-subtree
+      computation, which hides the aggregation behind a LogicalRDD.
     - ndv_hll_deterministic / active_users_rolling_hll_det:
       ``hll_ln_table`` is a 1024-row Python-literal lookup grid
       (createDataFrame from a local list parses as LogicalRDD, not
@@ -443,6 +447,15 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
             "LogicalRDD[m,k,cw], LogicalRDD[vec_id,label,qe,nq]",
         ],
         "knn_label_vote": [V_QUERYVEC],
+        "bm25_ranked_retrieval": [
+            # the query-term relation: ONE row by construction (a single
+            # agg over the df top-7 TakeOrdered), checkpointed in r14 so
+            # both broadcasts (postings filter + score attach) share one
+            # computation of the df subtree — the LogicalRDD barrier
+            # hides the aggregation from the sweep
+            "broadcast hint over unbounded leaves "
+            "LogicalRDD[term_a,df_a,term_b,df_b,term_c,df_c]"
+        ],
         "ndv_hll_deterministic": [V_LNTABLE],
         "active_users_rolling_hll_det": [V_LNTABLE],
         "range_join_value_bands": [
