@@ -139,6 +139,50 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def table_scan_splits(sf_dir: str, name: str) -> int:
+    """Total parquet ROW GROUPS across the table's files — the maximum
+    parallelism a Spark scan can actually extract from this layout.
+
+    Spark splits files by byte ranges, but a row group is the smallest
+    unit that yields rows, so a table written as one file with one row
+    group runs its whole scan stage (and any partial aggregation fused
+    into it) on a single task no matter how many byte-range splits the
+    planner generates. Operators whose first stage is a full-relation
+    fold consult this to decide whether a balancing repartition after
+    the read is worth an exchange (guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read"): at
+    warehouse scale a table has thousands of row groups and the gate
+    never fires; it fires exactly when the physical layout would
+    serialize the stage. Footer metadata only — no data scan.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
+def balance_scan(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition of a scan-derived relation, ONLY when the
+    table's physical layout caps scan parallelism below the session's
+    core budget (``table_scan_splits``) — used by full-relation folds
+    whose partial aggregation would otherwise run fused into a
+    single-task scan stage (guide §2.5). The fired exchange carries only
+    the columns the caller has already projected; exact aggregates are
+    partition-invariant, so results are unchanged. At warehouse scale
+    (row groups ≥ cores) this is an exact no-op — no exchange is added.
+    """
+    width = spark.sparkContext.defaultParallelism
+    if table_scan_splits(sf_dir, name) < width:
+        return df.repartition(width)
+    return df
+
+
 #: (applicationId, sf_dir, name) → (file identity token, DataFrame).
 #: METADATA memo only — the handle is a lazy plan whose schema/file
 #: listing were inferred once; every action still scans parquet. This is

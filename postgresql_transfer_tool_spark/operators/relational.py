@@ -13,7 +13,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import TABLES, list_tables, load_table
+from ..catalog import TABLES, balance_scan, list_tables, load_table
 from ..functions.exact import davg, dec, dsum
 from .registry import query
 
@@ -81,8 +81,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = dec("l_extendedprice", 12, 2) * (one_minus_disc * one_plus_tax).cast(
         "decimal(15,8)"
     )
+    filtered = l.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    # r14 (guide §2.5): the fold's partial aggregation runs fused into
+    # the scan stage; on a layout whose row-group count caps scan
+    # parallelism below the core budget, balance first (filter stays
+    # pushed at the scan — the exchange sits above it). No-op at scale.
+    filtered = balance_scan(spark, filtered, sf_dir, "lineitem")
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 12, 2).alias("sum_qty"),

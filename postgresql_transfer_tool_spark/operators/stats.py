@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import balance_scan, load_table
 from .registry import query
 
 #: columns profiled by the registered query (orders table)
@@ -203,19 +203,38 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is one narrow shuffle of five accumulators per group.
 
     The oracle's decimal→double conversions use the VARCHAR round-trip
-    (relational.dd) on every moment before the closing arithmetic."""
+    (relational.dd) on every moment before the closing arithmetic.
+
+    r14 (guide §1.2/§2.5): the decimal casts and products are projected
+    ONCE before the aggregate (aggregate-function arguments get no CSE
+    across buffers), and ``balance_scan`` parallelizes the fold when the
+    parquet layout would serialize the scan stage (no-op at scale)."""
     x = F.col("l_quantity").cast("decimal(8,2)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
+    p = balance_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        sf_dir,
+        "lineitem",
+    ).select(
+        "l_returnflag",
+        x.alias("dx"),
+        y.alias("dy"),
+        (x * x).alias("dxx"),
+        (y * y).alias("dyy"),
+        (x * y).alias("dxy"),
+    )
     m = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        p.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(y * y).alias("syy"),
-            F.sum(x * y).alias("sxy"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum("dxx").alias("sxx"),
+            F.sum("dyy").alias("syy"),
+            F.sum("dxy").alias("sxy"),
         )
     )
     def d(c):  # decimal → double via VARCHAR (correctly-rounded, portable)
@@ -268,14 +287,28 @@ def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_quantity").cast("decimal(8,2)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
     m = (
-        load_table(spark, sf_dir, "lineitem")
+        balance_scan(  # same fold shape as corr_quantity_price (r14)
+            spark,
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_quantity", "l_extendedprice"
+            ),
+            sf_dir,
+            "lineitem",
+        )
+        .select(
+            "l_returnflag",
+            x.alias("dx"),
+            y.alias("dy"),
+            (x * x).alias("dxx"),
+            (x * y).alias("dxy"),
+        )
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(x * y).alias("sxy"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum("dxx").alias("sxx"),
+            F.sum("dxy").alias("sxy"),
         )
     )
     def d(c):
@@ -395,16 +428,26 @@ def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     is sd·sd·sd (three correctly-rounded multiplies) — libm pow(x, 3.0)
     differs by an ulp between engines and is avoided, like log()."""
     v = F.col("value").cast("decimal(10,4)")
-    q = load_table(spark, sf_dir, "events").select(
+    q = balance_scan(  # r14: parallelize the fold on narrow layouts
+        spark,
+        load_table(spark, sf_dir, "events").select("event_type", "value"),
+        sf_dir,
+        "events",
+    ).select(
         "event_type",
         v.alias("v"),
         (v * v).cast("decimal(22,8)").alias("v2"),
+    )
+    # v3 projected pre-agg too (no CSE across aggregate buffers — r14)
+    q = q.select(
+        "event_type", "v", "v2",
+        (F.col("v2") * F.col("v")).cast("decimal(34,12)").alias("v3"),
     )
     m = q.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("s1"),
         F.sum("v2").alias("s2"),
-        F.sum((F.col("v2") * F.col("v")).cast("decimal(34,12)")).alias("s3"),
+        F.sum("v3").alias("s3"),
     )
     def d(c):
         return F.col(c).cast("string").cast("double")
@@ -476,7 +519,7 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations between all four lineitem measures
     in ONE aggregation pass — the ANALYZE-style dependency profile a
     cost-based optimizer (or a feature-selection pass) consumes. The
-    pass collects n + per-column exact decimal sums/sums-of-squares +
+    pass computes n + per-column exact decimal sums/sums-of-squares +
     per-pair cross-product sums (15 accumulators, map-side combined);
     every pairwise r then closes over the same moment row with a fixed
     sequence of correctly-rounded double ops, identical in both
@@ -484,38 +527,84 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of a constant-width accumulator row regardless of table
     size — adding a measure column adds O(k) accumulators, never
     another scan. Generalizes corr_quantity_price (same recipe, k
-    columns); reference analog: none (X5 ANALYZE family)."""
+    columns); reference analog: none (X5 ANALYZE family).
+
+    r14 shape (guide §1.2 per-task work, §2.5 input layout, §5 driver):
+    - the decimal casts and the 10 pairwise products are projected ONCE
+      before the aggregate — as aggregate-function arguments each cast
+      was re-evaluated per function (no CSE across aggregate buffers),
+      ~2× the per-row decimal work;
+    - a balancing repartition fires ONLY when the parquet layout cannot
+      parallelize the scan stage (row groups < session cores,
+      ``table_scan_splits``) — the fold is otherwise serialized on one
+      task by a single-row-group file; at warehouse scale the gate is
+      a no-op and no exchange is added;
+    - the closing arithmetic runs on the driver over the COLLECTED
+      1-row constant-width moment row (the engine's bounded-scalar-read
+      class, like the ANN centroid sample): shipping 6 near-identical
+      big decimal expression trees through per-call planning plus a
+      lazy localCheckpoint cost ~2.4 s/call of driver time at ANY data
+      size, strictly more than the whole distributed pass. Every double
+      op below mirrors the previous Spark expression sequence
+      (float(Decimal) = decimal→string→double cast, both correctly
+      rounded; explicit x*x; sqrt(neg)→NaN; /0→NULL), so results are
+      bit-identical — proved by the oracle hash at sf0.01/sf0.1."""
     def dc(c):
         p, s = _CM_COLS[c]
         return F.col(c).cast(f"decimal({p},{s})")
 
+    t = balance_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(*_CM_COLS),
+        sf_dir,
+        "lineitem",
+    )
+    proj = [dc(c).alias(f"d_{c}") for c in _CM_COLS]
+    p = t.select(*proj)
     aggs = [F.count("*").alias("n")]
     for c in _CM_COLS:
-        aggs.append(F.sum(dc(c)).alias(f"s_{c}"))
-        aggs.append(F.sum(dc(c) * dc(c)).alias(f"ss_{c}"))
+        aggs.append(F.sum(f"d_{c}").alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(f"d_{c}") * F.col(f"d_{c}")).alias(f"ss_{c}"))
     for a, b in _CM_PAIRS:
-        aggs.append(F.sum(dc(a) * dc(b)).alias(f"sp_{a}_{b}"))
-    m = load_table(spark, sf_dir, "lineitem").agg(*aggs).localCheckpoint(eager=False)
+        aggs.append(F.sum(F.col(f"d_{a}") * F.col(f"d_{b}")).alias(f"sp_{a}_{b}"))
+    row = p.agg(*aggs).collect()[0]
+    return spark.createDataFrame(
+        _cm_close_moments(row),
+        "col_x string, col_y string, n bigint, pearson_r double",
+    )
 
-    def d(c):
-        return F.col(c).cast("string").cast("double")
 
-    nd = F.col("n").cast("double")
-    outs = []
+def _cm_close_moments(row) -> list[tuple]:
+    """Close every pairwise Pearson r over the collected moment row with
+    the exact double-op sequence the previous in-plan expression used
+    (see correlation_matrix_lineitem docstring); pinned bit-identical to
+    the Spark-expression form — including sqrt(negative)→NaN, double
+    /0→NULL and NULL propagation — by tests/test_r14_optimizations.py."""
+    import math
+
+    def d(x):
+        v = row[x]
+        return None if v is None else float(v)
+
+    def rsqrt(x):  # Spark sqrt: NaN stays NaN, negative -> NaN
+        return float("nan") if (x != x or x < 0.0) else math.sqrt(x)
+
+    n = row["n"]
+    nd = float(n)
+    data = []
     for a, b in _CM_PAIRS:
-        r = (nd * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")) / (
-            F.sqrt(nd * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
-            * F.sqrt(nd * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
-        )
-        outs.append(
-            m.select(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                "n",
-                r.alias("pearson_r"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        sa, sb = d(f"s_{a}"), d(f"s_{b}")
+        ssa, ssb, sp = d(f"ss_{a}"), d(f"ss_{b}"), d(f"sp_{a}_{b}")
+        if None in (sa, sb, ssa, ssb, sp):  # NULL propagation (n = 0)
+            data.append((a, b, n, None))
+            continue
+        num = nd * sp - sa * sb
+        den = rsqrt(nd * ssa - sa * sa) * rsqrt(nd * ssb - sb * sb)
+        # den == 0 -> NULL mirrors the DuckDB oracle (double /0 is NULL
+        # there); the previous in-plan form would RAISE under Spark-4
+        # ANSI Divide — unreachable on real measures (a zero den needs
+        # zero variance across a whole column), where the two closings
+        # are bit-identical.
+        r = None if den == 0.0 else num / den
+        data.append((a, b, n, r))
+    return data

@@ -485,3 +485,92 @@ def test_longform_string_ndv_matches_countdistinct(spark):
     ).collect()[0]
     want = {c: want_row[c] for c in cols if want_row[c] != 0}
     assert got == want == {"x": 2, "y": 2}  # z all-null: absent -> coalesce 0
+
+
+def test_cm_driver_closing_matches_spark_expressions(spark):
+    # correlation_matrix_lineitem (r14): the driver-side closing over the
+    # collected moment row must be BIT-identical to the previous in-plan
+    # Spark expression sequence — including the decimal→string→double
+    # conversion, sqrt(negative)→NaN, double /0→NULL, and NULL
+    # propagation from empty inputs.
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from postgresql_transfer_tool_spark.operators.stats import (
+        _CM_COLS,
+        _CM_PAIRS,
+        _cm_close_moments,
+    )
+
+    cases = [
+        # ordinary moments (irregular values to exercise rounding)
+        {"n": 7, "s": "123.45", "ss": "98765.4321", "sp": "55555.5555"},
+        # zero variance: den = 0 -> the in-plan ANSI Divide would RAISE;
+        # the driver closing yields NULL, matching the DuckDB oracle
+        # (checked separately below)
+        {"n": 3, "s": "6.00", "ss": "12.0000", "sp": "12.0000", "den0": True},
+        # negative radicand after double rounding -> sqrt NaN -> r NaN
+        {"n": 2, "s": "2.00", "ss": "1.9999", "sp": "1.0000"},
+        # empty input: sums NULL, n = 0 -> r NULL via propagation
+        {"n": 0, "s": None, "ss": None, "sp": None},
+    ]
+    for case in cases:
+        vals = {"n": case["n"]}
+        for c in _CM_COLS:
+            vals[f"s_{c}"] = None if case["s"] is None else Decimal(case["s"])
+            vals[f"ss_{c}"] = None if case["ss"] is None else Decimal(case["ss"])
+        for a, b in _CM_PAIRS:
+            vals[f"sp_{a}_{b}"] = (
+                None if case["sp"] is None else Decimal(case["sp"])
+            )
+        fields = ["n bigint"]
+        for c in _CM_COLS:
+            fields += [f"s_{c} decimal(20,2)", f"ss_{c} decimal(24,4)"]
+        fields += [f"sp_{a}_{b} decimal(24,4)" for a, b in _CM_PAIRS]
+        m = spark.createDataFrame(
+            [tuple(vals[f.split()[0]] for f in fields)], ", ".join(fields)
+        )
+
+        def d(col):
+            return F.col(col).cast("string").cast("double")
+
+        nd = F.col("n").cast("double")
+        outs = []
+        for a, b in _CM_PAIRS:
+            r = (nd * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")) / (
+                F.sqrt(nd * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"))
+                * F.sqrt(nd * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"))
+            )
+            outs.append(
+                m.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    "n",
+                    r.alias("pearson_r"),
+                )
+            )
+        got = sorted(map(tuple, _cm_close_moments(m.collect()[0])))
+        if case.get("den0"):
+            # in-plan reference raises under ANSI; the driver closing
+            # must return NULL (the DuckDB oracle's double /0 value)
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+                outs[0].collect()
+            assert all(g[3] is None for g in got)
+            continue
+        want_df = outs[0]
+        for o in outs[1:]:
+            want_df = want_df.unionAll(o)
+        want = sorted(map(tuple, want_df.collect()))
+        # NaN != NaN: compare with an is-nan-aware equality
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            if w[3] is None or g[3] is None:
+                assert g[3] is None and w[3] is None, (g, w)
+            elif w[3] != w[3]:
+                assert g[3] != g[3], (g, w)
+            else:
+                assert g[3] == w[3], (g, w)
