@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import balance_scan, load_table
 from ..functions.cumsum import running_sum
 from .corpus import _NGRAM, _SQL_TOKS
 from .curation import _SQL_BUCKET, _spark_bucket
@@ -146,8 +146,18 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       sampled row it equals the oracle's cumsum over sampled rows only,
       so the <= budget cut selects identical documents.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
+    # r14 (guide §2.3/§2.5, the contamination_ngram_overlap fix): balance
+    # BEFORE the feature build, so (a) the exchange carries raw text, not
+    # the ~5× heavier gram arrays, and (b) tokenize/md5/gram compute runs
+    # at full width instead of fused into the single-row-group scan task.
+    # balance_scan is a no-op once the layout itself is parallel.
+    docs = balance_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim("text")) > 0
+        ),
+        sf_dir,
+        "documents",
     )
     toks = F.split(F.trim("text"), r"\s+")
     ntoks = F.size("toks")
@@ -171,8 +181,8 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = (F.substring("source", 4, 10).cast("bigint") % 4 + 1) * 25
 
     # ONE pass: every stage's feature, then materialize (the relation is
-    # tiny relative to the corpus text it summarizes). repartition first:
-    # the fixture is a single parquet file -> one input task otherwise.
+    # tiny relative to the corpus text it summarizes); the balancing
+    # exchange sits BELOW this projection (see balance_scan above).
     feat = (
         docs.withColumn("toks", toks)
         .select(
@@ -185,7 +195,6 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality.alias("quality"),
             grams.alias("grams"),
         )
-        .repartition(32)
         .localCheckpoint(eager=True)
     )
 

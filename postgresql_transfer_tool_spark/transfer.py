@@ -241,12 +241,27 @@ class TransferPipeline:
         # copy phase). PK audit is a single aggregation pass: grouping on
         # the PK puts NULL keys in their own groups, so duplicates and
         # null-keys fall out of one groupBy.
+        # One target handle per copied table, shared by its own audits
+        # AND by every FK audit that reads it as a parent — each
+        # spark.read.parquet re-infers the footer on the driver
+        # (~120-170 ms, single-threaded), so the per-FK re-reads were
+        # pure repeated driver work (guide §5/§7.3; same reasoning as
+        # catalog._TABLE_MEMO). Plans are immutable; sharing changes
+        # nothing downstream.
+        copied_names = [
+            n for n, r in report.results.items() if r.status == "copied"
+        ]
+        handles = {
+            n: self.spark.read.parquet(table_path(self.target_dir, n))
+            for n in copied_names
+        }
+
         def _validate(name: str) -> None:
             res = report.results[name]
             info = self.catalog.get(name)
             if info is None:
                 return
-            tdf = self.spark.read.parquet(table_path(self.target_dir, name))
+            tdf = handles[name]
             if info.primary_key:
                 res.pk_violations = audit_primary_key(tdf, info.primary_key)
             for cols in info.unique:
@@ -277,9 +292,7 @@ class TransferPipeline:
                     report.results[fk.ref_table].status != "copied"
                 ):
                     continue
-                parent = self.spark.read.parquet(
-                    table_path(self.target_dir, fk.ref_table)
-                )
+                parent = handles[fk.ref_table]
                 res.fk_orphans[f"{fk.table}.{','.join(fk.columns)}"] = audit_fk_orphans(
                     tdf, parent, fk
                 )
@@ -294,7 +307,7 @@ class TransferPipeline:
                 except Exception as exc:
                     res.error = f"sequence resync failed: {exc}"
 
-        copied = [n for n, r in report.results.items() if r.status == "copied"]
+        copied = copied_names
         with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
             list(pool.map(_validate, copied))
 
