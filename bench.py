@@ -74,23 +74,24 @@ MEMO_QUERIES = [
     "dedup_survivors", "dedup_winnowing_overlap",
     "text_winnowing_fingerprint", "text_segment_dedup",
     "dedup_semantic_clusters", "dedup_embedding_cosine",
+    "dedup_cross_modal", "dedup_cross_modal_media",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_topk",
     "ann_pq_topk", "knn_label_vote",
 ]
 
 
 def clear_memos() -> None:
-    """Drop the cross-query memoized relations so the next execution
-    pays its own materialization (memo-cold, JVM-warm). The memos'
-    clear() also unpersists the checkpointed blocks (functions/memo.py),
-    so repeated cold passes don't accumulate block-manager storage."""
-    from postgresql_transfer_tool_spark.operators import corpus, dedup, graph, similarity
+    """Drop EVERY cross-query memoized relation so the next execution
+    pays its own materialization (memo-cold, JVM-warm). r15: delegates
+    to the central registry every CheckpointMemo auto-registers with at
+    construction (functions/memo.py) — the r14 hand-maintained module
+    list silently missed the then-new semantic assignment memo, leaving
+    that family's cold rows memo-warm. The memos' clear() also
+    unpersists the checkpointed blocks, so repeated cold passes don't
+    accumulate block-manager storage."""
+    from postgresql_transfer_tool_spark.functions.memo import clear_all_memos
 
-    dedup._SHINGLE_CACHE.clear()
-    dedup._LSH_PAIRS_CACHE.clear()
-    similarity._QUANT_CACHE.clear()
-    corpus._TOKS_CACHE.clear()
-    graph._EDGE_CACHE.clear()
+    clear_all_memos()
 
 
 def normalizer_probe() -> float:

@@ -25,6 +25,7 @@ frees their blocks too.
 
 from __future__ import annotations
 
+import weakref
 from collections import OrderedDict
 from collections.abc import Hashable
 
@@ -34,6 +35,27 @@ from pyspark.sql import DataFrame
 #: dataset count (tests sweep 3 sf_dirs × a couple of hash variants)
 #: while still bounding a pathological many-dataset session.
 DEFAULT_CAPACITY = 8
+
+#: Every CheckpointMemo auto-registers here (weakly — short-lived test
+#: instances just drop out). ``clear_all_memos`` is the bench harness's
+#: memo-cold reset: the r14 verdict found a newly added memo missing
+#: from bench.clear_memos()'s hand-maintained list, which silently
+#: excluded that family's build cost from the recorded cold numbers.
+#: A registry at the constructor makes that omission structurally
+#: impossible — a memo cannot exist without being clearable.
+_ALL_MEMOS: "weakref.WeakSet[CheckpointMemo]" = weakref.WeakSet()
+
+
+def clear_all_memos() -> int:
+    """Clear EVERY live CheckpointMemo (unpersisting their checkpoint
+    blocks) and return the number of entries dropped. Only memos whose
+    defining modules have been imported exist — callers that need a
+    specific family cold must have imported (i.e. used) it already."""
+    n = 0
+    for memo in list(_ALL_MEMOS):
+        n += len(memo)
+        memo.clear()
+    return n
 
 
 def checkpoint_rdd_ids(df: DataFrame) -> frozenset[int]:
@@ -103,6 +125,7 @@ class CheckpointMemo:
             raise ValueError(f"capacity must be >= 1, got {capacity}")
         self.capacity = capacity
         self._entries: OrderedDict[Hashable, tuple[DataFrame, ...]] = OrderedDict()
+        _ALL_MEMOS.add(self)
 
     def get(self, key: Hashable) -> DataFrame | None:
         dfs = self._entries.get(key)

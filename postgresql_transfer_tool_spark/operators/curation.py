@@ -363,17 +363,16 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100×."""
     from .text import EN_STOP
 
-    toks = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
-    )
-    packed = keyed_running_sum(
-        toks, ["source"], [F.col("doc_id")], F.col("n_tok").cast("bigint"),
-        "_cum",
-    ).select(
-        "source", "doc_id",
-        F.floor((F.col("_cum") - F.col("n_tok")) / PACK_TOKENS).alias("pack_id"),
-    )
+    # r15 (guide §1.2 "don't compute things twice" / §2.4): the r14
+    # form scanned+tokenized documents TWICE (once for n_tok feeding
+    # the packing cumsum, once for the quality score) and re-joined the
+    # two branches on doc_id. The quality score is a per-row expression
+    # over the SAME token array, so it rides the packing relation
+    # through the cumsum (keyed_running_sum preserves extra columns;
+    # its slice exchange gains one decimal column and the arrays are
+    # projected away before it) — one tokenize pass, join gone. The
+    # oracle's qscore len>0 filter becomes quality IS NULL, applied
+    # where the join's inner semantics applied it.
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "qtoks", F.split(F.trim("text"), r"\s+")
     )
@@ -385,9 +384,20 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.size(F.array_distinct("qtoks")).cast("double") / n
         + F.when((n >= 20) & (n <= 200), 1).otherwise(0).cast("double")
     ).cast("decimal(14,6)")
-    scored = docs.filter(n > 0).select("doc_id", quality.alias("quality"))
+    toks = docs.select(
+        "source", "doc_id",
+        n.alias("n_tok"),
+        F.when(n > 0, quality).alias("quality"),
+    )
+    packed = keyed_running_sum(
+        toks, ["source"], [F.col("doc_id")], F.col("n_tok").cast("bigint"),
+        "_cum",
+    ).select(
+        "source", "doc_id", "quality",
+        F.floor((F.col("_cum") - F.col("n_tok")) / PACK_TOKENS).alias("pack_id"),
+    )
     pq = (
-        packed.join(scored, "doc_id")
+        packed.filter(F.col("quality").isNotNull())
         .groupBy("source", F.col("pack_id").cast("bigint").alias("pack_id"))
         .agg(
             F.count("*").alias("n_docs"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import balance_scan, load_table, table_row_count
 from ..functions.memo import CheckpointMemo
 from .registry import query
 
@@ -63,11 +63,20 @@ def _incidence(
     row_number(). The row_number filter lowers to WindowGroupLimit —
     per-partition partial top-k BEFORE the shuffle — so the cap itself
     never materializes the hot basket either."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # keyed balance_scan (r15, §2.4/§2.5): run the partial-distinct at
+    # session width instead of fused into the single-row-group scan
+    # task; hashing on the distinct keys lets the distinct reuse the
+    # gated exchange
+    op = balance_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        "l_partkey",
+    ).distinct()
     if max_basket_size is not None:
         op = cap_baskets(op, max_basket_size)
     return op
@@ -112,9 +121,21 @@ def _baskets(
     ps = F.sort_array(F.collect_set("l_partkey"))
     if max_basket_size is not None:
         ps = F.slice(ps, 1, max_basket_size)
+    # keyed balance_scan (r15, §2.4/§2.5): the partial collect_set is
+    # the heavy per-row work of this query; fused into a single-row-
+    # group file's one-task scan stage it serializes. Hash-balancing on
+    # the order key lets the groupBy reuse the gated exchange — one
+    # exchange either way, aggregation at session width.
     return (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        balance_scan(
+            spark,
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            sf_dir,
+            "lineitem",
+            "l_orderkey",
+        )
         .groupBy("l_orderkey")
         .agg(ps.alias("ps"))
     )
@@ -170,10 +191,45 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
-    """The distributed PageRank core over a symmetric edge list — see
+def _nodes_fit_broadcast(sf_dir: str) -> bool:
+    """Gate for the broadcast rank/frontier forms: co-purchase node ids
+    are part keys, so the part table's footer row count bounds the node
+    count exactly — metadata only, no scan (the LSH/IVF statistics
+    pattern)."""
+    return table_row_count(sf_dir, "part") <= PR_BROADCAST_MAX_NODES
+
+
+#: node-count bound under which the per-iteration rank relation (and
+#: the BFS frontier) is explicitly BROADCAST instead of shuffle-joined
+#: against the edge list (guide §3.1 "broadcast the side that fits"):
+#: a rank row is (bigint v, bigint r, bigint d) ≈ 24 B + framing, so
+#: 4M nodes ≈ 100 MB built — comfortably inside the driver/executor
+#: budget here and far under the 8 GB / 512M-row broadcast cap, while
+#: a 100 TB co-purchase graph (billions of nodes) falls back to the
+#: co-partitioned shuffle form below. The gate is decided from footer
+#: metadata by the callers (node ids ⊆ part keys), never a scan.
+PR_BROADCAST_MAX_NODES = 4_000_000
+
+
+def pagerank_over_edges(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    *,
+    symmetric: bool = True,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """The distributed PageRank core over an edge list — see
     pagerank_copurchase for the spec and scale argument. Returns
     (v, r) with r in PR_SCALE fixed-point units.
+
+    ``symmetric=True`` (the co-purchase caller's case, pinned in
+    tests/test_graph_ops.py) asserts that every node with out-edges
+    also has in-edges, which licenses dropping the per-iteration
+    dangling-node left join (below). For a general DIRECTED edge list
+    pass ``symmetric=False``: zero-in-degree nodes then keep their
+    damping-floor rank via an explicit left join each iteration —
+    silently omitting them was flagged by the r14 verdict as a trap
+    for future non-symmetric callers.
 
     Only the REUSED relation (edge+degree table) is checkpointed;
     intermediate ranks are not — each is consumed exactly once by the
@@ -188,11 +244,25 @@ def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     and the classic dangling-node left-join against the node list is a
     no-op — dropping it removes one SortMergeJoin + two exchanges per
     iteration (guide §2.4), with rows identical to the oracle's LEFT
-    JOIN form. The iteration's rank relation comes out of the
-    aggregation hash-partitioned on the node id, so the next
-    iteration's join reuses that partitioning instead of re-shuffling
-    the rank side."""
+    JOIN form.
+
+    ``broadcast_ranks`` (r15, guide §3.1): the rank relation is
+    node-sized while the edge list is edge-sized, so when the node
+    count is bounded (callers gate on PR_BROADCAST_MAX_NODES from
+    footer metadata) the per-iteration join broadcasts the ranks —
+    with the degree FOLDED INTO the broadcast row — and the EDGE
+    relation is never exchanged or sorted at all: the r14 shuffle form
+    paid one reused src-exchange plus a per-iteration SORT of the full
+    edge relation under each SortMergeJoin. The node-sized degree
+    relation is localCheckpoint'ed once per call (it feeds rank₀ and
+    every iteration's degree re-attach) so its edge aggregation runs
+    once. Arithmetic is unchanged integer/decimal — join strategy
+    cannot affect the result."""
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    if broadcast_ranks:
+        # node-sized; materialized once so the edge-aggregation subtree
+        # is not recomputed by every broadcast build job
+        deg = deg.localCheckpoint(eager=False)
     # No checkpoint on ed (r14): the checkpoint materialized a fresh
     # edge+degree copy per CALL and — because an ExistingRDD forgets
     # its partitioning — every iteration re-shuffled it by src. As a
@@ -200,23 +270,60 @@ def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # and AQE's stage reuse computes the src-shuffle ONCE per query
     # (guide §2.4 "share one exchange"); `edges` itself is still the
     # session-memoized checkpoint, so nothing upstream recomputes.
-    ed = edges.join(deg, "src")
+    ed = deg if broadcast_ranks else edges.join(deg, "src")
     ranks = deg.select(
-        F.col("src").alias("v"), F.lit(PR_SCALE).cast("bigint").alias("r")
+        F.col("src").alias("v"),
+        F.lit(PR_SCALE).cast("bigint").alias("r"),
+        *(["d"] if broadcast_ranks else []),
     )
-    for _ in range(iters):
-        ranks = (
-            ed.join(ranks, ed.src == ranks.v)
-            .select("dst", F.expr("r div d").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
-            .select(
+    nodes = deg.select(F.col("src").alias("nv")) if not symmetric else None
+    for it in range(iters):
+        if broadcast_ranks:
+            inc = (
+                edges.join(F.broadcast(ranks), edges.src == ranks.v)
+                .select("dst", F.expr("r div d").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
+            )
+        else:
+            inc = (
+                ed.join(ranks, ed.src == ranks.v)
+                .select("dst", F.expr("r div d").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inc"))
+            )
+        if symmetric:
+            ranks = inc.select(
                 F.col("dst").alias("v"),
                 (F.lit(PR_BASE) + F.expr("(85 * inc) div 100"))
                 .cast("bigint")
                 .alias("r"),
             )
-        )
+        else:
+            # general directed graph: a node with out-edges but NO
+            # in-edges never appears in the incoming-sum aggregate —
+            # re-attach the node universe so it keeps the damping floor
+            join_inc = F.broadcast(inc) if broadcast_ranks else inc
+            ranks = (
+                nodes.join(join_inc, nodes.nv == inc.dst, "left")
+                .select(
+                    F.col("nv").alias("v"),
+                    (
+                        F.lit(PR_BASE)
+                        + F.coalesce(
+                            F.expr("(85 * inc) div 100"), F.lit(0)
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("r"),
+                )
+            )
+        if broadcast_ranks and it < iters - 1:
+            # re-attach the degree for the next iteration's div — a
+            # node-sized broadcast join against the checkpointed deg
+            ranks = ranks.join(
+                F.broadcast(deg), ranks.v == deg.src
+            ).select("v", "r", "d")
     return ranks
 
 
@@ -256,8 +363,15 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration one join keyed on ``src`` (rank lookup) and one
     shuffle on ``dst`` (partial-aggregated sum) — the textbook
     distributed PageRank step; see pagerank_over_edges for the
-    checkpointing trade."""
-    ranks = pagerank_over_edges(_edges(spark, sf_dir))
+    checkpointing trade. The node-sized rank relation is broadcast
+    (degree folded in) while the graph's node bound — part keys, known
+    exactly from the parquet footer — fits PR_BROADCAST_MAX_NODES, so
+    the edge relation is never shuffled or sorted; past the bound the
+    co-partitioned shuffle form takes over (guide §3.1)."""
+    ranks = pagerank_over_edges(
+        _edges(spark, sf_dir),
+        broadcast_ranks=_nodes_fit_broadcast(sf_dir),
+    )
     return ranks.select(F.col("v").alias("partkey"), F.col("r").alias("rank_scaled"))
 
 
@@ -314,15 +428,22 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bfs_over_edges's ownership contract) — so the deep path parks the
     handle in the session _BFS_CACHE, whose LRU eviction unpersists the
     blocks instead of leaking one checkpoint per call."""
+    bcast = _nodes_fit_broadcast(sf_dir)
     if bfs_uses_checkpoints(BFS_DEPTH):
         key = (spark.sparkContext.applicationId, sf_dir, BFS_DEPTH)
         reached = _BFS_CACHE.get(key)
         if reached is None:
             reached = _BFS_CACHE.put(
-                key, bfs_over_edges(_edges(spark, sf_dir), BFS_DEPTH)
+                key,
+                bfs_over_edges(
+                    _edges(spark, sf_dir), BFS_DEPTH,
+                    broadcast_frontier=bcast,
+                ),
             )
     else:
-        reached = bfs_over_edges(_edges(spark, sf_dir), BFS_DEPTH)
+        reached = bfs_over_edges(
+            _edges(spark, sf_dir), BFS_DEPTH, broadcast_frontier=bcast
+        )
     return reached.select(F.col("v").alias("partkey"), F.col("hop").cast("int"))
 
 
@@ -343,7 +464,11 @@ def bfs_uses_checkpoints(depth: int) -> bool:
 
 
 def bfs_over_edges(
-    edges: DataFrame, depth: int, checkpoint_levels: bool | None = None
+    edges: DataFrame,
+    depth: int,
+    checkpoint_levels: bool | None = None,
+    *,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Bounded-depth BFS core: (v, hop) with hop = min hops (≤ depth)
     from the lowest ``src`` over a directed edge list.
@@ -368,6 +493,14 @@ def bfs_over_edges(
     in a ``CheckpointMemo``, which unpersists on eviction/clear) once the
     result is no longer needed. The plan-subtree path returns an ordinary
     lazy plan with nothing to free.
+
+    ``broadcast_frontier`` (r15, guide §3.1): the frontier is at most
+    node-sized while the edge list is edge-sized — when the node count
+    is bounded (callers gate on PR_BROADCAST_MAX_NODES, same as
+    PageRank's rank broadcast) each level's expansion broadcasts the
+    frontier, so the edge relation is never exchanged or sorted; only
+    the node-sized per-level distinct shuffles. Join strategy cannot
+    change the reached set.
     """
     if checkpoint_levels is None:
         checkpoint_levels = bfs_uses_checkpoints(depth)
@@ -393,8 +526,9 @@ def bfs_over_edges(
         frontier = root.select("v")
         levels = [root]
         for k in range(1, depth + 1):
+            probe = F.broadcast(frontier) if broadcast_frontier else frontier
             frontier = (
-                edges.join(frontier, edges.src == frontier.v)
+                edges.join(probe, edges.src == frontier.v)
                 .select(F.col("dst").alias("v"))
                 .distinct()
             )
@@ -409,8 +543,9 @@ def bfs_over_edges(
     frontier = root.localCheckpoint(eager=True)
     reached = frontier
     for k in range(1, depth + 1):
+        probe = F.broadcast(frontier) if broadcast_frontier else frontier
         nxt = (
-            edges.join(frontier, edges.src == frontier.v)
+            edges.join(probe, edges.src == frontier.v)
             .select(F.col("dst").alias("v"))
             .distinct()
             .join(reached, "v", "left_anti")

@@ -548,7 +548,15 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       op below mirrors the previous Spark expression sequence
       (float(Decimal) = decimal→string→double cast, both correctly
       rounded; explicit x*x; sqrt(neg)→NaN; /0→NULL), so results are
-      bit-identical — proved by the oracle hash at sf0.01/sf0.1."""
+      bit-identical — proved by the oracle hash at sf0.01/sf0.1.
+
+    EAGER-EXECUTION contract (r14 ADVICE #2): because the closing runs
+    over that collected moment row, the distributed aggregation executes
+    at DataFrame-BUILD time — calling this function runs the full pass
+    even if the caller only explains or schema-checks the returned
+    DataFrame (whose plan is just a Scan of the 6 local result rows).
+    Plan-dump tooling should not mistake the cheap returned plan for
+    the cost of the operator."""
     def dc(c):
         p, s = _CM_COLS[c]
         return F.col(c).cast(f"decimal({p},{s})")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import balance_scan, load_table
 from ..functions.exact import dec
 from .registry import query
 from .relational import dd
@@ -248,20 +248,45 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: orders it shares with at least one other supplier
-    (Q21's correlated-EXISTS-on-the-same-table shape, decorrelated by
-    Catalyst into a self-semi-join on (orderkey, suppkey≠))."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
-    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
-    return spark.sql(
-        """
-        SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_shared_orders
-        FROM supplier_q21 s, lineitem_q21 l1
-        WHERE s.s_suppkey = l1.l_suppkey
-          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-        GROUP BY s.s_name
-        """
+    (Q21's correlated-EXISTS-on-the-same-table shape).
+
+    r15 (guide §2.3/§2.4): Catalyst decorrelates the EXISTS into a
+    lineitem⋈lineitem LEFT SEMI join on the order key — TWO full
+    shuffles + sorts of lineitem. But the predicate "some other row of
+    this order has a different suppkey" is a per-order set property:
+    l1's EXISTS holds iff its order has ≥ 2 DISTINCT suppliers (l1's
+    own suppkey is in the set, so another member exists exactly then).
+    One collect_set pass over (orderkey, suppkey) — partial map-side,
+    the _baskets idiom — replaces the self-semi-join, and the exploded
+    survivors are already DISTINCT (order, supplier) pairs, so the
+    COUNT(DISTINCT l_orderkey) by s_name stays exact (a NULL l2
+    suppkey never witnesses the oracle's <> predicate, and collect_set
+    drops NULLs — same rows). Supplier attaches AFTER the reduction,
+    AQE-broadcast at this scale."""
+    # keyed balance_scan: the partial collect_set would otherwise run
+    # fused into the single-task scan stage of a single-row-group file;
+    # hashing on the grouping key lets the groupBy reuse the gated
+    # exchange, so the plan keeps exactly one exchange (§2.4/§2.5)
+    lineitem = balance_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    shared = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select("l_orderkey", F.explode("ss").alias("l_suppkey"))
+    )
+    return (
+        shared.join(supplier, shared.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_shared_orders"))
     )
 
 

@@ -112,7 +112,7 @@ class TransferPipeline:
         target_dir: str,
         exclude: tuple[str, ...] = (),
         catalog: dict[str, TableInfo] | None = None,
-        max_parallel_tables: int = 4,
+        max_parallel_tables: int | None = None,
         partition_by: dict[str, tuple[str, ...]] | None = None,
         mode: str = "overwrite",
     ) -> None:
@@ -123,6 +123,16 @@ class TransferPipeline:
         self.target_dir = target_dir
         self.exclude = set(exclude)
         self.catalog = catalog if catalog is not None else fixture_catalog()
+        #: in-flight table bound for the copy AND validation pools.
+        #: Default scales with the session's core budget (guide §2.6
+        #: keeps the in-flight count modest — enough concurrent jobs to
+        #: back-fill a big table's write tail, not so many they fight):
+        #: cores/4 clamped to [4, 8]; local[32] ⇒ 8, an 8-core driver
+        #: rerun ⇒ 4 (the r14 constant). Real deployments pass their
+        #: own value.
+        if max_parallel_tables is None:
+            cores = spark.sparkContext.defaultParallelism
+            max_parallel_tables = max(4, min(8, cores // 4))
         self.max_parallel_tables = max_parallel_tables
         #: "overwrite" replaces targets (the reference's fresh-migration
         #: path); "append" loads INTO pre-existing targets — the
@@ -229,39 +239,46 @@ class TransferPipeline:
                 continue
             work.append(name)
 
-        # phase 2: parallel copy (inter-table thread pool; intra-table
-        # parallelism comes from Spark partitions)
-        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
-            for res in pool.map(self._copy_table, work):
-                report.results[res.table] = res
+        # phases 2-4 OVERLAPPED (r15, guide §2.6 "overlap independent
+        # jobs"): copies run in one thread pool, and each table's
+        # validation (+ sequence resync) is submitted to a SECOND pool
+        # the moment its own copy AND the copy attempts of all its FK
+        # parents have completed — the r14 form had a hard barrier
+        # between the copy phase and the validation phase, so the
+        # cluster idled through the big fact table's write tail while
+        # every small table's already-copied audits waited. Two pools
+        # (not one) so a ready validation never queues behind
+        # still-pending copy tasks; Spark schedules the concurrent
+        # jobs FIFO and back-fills freed cores (§2.6).
+        #
+        # Validation reads one target handle per copied table, shared
+        # by its own audits AND by every FK audit that reads it as a
+        # parent — each spark.read.parquet re-infers the footer on the
+        # driver (~120-170 ms, single-threaded), so per-FK re-reads
+        # would be pure repeated driver work (guide §5/§7.3; same
+        # reasoning as catalog._TABLE_MEMO). PK audit is a single
+        # aggregation pass: grouping on the PK puts NULL keys in their
+        # own groups, so duplicates and null-keys fall out of one
+        # groupBy.
+        import threading
 
-        # phases 3+4: constraint validation + sequence HWM, parallel per
-        # table (each validation is an independent Spark job; the driver
-        # thread pool keeps the cluster busy across tables just like the
-        # copy phase). PK audit is a single aggregation pass: grouping on
-        # the PK puts NULL keys in their own groups, so duplicates and
-        # null-keys fall out of one groupBy.
-        # One target handle per copied table, shared by its own audits
-        # AND by every FK audit that reads it as a parent — each
-        # spark.read.parquet re-infers the footer on the driver
-        # (~120-170 ms, single-threaded), so the per-FK re-reads were
-        # pure repeated driver work (guide §5/§7.3; same reasoning as
-        # catalog._TABLE_MEMO). Plans are immutable; sharing changes
-        # nothing downstream.
-        copied_names = [
-            n for n, r in report.results.items() if r.status == "copied"
-        ]
-        handles = {
-            n: self.spark.read.parquet(table_path(self.target_dir, n))
-            for n in copied_names
-        }
+        handles: dict[str, object] = {}
+        handles_lock = threading.Lock()
+
+        def _handle(name: str):
+            with handles_lock:
+                df = handles.get(name)
+                if df is None:
+                    df = self.spark.read.parquet(table_path(self.target_dir, name))
+                    handles[name] = df
+                return df
 
         def _validate(name: str) -> None:
             res = report.results[name]
             info = self.catalog.get(name)
             if info is None:
                 return
-            tdf = handles[name]
+            tdf = _handle(name)
             if info.primary_key:
                 res.pk_violations = audit_primary_key(tdf, info.primary_key)
             for cols in info.unique:
@@ -292,7 +309,7 @@ class TransferPipeline:
                     report.results[fk.ref_table].status != "copied"
                 ):
                     continue
-                parent = handles[fk.ref_table]
+                parent = _handle(fk.ref_table)
                 res.fk_orphans[f"{fk.table}.{','.join(fk.columns)}"] = audit_fk_orphans(
                     tdf, parent, fk
                 )
@@ -307,10 +324,52 @@ class TransferPipeline:
                 except Exception as exc:
                     res.error = f"sequence resync failed: {exc}"
 
-        copied = copied_names
-        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
-            list(pool.map(_validate, copied))
+        # dependency map: validating T needs T's own copy to have
+        # SUCCEEDED and every FK parent's copy attempt to have COMPLETED
+        # (any status — a failed parent just skips that FK audit, as in
+        # the phased form). Parents outside the work list were resolved
+        # in phase 1.
+        work_set = set(work)
+        parents_of = {
+            t: {
+                fk.ref_table
+                for fk in (
+                    self.catalog[t].foreign_keys if t in self.catalog else ()
+                )
+                if fk.ref_table in work_set and fk.ref_table != t
+            }
+            for t in work
+        }
+        from concurrent.futures import FIRST_COMPLETED, wait
 
+        validation_futures = []
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as copy_pool, \
+                ThreadPoolExecutor(max_workers=self.max_parallel_tables) as val_pool:
+            pending = {copy_pool.submit(self._copy_table, t): t for t in work}
+            done_copies: set[str] = set()
+            submitted: set[str] = set()
+            while pending:
+                finished, _ = wait(set(pending), return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    name = pending.pop(fut)
+                    res = fut.result()
+                    report.results[name] = res
+                    done_copies.add(name)
+                for t in work:
+                    if (
+                        t not in submitted
+                        and t in done_copies
+                        and report.results[t].status == "copied"
+                        and parents_of[t] <= done_copies
+                    ):
+                        submitted.add(t)
+                        validation_futures.append(val_pool.submit(_validate, t))
+            for fut in validation_futures:
+                fut.result()  # propagate validator errors, as pool.map did
+
+        # work order, not completion order, so downstream iteration is
+        # deterministic run-to-run
+        copied = [n for n in work if report.results[n].status == "copied"]
         sequences = {
             f"{n}.{self.catalog[n].serial_columns[0]}": report.results[n].next_sequence_value
             for n in copied

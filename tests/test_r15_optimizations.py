@@ -1,0 +1,135 @@
+"""Round-15 optimization pins (VERDICT r14 "Next round" items).
+
+- #1: the bench's memo-cold reset must reach EVERY CheckpointMemo —
+  r14 added the semantic assignment memo without registering it in
+  bench.clear_memos(), so that family's "cold" rows were memo-warm.
+  Now every memo auto-registers at construction and clear_all_memos()
+  is the single reset path.
+- #9: pagerank_over_edges dropped the dangling-node left join, which
+  is only sound for symmetric edge lists; a general directed caller
+  must be able to opt back in via symmetric=False.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresql_transfer_tool_spark.functions import memo as memo_mod
+from postgresql_transfer_tool_spark.functions.memo import (
+    CheckpointMemo,
+    clear_all_memos,
+)
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def test_every_operator_memo_is_registered():
+    """Each module-level CheckpointMemo must be reachable from the
+    central registry the bench clears — constructed instances register
+    themselves, so importing the operator modules is sufficient."""
+    from postgresql_transfer_tool_spark.operators import (
+        ann_index,
+        contamination_index,
+        corpus,
+        dedup,
+        dedup_index,
+        graph,
+        ingest,
+        semantic,
+        similarity,
+    )
+
+    expected = [
+        dedup._SHINGLE_CACHE,
+        dedup._LSH_PAIRS_CACHE,
+        similarity._QUANT_CACHE,
+        semantic._ASSIGN_CACHE,  # the r14 omission
+        corpus._TOKS_CACHE,
+        graph._EDGE_CACHE,
+        graph._BFS_CACHE,
+        ingest._INGEST_MEMO,
+        ann_index._ANNIDX_MEMO,
+        dedup_index._DDIDX_MEMO,
+        dedup_index._DDMRG_MEMO,
+        contamination_index._CONTIDX_MEMO,
+        contamination_index._CONTMRG_MEMO,
+    ]
+    registered = set(map(id, memo_mod._ALL_MEMOS))
+    missing = [i for i, m in enumerate(expected) if id(m) not in registered]
+    assert not missing, f"unregistered operator memos at indexes {missing}"
+
+
+def test_clear_all_memos_empties_and_unpersists(spark):
+    a, b = CheckpointMemo(), CheckpointMemo()
+    before = _persistent_rdd_ids(spark)
+    a.put("k", spark.range(10).localCheckpoint(eager=True))
+    b.put("k", spark.range(20).localCheckpoint(eager=True))
+    assert _persistent_rdd_ids(spark) - before
+    dropped = clear_all_memos()
+    assert dropped >= 2
+    assert len(a) == 0 and len(b) == 0
+    assert not (_persistent_rdd_ids(spark) - before), "blocks leaked"
+
+
+def test_bench_clear_memos_resets_semantic_assignment(spark, sf_dir):
+    """Driving the semantic family populates _ASSIGN_CACHE; the bench's
+    clear_memos() must leave it cold (the r14 gap)."""
+    import bench
+    from postgresql_transfer_tool_spark.operators import semantic
+
+    semantic.dedup_semantic_clusters(spark, sf_dir).collect()
+    assert len(semantic._ASSIGN_CACHE) > 0
+    bench.clear_memos()
+    assert len(semantic._ASSIGN_CACHE) == 0
+
+
+def test_pagerank_nonsymmetric_keeps_zero_indegree_nodes(spark):
+    """Directed graph 1→2, 2→3, 3→2: node 1 has no in-edge. The
+    symmetric fast path omits it (documented contract, sound only for
+    symmetric inputs); symmetric=False must keep it at the damping
+    floor with everything else matching the textbook update."""
+    from postgresql_transfer_tool_spark.operators.graph import (
+        PR_BASE,
+        PR_SCALE,
+        pagerank_over_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    full = {
+        r["v"]: r["r"]
+        for r in pagerank_over_edges(edges, iters=1, symmetric=False).collect()
+    }
+    # deg = 1 for every node; inc(2) = r(1)+r(3) = 2*PR_SCALE; inc(3) = PR_SCALE
+    assert full == {
+        1: PR_BASE,
+        2: PR_BASE + (85 * 2 * PR_SCALE) // 100,
+        3: PR_BASE + (85 * PR_SCALE) // 100,
+    }
+    fast = {
+        r["v"]: r["r"]
+        for r in pagerank_over_edges(edges, iters=1).collect()
+    }
+    assert set(fast) == {2, 3}  # node 1 silently dropped — symmetric-only path
+    assert fast == {v: full[v] for v in (2, 3)}
+
+
+def test_pagerank_symmetric_paths_agree_on_symmetric_input(spark):
+    """On a genuinely symmetric edge list both paths are bit-identical."""
+    from postgresql_transfer_tool_spark.operators.graph import pagerank_over_edges
+
+    half = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    sym = half + [(b, a) for a, b in half]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    fast = {
+        r["v"]: r["r"] for r in pagerank_over_edges(edges).collect()
+    }
+    slow = {
+        r["v"]: r["r"]
+        for r in pagerank_over_edges(edges, symmetric=False).collect()
+    }
+    assert fast == slow

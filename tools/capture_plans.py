@@ -1,9 +1,10 @@
-"""Capture .explain('formatted') for named queries into plans/r14/.
+"""Capture .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt (suffix is 'before' or 'after').
-The judge checks plan claims in OPTIMIZATION_r14.md against these files.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (suffix is
+'before' or 'after'; round defaults to r15). The judge checks plan
+claims in OPTIMIZATION_r{N}.md against these files.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT = os.path.join(REPO, "plans", "r14")
+OUT = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
 
 
 def main() -> int:
