@@ -71,12 +71,17 @@ HEADLINE = [
 MEMO_QUERIES = [
     "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_survivors", "dedup_winnowing_overlap",
+    "dedup_survivors", "dedup_survivors_by_quality",
+    "dedup_winnowing_overlap",
     "text_winnowing_fingerprint", "text_segment_dedup",
     "dedup_semantic_clusters", "dedup_embedding_cosine",
     "dedup_cross_modal", "dedup_cross_modal_media",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_topk",
     "ann_pq_topk", "knn_label_vote",
+    # r15 memo additions: bm25's 1-row query relation rides
+    # corpus._BM25_QUERY_CACHE — the cold row records the standalone
+    # df-ranking cost (VERDICT r14 item 7's precondition)
+    "bm25_ranked_retrieval",
 ]
 
 

@@ -662,6 +662,57 @@ _BM25_1MB = "0.25"
 _BM25_RANKS = (5, 6, 7)
 _BM25_TOPN = 20
 
+#: bm25 query-relation memo, keyed by (applicationId, sf_dir): the
+#: 1-row (query terms + dfs + corpus totals) relation costs a full
+#: token explode + per-term distinct-doc aggregate + TakeOrdered — the
+#: dominant subtree of every bm25 call — while its RESULT is eight
+#: scalar constants for a fixed corpus. Memoized per session under the
+#: same convention as the shingle/token memos (r14 VERDICT item 7,
+#: taken up only now that the central clear_all_memos registry exists:
+#: bm25_ranked_retrieval joins bench.MEMO_QUERIES so the memo-cold
+#: standalone cost stays on record). Auto-registered for the bench's
+#: cold reset via the CheckpointMemo constructor.
+_BM25_QUERY_CACHE = CheckpointMemo()
+
+
+def _bm25_query_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE checkpointed row: (term_a, df_a, term_b, df_b, term_c, df_c,
+    n_docs, sum_dl) — the fixed 3-term query (df ranks 5-7), each
+    term's document frequency, and the corpus length totals. Both
+    consumers broadcast it (postings filter + score attach), so
+    materializing it once also stops the plan building the df-ranking
+    subtree twice (guide §7.2, duplicated subtrees)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BM25_QUERY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    toks = _spark_tokens_materialized(spark, sf_dir)
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    n = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("bigint")).alias("sum_dl"),
+    )
+    dfr = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    top = dfr.orderBy(F.col("df").desc(), "w").limit(max(_BM25_RANKS))
+    # rank rows 5-7 without a window: sort the 7-row result as an array
+    t = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("df")).alias("negdf"), "w", "df"))
+        ).alias("arr")
+    ).select(
+        *[
+            c
+            for i, name in zip(_BM25_RANKS, ("a", "b", "c"))
+            for c in (
+                F.col("arr")[i - 1]["w"].alias(f"term_{name}"),
+                F.col("arr")[i - 1]["df"].alias(f"df_{name}"),
+            )
+        ]
+    )
+    return _BM25_QUERY_CACHE.put(
+        key, t.crossJoin(n).localCheckpoint(eager=False)
+    )
+
 
 @query(
     "bm25_ranked_retrieval",
@@ -764,34 +815,7 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _spark_tokens_materialized(spark, sf_dir)
     tok = toks.select("doc_id", F.explode("toks").alias("w"))
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    n = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks").cast("bigint")).alias("sum_dl"),
-    )
-    dfr = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    top = dfr.orderBy(F.col("df").desc(), "w").limit(max(_BM25_RANKS))
-    # rank rows 5-7 without a window: sort the 7-row result as an array
-    t = top.agg(
-        F.sort_array(
-            F.collect_list(F.struct((-F.col("df")).alias("negdf"), "w", "df"))
-        ).alias("arr")
-    ).select(
-        *[
-            c
-            for i, name in zip(_BM25_RANKS, ("a", "b", "c"))
-            for c in (
-                F.col("arr")[i - 1]["w"].alias(f"term_{name}"),
-                F.col("arr")[i - 1]["df"].alias(f"df_{name}"),
-            )
-        ]
-        # ONE row; materialized so the two broadcasts below (postings
-        # filter + score attach) share a single computation of the
-        # df-ranking subtree — the r13 plan built the whole explode +
-        # distinct-agg + TakeOrdered chain twice (guide §7.2, duplicated
-        # subtrees). Cheaper than carrying the constants through the
-        # per-doc aggregate, which widened every hits row on the doc_id
-        # exchange (measured +10% at sf0.1).
-    ).localCheckpoint(eager=False)
+    t = _bm25_query_relation(spark, sf_dir)
     hits = (
         tok.crossJoin(F.broadcast(t))
         .filter(
@@ -827,7 +851,6 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (term_score("a") + term_score("b")) + term_score("c")
     return (
         hits.join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(t))
         .select(
             "doc_id", "term_a", "term_b", "term_c",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.memo import CheckpointMemo
 from .registry import query
-from .text import WINNOW_CTES_SQL, winnow_fps_df
+from .text import WINNOW_CTES_SQL, winnow_fp_sets
 
 # ---------------------------------------------------------------------------
 # Shared shingling + hashing (identical formulas on both engines).
@@ -554,23 +554,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = sigs.select(
         "doc_id", "sim", F.explode(chunk_structs).alias("ch")
     ).select("doc_id", "sim", F.col("ch.cpos").alias("cpos"), F.col("ch.cval").alias("cval"))
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "cpos", "cval"
+    # r15 (guide §2.3/§2.4, the winnowing/semantic in-cell idiom): ONE
+    # shuffle of the (doc, chunk) stream groups each candidate cell
+    # (cpos, cval) into its sorted member list, and the a<b candidate
+    # pairs are expanded IN-ARRAY — the r14 shape shuffled the chunk
+    # stream twice more for the self-join sides. doc_ids are distinct
+    # within a cell (one chunk row per doc per cpos), so the sorted
+    # position pairs enumerate exactly the join's doc_a < doc_b matches;
+    # the cross-cell DISTINCT (pairs sharing several chunks) is
+    # unchanged. Cell population is corpus_size / 2^8 per cpos — the
+    # same O(Σ|cell|²) pairing work as the self-join, concentrated in
+    # one stage; production simhash grows SIMHASH_BITS/_N_CHUNKS (e.g.
+    # 64-bit, 16-bit chunks → 2^16 cells) so cells stay bounded, which
+    # bounds the collected member arrays exactly as it bounds the
+    # self-join buckets.
+    cells = chunks.groupBy("cpos", "cval").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "sim"))).alias("ms")
     )
-    b2 = chunks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sim").alias("sim_b"),
-        F.col("cpos").alias("cpos_r"),
-        F.col("cval").alias("cval_r"),
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms) - i - 1),"
+        " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        "             x.sim AS sim_a, y.sim AS sim_b))))"
     )
     cand = (
-        a.join(
-            b2,
-            (F.col("cpos") == F.col("cpos_r"))
-            & (F.col("cval") == F.col("cval_r"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        cells.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -613,20 +622,31 @@ def _clusters_oracle() -> str:
     return _clusters_sql().replace("WITH", "WITH RECURSIVE", 1)
 
 
-@query("dedup_clusters", oracle=_clusters_oracle())
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component id (= min doc_id in the component) for every
-    document, over the MinHash-LSH verified near-dup graph. Iterative
-    min-label propagation, converging in O(component diameter) joins."""
+def _involved_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for the documents that appear in at least
+    one verified near-dup pair — the ONLY documents whose component can
+    contain more than one member. Iterative min-label propagation
+    restricted to this involved set (r15, guide §1.2/§2.3): the r14
+    shape seeded labels with EVERY document, so each of the O(diameter)
+    iterations joined, checkpointed and counted a corpus-sized relation
+    to propagate labels that only ever change on the pair-involved
+    sliver. At 100 TB the near-dup graph is a small fraction of the
+    corpus (LSH bucket caps bound the pair count), so every iteration
+    now touches O(|pairs|) rows instead of O(|corpus|); singleton
+    documents never enter the loop and are attached label = own id by
+    the callers that need them (dedup_clusters' left join)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     ).localCheckpoint(eager=False)
 
+    # both pair directions are in `edges`, so selecting one endpoint
+    # column yields every involved node
     labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
     for _ in range(20):  # diameter bound; fixture components are tiny
@@ -656,10 +676,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component id (= min doc_id in the component) for every
+    document, over the MinHash-LSH verified near-dup graph. Iterative
+    min-label propagation over the pair-involved documents only
+    (_involved_cluster_labels); every other document is its own
+    singleton component, attached here as a corpus-sized left join —
+    one shuffle-free pass (the involved side is small, AQE broadcasts
+    it) instead of dragging the full corpus through every iteration."""
+    labels = _involved_cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Survivor selection: greedy keep-lowest-id over the near-dup pair set
 # (a document is dropped iff it near-matches a lower-id document).
 # ---------------------------------------------------------------------------
+
+
+#: Broadcast bound for the pair-involved id set (8-byte ids → ~400 MB
+#: framed at this row count): under it the survivor-quality semi-join
+#: ships ids to the corpus scan; over it the planner falls back to a
+#: shuffle join rather than risk executor memory on an O(dup-fraction)
+#: broadcast.
+_INVOLVED_BROADCAST_ROWS = 50_000_000
 
 
 def _survivors_quality_oracle() -> str:
@@ -717,12 +761,29 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) per multi-member cluster via a groupBy struct-max — an
     all-partial-aggregable shape with NO per-cluster window (cluster
     ids are data-sized keys; the window form would be fine for
-    parallelism but the agg form is one shuffle and no sort)."""
+    parallelism but the agg form is one shuffle and no sort).
+
+    r15 (guide §1.2 "don't compute things you throw away"): only
+    pair-INVOLVED documents can sit in an n_members >= 2 cluster —
+    every other document is a singleton the final filter drops — so
+    the tokenize-and-score pass runs over the involved sliver instead
+    of the whole corpus, and the cluster relation never materializes
+    the corpus-sized singleton tail at all. The id-only involved set is
+    broadcast into the semi-join when it fits (§3.1/§3.2 — counting the
+    already-checkpointed labels is a metadata-cheap job), so the heavy
+    text column never crosses an exchange; past the bound the join is
+    left unhinted (SMJ, with Spark's runtime Bloom filter available)
+    rather than risking a multi-GB broadcast."""
     from .text import EN_STOP
 
-    clusters = dedup_clusters(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "qtoks", F.split(F.trim("text"), r"\s+")
+    clusters = _involved_cluster_labels(spark, sf_dir)
+    involved = clusters.select("doc_id")
+    if clusters.count() <= _INVOLVED_BROADCAST_ROWS:
+        involved = F.broadcast(involved)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .join(involved, "doc_id", "left_semi")
+        .withColumn("qtoks", F.split(F.trim("text"), r"\s+"))
     )
     n = F.size("qtoks")
     stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
@@ -956,13 +1017,13 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bucket argument as the banded MinHash-LSH pipeline, with no
     O(n²) anywhere. Jaccard over fingerprint sets is exact on the kept
     fingerprints (division-only double, bit-portable)."""
-    # Lineage cut BEFORE the explode (CollapseProject would re-evaluate
-    # the md5-heavy fps array per output element — O(grams²) per doc).
-    pre = (
-        winnow_fps_df(spark, sf_dir)
-        .select("doc_id", "fps")
-        .localCheckpoint(eager=False)
-    )
+    # Session-memoized fingerprint sets (shared with
+    # text_winnowing_fingerprint — the md5-per-gram pass is the dominant
+    # cost of both queries, r15 guide §1.2). The memo's localCheckpoint
+    # is also the mandatory pre-explode lineage cut (CollapseProject
+    # would re-evaluate the md5-heavy fps array per output element —
+    # O(grams²) per doc).
+    pre = winnow_fp_sets(spark, sf_dir)
     fp = pre.select("doc_id", F.explode("fps").alias("fp"))
     # ONE shuffle of the (doc_id, fp) stream now does BOTH the df cap
     # and the pairing (r14, guide §2.3/§2.4): group each fingerprint

@@ -550,6 +550,45 @@ def argmin_cell_sqdist(cent_rows):
     return argmin
 
 
+#: IVF cell-assignment memo, keyed by (applicationId, sf_dir): the
+#: (vec_id, top-NPROBE cells) relation is the IVF INDEX — fixed for a
+#: fixed corpus, and the dominant per-call cost of ann_ivf_topk (a
+#: centroid-sample collect plus the Arrow top-cells matmul over the
+#: whole corpus). Session-memoized under the same convention as the
+#: semantic assignment / PQ index memos (r15, guide §1.2);
+#: ann_ivf_topk is in bench.MEMO_QUERIES so the memo-cold pass records
+#: the full build. Auto-registered with the central clear_all_memos
+#: registry via the CheckpointMemo constructor.
+_IVF_CELLS_CACHE = CheckpointMemo()
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cells array<bigint>): each vector's top-NPROBE centroid
+    cells by cosine, memoized + lineage-cut per (session, corpus).
+    Centroid selection and assignment are unchanged from r14: a
+    footer-metadata stride (no scan job), an id-hash centroid sample
+    (layout-free), and the map-side vectorized top-NPROBE Arrow matmul
+    (no n×nc row materialization — see top_cells_by_cosine)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_CELLS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
+    stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
+    cent_rows = [
+        (r.vec_id, r.qe, r.nq)
+        for r in q.filter(centroid_sample_filter(stride)).collect()
+    ]
+    return _IVF_CELLS_CACHE.put(
+        key,
+        q.select(
+            "vec_id",
+            top_cells_by_cosine(cent_rows, NPROBE)("qe", "nq").alias("cells"),
+        ).localCheckpoint(eager=False),
+    )
+
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
@@ -599,21 +638,11 @@ def argmin_cell_sqdist(cent_rows):
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: assign corpus to nearest-centroid cells (cell count
     adaptive in corpus size), probe the query's NPROBE best cells,
-    exact-rerank candidates."""
+    exact-rerank candidates. The assignment relation is the
+    session-memoized IVF index (_ivf_cells, r15) — the bench's cold
+    pass re-pays the centroid collect + Arrow assignment build."""
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    # footer-metadata n (exact, no scan job) — see lsh_candidate_pairs;
-    # centroids are the id-hash sample, robust to any vec_id layout,
-    # and assignment is the map-side vectorized top-NPROBE (no n×nc
-    # row materialization — see top_cells_by_cosine)
-    stride = centroid_stride(table_row_count(sf_dir, "embeddings"))
-    cent_rows = [
-        (r.vec_id, r.qe, r.nq)
-        for r in q.filter(centroid_sample_filter(stride)).collect()
-    ]
-    cells = q.select(
-        "vec_id",
-        top_cells_by_cosine(cent_rows, NPROBE)("qe", "nq").alias("cells"),
-    ).localCheckpoint(eager=False)
+    cells = _ivf_cells(spark, sf_dir)
     assigned = cells.select(
         "vec_id", F.col("cells")[0].alias("cell")
     )
@@ -823,6 +852,81 @@ sub AS (
 )
 """
 
+#: PQ index memo, keyed by (applicationId, sf_dir, role): the trained
+#: codebook DataFrame ('cb') and the encoded corpus codes ('codes') are
+#: the PQ INDEX — fixed for a fixed corpus, rebuilt from parquet on
+#: every cold pass (ann_pq_topk is in bench.MEMO_QUERIES; the memo
+#: auto-registers with the central clear_all_memos registry). r15,
+#: guide §1.2/§2.4: the r14 shape re-collected + re-trained the
+#: codebook and re-encoded the corpus through a broadcast join +
+#: (vec_id, m) exchange on EVERY call.
+_PQ_INDEX_CACHE = CheckpointMemo()
+
+
+def _pq_code_expr(cb_rows) -> "F.Column":
+    """Map-side PQ encoder: codes array for the ``qe`` column, with the
+    trained codebook embedded as LITERALS (PQ_M×PQ_K×PQ_SUBDIM = 1024
+    ints). Same arithmetic as the r14 broadcast-join + MIN(struct)
+    aggregate — int64 squared L2 per (subspace, codeword), argmin with
+    min-k tie-break via lexicographic struct ordering — but evaluated
+    entirely inside the scan projection: no explode to (vec_id, m)
+    rows, no broadcast build, no aggregation exchange (guide §2.4
+    "remove shuffles outright"; the codebook is driver data anyway)."""
+    by_m: dict[int, list] = {}
+    for m, k, cw in cb_rows:
+        by_m.setdefault(m, []).append((k, cw))
+    code_cols = []
+    for m in range(PQ_M):
+        cands = []
+        for k, cw in sorted(by_m[m]):
+            d2 = None
+            for d in range(PQ_SUBDIM):
+                t = F.col("qe")[m * PQ_SUBDIM + d] - F.lit(cw[d])
+                sq = t * t
+                d2 = sq if d2 is None else d2 + sq
+            cands.append(
+                F.struct(
+                    d2.alias("dist"), F.lit(k).cast("bigint").alias("k")
+                )
+            )
+        code_cols.append(F.array_min(F.array(*cands))["k"])
+    return F.array(*code_cols)
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, cb): the session-memoized PQ index. ``codes`` is the
+    encoded corpus (vec_id, codes array<bigint>) — n·(PQ_M+1) small
+    ints, the hot working set PQ exists to produce; ``cb`` the trained
+    (m, k, cw) codebook. Built once per (session, corpus): TakeOrdered
+    sample collect → driver numpy Lloyd (bounded PQ_TRAIN rows, the
+    repo's bounded-scalar-read class) → one map-side encode pass over
+    the quantized relation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    codes = _PQ_INDEX_CACHE.get((*key, "codes"))
+    cb = _PQ_INDEX_CACHE.get((*key, "cb"))
+    if codes is not None and cb is not None:
+        return codes, cb
+    q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe")
+    train_rows = (
+        q.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN)
+        .collect()
+    )
+    cb_rows = _train_pq_codebook(train_rows)
+    cb = _PQ_INDEX_CACHE.put(
+        (*key, "cb"),
+        spark.createDataFrame(
+            cb_rows, "m int, k bigint, cw array<bigint>"
+        ).localCheckpoint(eager=False),
+    )
+    codes = _PQ_INDEX_CACHE.put(
+        (*key, "codes"),
+        q.select("vec_id", _pq_code_expr(cb_rows).alias("codes")).localCheckpoint(
+            eager=False
+        ),
+    )
+    return codes, cb
+
 
 @query(
     "ann_pq_topk",
@@ -886,60 +990,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against codes with asymmetric distance (ADC), exact-rerank the top
     PQ_CAND.
 
-    Scale shape: the codebook (PQ_M×PQ_K subvectors) broadcasts;
-    encoding is a broadcast join + per-(vector, subspace) argmin — one
-    shuffle of the (vec_id, m) relation, linear in n and embarrassingly
-    parallel. ADC joins the code table against the (tiny, broadcast)
-    query partial-dot table on (m, code) — the corpus's full vectors are
-    only touched for the PQ_CAND re-rank rows per query. At 100 TB the
-    vectors live in cold storage and the hot working set is n·PQ_M
-    bytes of codes.
+    Scale shape (r15): the trained codebook + encoded corpus codes are
+    the session-memoized PQ INDEX (_pq_index — at 100 TB the vectors
+    live in cold storage and the hot working set is the n·PQ_M bytes of
+    codes this memo holds; the bench's cold pass re-pays the full
+    train + encode build). Encoding is a literal-codebook projection
+    fused into the corpus scan — no explode, no broadcast build, no
+    aggregation exchange (the r14 shape paid a broadcast join plus a
+    (vec_id, m) shuffle per call). ADC joins the posexploded code table
+    against the (tiny, broadcast) query partial-dot table on (m, code)
+    — the corpus's full vectors are only touched for the PQ_CAND
+    re-rank rows per query. Recall measured in
+    tests/test_similarity_scale.py.
     """
     q = _spark_quantized_materialized(spark, sf_dir).select("vec_id", "qe", "nq")
-    sub = q.select(
-        "vec_id",
-        "qe",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    ).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(qe, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
-    )
-    # codebook: seed = the exactly-PQ_K smallest-(md5, vec_id) vectors
-    # (layout-free — vec_id < PQ_K returned an EMPTY codebook off
-    # dense-id corpora), trained driver-side in numpy over the bounded
-    # PQ_TRAIN ranked sample with the oracle's exact arithmetic
-    # (_train_pq_codebook); the distributed plan keeps a single encode
-    # pass. Recall measured in tests/test_similarity_scale.py.
-    train_rows = (
-        q.select("vec_id", "qe")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_TRAIN)
-        .collect()
-    )
-    cb = spark.createDataFrame(
-        _train_pq_codebook(train_rows), "m int, k bigint, cw array<bigint>"
-    )
-    l2 = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    # Per-(vector, subspace) argmin as MIN(struct(dist, k)) — struct
-    # ordering is lexicographic, so the minimum is exactly the
-    # row_number()-over-(dist, k) winner the previous window form kept
-    # (rk=1), but as an ordinary aggregate it partial-aggregates
-    # MAP-SIDE: the broadcast join emits all PQ_K candidate rows per
-    # (vec_id, m) on one task, the partial min collapses them to one
-    # row before the exchange, and no per-group sort runs at all
-    # (guide §2.3 "aggregate before you shuffle" — the window form
-    # shuffled n·PQ_M·PQ_K rows and sorted them per group).
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", F.struct(l2.alias("dist"), "k").alias("dk"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dk").alias("dk"))
-        .select("vec_id", "m", F.col("dk.k").alias("code"))
+    codes, cb = _pq_index(spark, sf_dir)
+    enc = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
     )
     pd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: x * y),
@@ -947,7 +1014,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     qdots = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "qe",
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(qe, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+        )
         .join(F.broadcast(cb), "m")
         .select(F.col("vec_id").alias("query_id"), "m", "k", pd.alias("pd"))
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.memo import CheckpointMemo
 from .registry import query
 from .relational import dd
 
@@ -462,6 +463,38 @@ def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fps_from(load_table(spark, sf_dir, "documents"))
 
 
+#: winnowing fingerprint-set memo, keyed by (applicationId, sf_dir):
+#: text_winnowing_fingerprint and dedup_winnowing_overlap both pay the
+#: md5-per-k-gram extraction pass (the dominant cost of either query) —
+#: one materialization per session instead of one per query, the same
+#: sanctioned convention as the shingle/token memos. The checkpoint
+#: holds (doc_id, n_grams, fps) — gram COUNT, not the gram-hash array,
+#: so the stored relation is the distinct-fingerprint sets only (~1/W
+#: of the hash stream). Auto-registered for the bench's memo-cold reset
+#: via the CheckpointMemo constructor (functions/memo.py).
+_WINNOW_FPS_CACHE = CheckpointMemo()
+
+
+def winnow_fp_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, fps): per-document k-gram count and distinct
+    winnowing fingerprint set, memoized + lineage-cut per session.
+
+    The localCheckpoint doubles as the mandatory pre-explode lineage cut
+    for consumers that explode ``fps`` (CollapseProject would otherwise
+    re-evaluate the md5-heavy array expression per output element —
+    O(grams²) per document; see _spark_shingles_materialized)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINNOW_FPS_CACHE.get(key)
+    if cached is None:
+        cached = _WINNOW_FPS_CACHE.put(
+            key,
+            winnow_fps_df(spark, sf_dir)
+            .select("doc_id", F.size("hs").alias("n_grams"), "fps")
+            .localCheckpoint(eager=False),
+        )
+    return cached
+
+
 @query(
     "text_winnowing_fingerprint",
     oracle=f"""
@@ -481,10 +514,15 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the (doc_id, fingerprint-set summary) survives. The distinct
     min-hash set is the plagiarism/overlap signature; two docs sharing a
     substring of >= K+W-1 chars share >= 1 fingerprint.
-    Reference analog: none (driver-mandated extension surface, X4)."""
-    return winnow_fps_df(spark, sf_dir).select(
+    Reference analog: none (driver-mandated extension surface, X4).
+
+    r15 (guide §1.2 "don't compute twice"): reads the session-memoized
+    fingerprint-set relation shared with dedup_winnowing_overlap — the
+    md5-per-gram extraction runs once per session, not once per query;
+    the bench's memo-cold pass records the standalone cost."""
+    return winnow_fp_sets(spark, sf_dir).select(
         "doc_id",
-        F.size("hs").alias("n_grams"),
+        "n_grams",
         F.size("fps").alias("n_fingerprints"),
         F.aggregate("fps", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
             "fp_checksum"

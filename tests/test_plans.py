@@ -202,19 +202,26 @@ def test_pq_broadcasts_codebook_and_querydots(spark, sf_dir):
 
 
 def test_winnowing_fingerprint_is_map_only(spark, sf_dir):
-    # Fingerprint extraction is map-side work: the ONLY exchange is the
-    # explicit round-robin repartition that spreads the md5-heavy stage
-    # across cores (fixture = 1 file = 1 split); no aggregation shuffle.
-    # Scan reads only (doc_id, text).
+    # Fingerprint extraction is map-side work: the ONLY exchange in the
+    # memoized fingerprint-set builder is the explicit round-robin
+    # repartition that spreads the md5-heavy stage across cores
+    # (fixture = 1 file = 1 split); no aggregation shuffle. Scan reads
+    # only (doc_id, text). The query itself consumes the session memo
+    # (r15) — its own plan is an exchange-free projection of the shared
+    # checkpoint.
     from postgresql_transfer_tool_spark.operators.text import (
         text_winnowing_fingerprint,
+        winnow_fps_df,
     )
     from postgresql_transfer_tool_spark.plans import count_exchanges, physical_plan
 
+    builder = winnow_fps_df(spark, sf_dir)
+    assert count_exchanges(builder) == 1
+    assert "RoundRobinPartitioning" in physical_plan(builder)
+    assert_read_schema_only(builder, "documents", {"doc_id", "text"})
+
     df = text_winnowing_fingerprint(spark, sf_dir)
-    assert count_exchanges(df) == 1
-    assert "RoundRobinPartitioning" in physical_plan(df)
-    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+    assert count_exchanges(df) == 0
 
 
 def test_ndv_kmv_uses_distributed_topk(spark, sf_dir):
@@ -449,12 +456,36 @@ def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
         "knn_label_vote": [V_QUERYVEC],
         "bm25_ranked_retrieval": [
             # the query-term relation: ONE row by construction (a single
-            # agg over the df top-7 TakeOrdered), checkpointed in r14 so
-            # both broadcasts (postings filter + score attach) share one
-            # computation of the df subtree — the LogicalRDD barrier
-            # hides the aggregation from the sweep
+            # agg over the df top-7 TakeOrdered, cross-joined with the
+            # 1-row corpus-totals agg), checkpointed (r14; session-
+            # memoized r15) so both broadcasts (postings filter + score
+            # attach) share one computation of the df subtree — the
+            # LogicalRDD barrier hides the aggregations from the sweep.
+            # 8 columns; the sweep's leaf formatter truncates at 6.
             "broadcast hint over unbounded leaves "
-            "LogicalRDD[term_a,df_a,term_b,df_b,term_c,df_c]"
+            "LogicalRDD[term_a,df_a,term_b,df_b,term_c,df_c…]"
+        ],
+        "dedup_survivors_by_quality": [
+            # the pair-involved id set: an id-only projection of the
+            # eager-checkpointed label relation (whose leaf keeps the
+            # loop's _changed flag column), broadcast ONLY behind an
+            # explicit runtime row-count gate
+            # (dedup._INVOLVED_BROADCAST_ROWS — the count is a cheap job
+            # over the checkpoint); past the bound the hint is not
+            # applied at all, so the plan the sweep sees at test scale
+            # is the gated-small branch
+            "broadcast hint over unbounded leaves "
+            "LogicalRDD[doc_id,cluster_id,_changed]"
+        ],
+        "pagerank_copurchase": [
+            # the checkpointed (src, d) degree relation and the rank
+            # relations derived from it: node-sized by construction and
+            # broadcast ONLY behind graph._nodes_fit_broadcast — a
+            # footer-metadata bound on the node count
+            # (graph.PR_BROADCAST_MAX_NODES = 4M rows ≈ 100 MB framed)
+            # decided before any hint is applied; past the bound the
+            # classic shuffle-join iteration runs unhinted
+            "broadcast hint over unbounded leaves LogicalRDD[src,d]"
         ],
         "ndv_hll_deterministic": [V_LNTABLE],
         "active_users_rolling_hll_det": [V_LNTABLE],

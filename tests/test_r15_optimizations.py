@@ -86,6 +86,84 @@ def test_bench_clear_memos_resets_semantic_assignment(spark, sf_dir):
     assert len(semantic._ASSIGN_CACHE) == 0
 
 
+def test_winnow_memo_shared_and_cold_resettable(spark, sf_dir):
+    """text_winnowing_fingerprint and dedup_winnowing_overlap share one
+    memoized fingerprint-set materialization (r15 batch 2); the bench's
+    central reset must leave it cold."""
+    import bench
+    from postgresql_transfer_tool_spark.operators import dedup, text
+
+    bench.clear_memos()
+    assert len(text._WINNOW_FPS_CACHE) == 0
+    text.text_winnowing_fingerprint(spark, sf_dir).collect()
+    assert len(text._WINNOW_FPS_CACHE) == 1
+    key = next(iter(text._WINNOW_FPS_CACHE.keys()))
+    dedup.dedup_winnowing_overlap(spark, sf_dir).collect()
+    # second consumer reused the entry (same key, no second insert)
+    assert list(text._WINNOW_FPS_CACHE.keys()) == [key]
+    bench.clear_memos()
+    assert len(text._WINNOW_FPS_CACHE) == 0
+
+
+def test_bm25_query_relation_memoized_and_cold_resettable(spark, sf_dir):
+    """The 1-row bm25 query relation (terms + dfs + corpus totals) is
+    computed once per session and reset by the bench's cold pass."""
+    import bench
+    from postgresql_transfer_tool_spark.operators import corpus
+
+    bench.clear_memos()
+    assert len(corpus._BM25_QUERY_CACHE) == 0
+    row = corpus._bm25_query_relation(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert set(r) == {
+        "term_a", "df_a", "term_b", "df_b", "term_c", "df_c",
+        "n_docs", "sum_dl",
+    }
+    assert corpus._bm25_query_relation(spark, sf_dir) is not None
+    assert len(corpus._BM25_QUERY_CACHE) == 1
+    bench.clear_memos()
+    assert len(corpus._BM25_QUERY_CACHE) == 0
+
+
+def test_involved_cluster_labels_cover_exactly_pair_endpoints(spark, sf_dir):
+    """The r15 involved-only label propagation iterates over exactly the
+    distinct pair endpoints; dedup_clusters attaches every other doc as
+    its own singleton (oracle equality is covered by the diff suites —
+    this pins the sliver/corpus split itself)."""
+    from postgresql_transfer_tool_spark.operators import dedup
+
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    endpoints = {
+        r[0]
+        for r in pairs.select(F.explode(F.array("doc_a", "doc_b"))).collect()
+    }
+    labels = dedup._involved_cluster_labels(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in labels} == endpoints
+    # every label is the min doc_id of the member's component, so it
+    # can never exceed the member id
+    assert all(r["cluster_id"] <= r["doc_id"] for r in labels)
+
+
+def test_ivf_cells_memoized_and_cold_resettable(spark, sf_dir):
+    """The IVF cell-assignment relation (the index) is computed once
+    per session and reset by the bench's cold pass; warm calls reuse
+    the entry without a second insert."""
+    import bench
+    from postgresql_transfer_tool_spark.operators import similarity
+
+    bench.clear_memos()
+    assert len(similarity._IVF_CELLS_CACHE) == 0
+    cells = similarity._ivf_cells(spark, sf_dir)
+    assert len(similarity._IVF_CELLS_CACHE) == 1
+    rows = cells.collect()
+    assert rows and all(len(r["cells"]) == similarity.NPROBE for r in rows)
+    similarity.ann_ivf_topk(spark, sf_dir).collect()
+    assert len(similarity._IVF_CELLS_CACHE) == 1
+    bench.clear_memos()
+    assert len(similarity._IVF_CELLS_CACHE) == 0
+
+
 def test_pagerank_nonsymmetric_keeps_zero_indegree_nodes(spark):
     """Directed graph 1→2, 2→3, 3→2: node 1 has no in-edge. The
     symmetric fast path omits it (documented contract, sound only for
