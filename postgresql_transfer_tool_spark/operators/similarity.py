@@ -863,34 +863,53 @@ sub AS (
 _PQ_INDEX_CACHE = CheckpointMemo()
 
 
-def _pq_code_expr(cb_rows) -> "F.Column":
-    """Map-side PQ encoder: codes array for the ``qe`` column, with the
-    trained codebook embedded as LITERALS (PQ_M×PQ_K×PQ_SUBDIM = 1024
-    ints). Same arithmetic as the r14 broadcast-join + MIN(struct)
-    aggregate — int64 squared L2 per (subspace, codeword), argmin with
-    min-k tie-break via lexicographic struct ordering — but evaluated
-    entirely inside the scan projection: no explode to (vec_id, m)
-    rows, no broadcast build, no aggregation exchange (guide §2.4
-    "remove shuffles outright"; the codebook is driver data anyway)."""
+def _pq_encode_udf(cb_rows):
+    """Arrow UDF: the PQ code array for the ``qe`` column — per
+    subspace, argmin over exact-int64 squared L2 to each codeword, ties
+    to the LOWEST k (identical to the oracle's MIN(struct(dist, k)) and
+    to the r14 broadcast-join aggregate), as one numpy matmul per
+    (batch, subspace). Same map-side vectorized contract as
+    :func:`argmin_cell_sqdist`: no explode to (vec_id, m) rows, no
+    broadcast build, no aggregation exchange (guide §2.4/§4 — the
+    codebook is bounded driver data). An earlier r15 draft embedded the
+    codebook as PQ_M×PQ_K×PQ_SUBDIM literal expressions instead; that
+    made the memo-cold build pay ~9 s of Catalyst analysis/codegen for
+    the expression forest — compile time, not data — which this
+    constant-size UDF avoids."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     by_m: dict[int, list] = {}
     for m, k, cw in cb_rows:
         by_m.setdefault(m, []).append((k, cw))
-    code_cols = []
+    Ks, Cs, C2s = [], [], []
     for m in range(PQ_M):
-        cands = []
-        for k, cw in sorted(by_m[m]):
-            d2 = None
-            for d in range(PQ_SUBDIM):
-                t = F.col("qe")[m * PQ_SUBDIM + d] - F.lit(cw[d])
-                sq = t * t
-                d2 = sq if d2 is None else d2 + sq
-            cands.append(
-                F.struct(
-                    d2.alias("dist"), F.lit(k).cast("bigint").alias("k")
-                )
+        rows = sorted(by_m[m])
+        Ks.append(np.array([k for k, _ in rows], dtype=np.int64))
+        C = np.array([cw for _, cw in rows], dtype=np.int64)
+        Cs.append(C)
+        C2s.append((C * C).sum(axis=1))
+
+    @pandas_udf("array<bigint>")
+    def enc(qe: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.array(qe.tolist(), dtype=np.int64)
+        out = np.empty((len(M), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = M[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2 * (sub @ Cs[m].T)
+                + C2s[m][None, :]
             )
-        code_cols.append(F.array_min(F.array(*cands))["k"])
-    return F.array(*code_cols)
+            best = d2.min(axis=1)
+            out[:, m] = np.where(
+                d2 == best[:, None], Ks[m][None, :], np.iinfo(np.int64).max
+            ).min(axis=1)
+        return pd.Series(list(out))
+
+    return enc
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -921,9 +940,9 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     codes = _PQ_INDEX_CACHE.put(
         (*key, "codes"),
-        q.select("vec_id", _pq_code_expr(cb_rows).alias("codes")).localCheckpoint(
-            eager=False
-        ),
+        q.select(
+            "vec_id", _pq_encode_udf(cb_rows)("qe").alias("codes")
+        ).localCheckpoint(eager=False),
     )
     return codes, cb
 

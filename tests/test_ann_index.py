@@ -21,6 +21,7 @@ from postgresql_transfer_tool_spark.operators.similarity import (
     ann_ivf_topk,
 )
 from postgresql_transfer_tool_spark.plans import (
+
     exchanges_below_first_join_above_scan,
     physical_plan,
 )
@@ -94,6 +95,16 @@ def test_registry_query_memoized(spark):
 # ---------------------------------------------------------------------------
 
 from postgresql_transfer_tool_spark.operators.similarity import TOP_K
+
+import pytest
+
+# r15 (VERDICT r14 #2): this suite is wall-clock heavy (streaming
+# triggers / index write generations / full-registry sweep) and made
+# the default run overflow the verification driver's window. Marked
+# slow => excluded by the default `-m "not slow"` (pytest.ini);
+# run with `pytest -m ""` (everything) or `-m slow` (just these).
+pytestmark = pytest.mark.slow
+
 
 
 def test_delete_then_probe_ranks_close_up_like_a_rebuild(spark):

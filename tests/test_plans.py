@@ -7,6 +7,8 @@ small dimensions broadcast, codegen on.
 
 from __future__ import annotations
 
+import pytest
+
 from postgresql_transfer_tool_spark.operators.joins import (
     broadcast_join_orders_by_region,
     q3_shipping_priority,
@@ -328,6 +330,7 @@ def test_cms_exact_topk_no_serial_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
+@pytest.mark.slow  # builds all ~215 registry plans (~4 min) — r15 #2
 def test_no_serial_windows_anywhere_in_the_registry(spark, sf_dir):
     """Engine-wide invariant: no registered query may carry an
     unpartitioned WindowExec over an unbounded relation. The only two
@@ -390,6 +393,7 @@ def test_broadcast_hint_detector_sees_unbounded_hint(spark, sf_dir):
     assert broadcast_hint_violations(F.broadcast(dim).crossJoin(hits)) == []
 
 
+@pytest.mark.slow  # builds all ~215 registry plans (~5 min) — r15 #2
 def test_no_broadcast_hints_on_unbounded_relations_in_registry(spark, sf_dir):
     """Engine-wide invariant (VERDICT r4 "Next round" #2, the sibling of
     the serial-window sweep): no registered query may apply an
